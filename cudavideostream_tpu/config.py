@@ -1,0 +1,113 @@
+"""Runtime configuration for the TPU delta-streaming framework.
+
+The reference system (`/root/reference/server/include/common.h:1-20`) uses
+compile-time ``#define``s: frame geometry hardcoded to 1920x1080 BGR24
+(``kernels.cu:107-133``), ``LR_THRESHOLDS 20``, ``K 3`` conv kernel,
+``NOISE_VISUALIZER`` mode select, and a hardcoded ``127.0.0.1:2734``
+endpoint (``threads.cpp:187``, ``client/opencv.cpp:23``).
+
+Here those become a frozen dataclass whose fields are static arguments to
+``jax.jit`` — one compiled executable per configuration, which is the XLA
+analogue of the reference's "recompile to change a flag" model, minus the
+recompile-by-hand.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Tuple
+
+
+class Visualizer(enum.Enum):
+    """Auxiliary-output mode, mirroring ``NOISE_VISUALIZER`` (common.h:10-11).
+
+    ``NONE`` disables the aux frame; the numbered modes match the reference:
+    1 heatmap, 2 red-black, 3 red-overlap, 4 grayscale, 5 binarization.
+    """
+
+    NONE = 0
+    HEATMAP = 1
+    RED_BLACK = 2
+    RED_OVERLAP = 3
+    GRAYSCALE = 4
+    BINARIZE = 5
+
+
+class CompactionBackend(enum.Enum):
+    """How the sparse (pos, xs, vals) payload is produced.
+
+    The reference compacts with ``atomicInc`` on the GPU
+    (``kernels.cu:313-315``), which is nondeterministic in output order.
+    All backends here are deterministic (ascending byte index), which the
+    reference client is insensitive to (pure scatter-add,
+    ``client/opencv.cpp:64-66``).
+    """
+
+    SORT = "sort"          # single XLA sort_key_val over packed (idx, val) keys
+    PALLAS = "pallas"      # two-stage Pallas kernel: tile counts + tile compaction
+    HOST = "host"          # device emits dense delta + bitmask; C/numpy host packs
+
+
+@dataclasses.dataclass(frozen=True)
+class StreamConfig:
+    """Static configuration of the delta-stream pipeline.
+
+    Defaults replicate the reference's shipped build: 1080p BGR24, threshold
+    20, negative feedback on, no noise filter, no visualizer.
+    """
+
+    height: int = 1080
+    width: int = 1920
+    channels: int = 3
+
+    # |delta| must be strictly greater than this to ship (kernels.cu:312).
+    threshold: int = 20
+    # Sub-threshold drift accumulates in the previous-frame buffer
+    # (KERNEL2_NEGFEED_OPT, common.h:16, kernels.cu:318-323).
+    negative_feedback: bool = True
+
+    # Gaussian denoise convolution in the delta path (common.h:5-8,
+    # kernels.cu:457-459). K is the kernel size; sigma defaults to the
+    # reference's K*K/6 (server.cpp:43).
+    noise_filter: bool = False
+    conv_k: int = 3
+
+    visualizer: Visualizer = Visualizer.NONE
+
+    compaction: CompactionBackend = CompactionBackend.SORT
+    # Payload capacity in bytes; None means worst case (= frame_bytes),
+    # matching the reference's atomicInc bound of 6220801 (kernels.cu:313).
+    payload_capacity: int | None = None
+
+    # Text overlay (kernel2_char, kernels.cu:351-375): glyph cell scale of
+    # the builtin 6x8 bitmap font.
+    overlay_scale: int = 5
+
+    # TCP endpoint (threads.cpp:187).
+    host: str = "127.0.0.1"
+    port: int = 2734
+
+    @property
+    def frame_shape(self) -> Tuple[int, int, int]:
+        return (self.height, self.width, self.channels)
+
+    @property
+    def frame_bytes(self) -> int:
+        return self.height * self.width * self.channels
+
+    @property
+    def capacity(self) -> int:
+        cap = self.payload_capacity
+        return self.frame_bytes if cap is None else cap
+
+    def __post_init__(self):
+        if self.channels != 3:
+            raise ValueError("only 3-channel BGR frames are supported")
+        if not (0 <= self.threshold <= 255):
+            raise ValueError("threshold must be in [0, 255]")
+        if self.conv_k < 1 or self.conv_k > 15:
+            raise ValueError("conv_k out of supported range")
+
+
+DEFAULT_CONFIG = StreamConfig()

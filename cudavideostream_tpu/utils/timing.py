@@ -1,0 +1,58 @@
+"""Timing harness: the TPU counterpart of the reference's ``std::chrono``
+spans + nvprof sweeps (``server/src/server.cpp:69-171``,
+``tests/heat_map_benchmark/kernel_test.sh``)."""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict
+
+
+class Timer:
+    """Accumulating wall-clock span timer with 1 Hz-style reporting."""
+
+    def __init__(self):
+        self._t0: Dict[str, float] = {}
+        self.totals: Dict[str, float] = {}
+        self.counts: Dict[str, int] = {}
+
+    def start(self, name: str) -> None:
+        self._t0[name] = time.perf_counter()
+
+    def stop(self, name: str) -> float:
+        dt = time.perf_counter() - self._t0[name]
+        self.totals[name] = self.totals.get(name, 0.0) + dt
+        self.counts[name] = self.counts.get(name, 0) + 1
+        return dt
+
+    def mean_ms(self, name: str) -> float:
+        n = self.counts.get(name, 0)
+        return 1e3 * self.totals.get(name, 0.0) / n if n else 0.0
+
+    def reset(self) -> None:
+        self.totals.clear()
+        self.counts.clear()
+
+
+def bench_op(fn: Callable, *args, warmup: int = 3, iters: int = 20) -> float:
+    """Median wall-clock milliseconds of ``fn(*args)`` with device sync.
+
+    Blocks on all jax array leaves of the result, mirroring the
+    ``cudaDeviceSynchronize`` bracketing nvprof measures in the reference.
+    """
+    import jax
+
+    def run():
+        out = fn(*args)
+        jax.block_until_ready(out)
+        return out
+
+    for _ in range(warmup):
+        run()
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return 1e3 * times[len(times) // 2]
