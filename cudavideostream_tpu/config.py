@@ -75,7 +75,7 @@ class StreamConfig:
 
     visualizer: Visualizer = Visualizer.NONE
 
-    compaction: CompactionBackend = CompactionBackend.SORT
+    compaction: CompactionBackend = CompactionBackend.PALLAS
     # Payload capacity in bytes; None means worst case (= frame_bytes),
     # matching the reference's atomicInc bound of 6220801 (kernels.cu:313).
     payload_capacity: int | None = None

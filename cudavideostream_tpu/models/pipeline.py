@@ -1,0 +1,155 @@
+"""The flagship model: the fused delta-stream pipeline step.
+
+The reference's per-frame GPU schedule (``exec_core``,
+``server/src/kernels.cu:430-525``) is a hand-ordered sequence of kernel
+launches and sync barriers over mutable device buffers. The TPU re-design
+is a single pure function
+
+    step(prev, frame, char_ids, n_chars) -> (new_prev, pos, xs, vals[, aux])
+
+jitted once per :class:`StreamConfig`; XLA fuses the elementwise stages
+(conv add-chain, overlay selects, diff, visualizer) into a handful of VPU
+passes, and the previous-frame buffer is donated so the state update is
+in-place in HBM — the functional equivalent of the reference's
+``swap(d_current, d_previous)`` pointer flip (``kernels.cu:451``).
+
+Stage order matches exec_core: noise-filter conv -> text overlay ->
+visualizer (heatmap/grayscale/binarize read the overlaid current frame;
+red modes read the diff mask) -> diff+compact.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+
+from cudavideostream_tpu.config import StreamConfig, Visualizer
+from cudavideostream_tpu.ops import compact as compact_ops
+from cudavideostream_tpu.ops import convolve as conv_ops
+from cudavideostream_tpu.ops import diff as diff_ops
+from cudavideostream_tpu.ops import filters as filter_ops
+from cudavideostream_tpu.ops import logcompact
+from cudavideostream_tpu.ops import overlay as overlay_ops
+from cudavideostream_tpu.ops import reference_cpu
+from cudavideostream_tpu.utils import fonts
+
+MAX_OVERLAY_CHARS = 28
+
+
+class DeltaStreamPipeline:
+    """Configured, compiled pipeline over device-resident state.
+
+    Usage::
+
+        pipe = DeltaStreamPipeline(config)
+        prev = pipe.init_state(base_frame)          # device uint8 buffer
+        prev, pos, xs, vals, aux = pipe.step(prev, frame, text="FPS: 30")
+    """
+
+    def __init__(self, config: StreamConfig, conv_weights: Optional[np.ndarray] = None):
+        self.config = config
+        self.atlas_np = fonts.make_atlas(config.overlay_scale)
+        self.atlas = jnp.asarray(self.atlas_np)
+        if conv_weights is None:
+            conv_weights = reference_cpu.gaussian_kernel(config.conv_k)
+        self.conv_weights = np.asarray(conv_weights, dtype=np.float64)
+        self.conv_weights_q16 = reference_cpu.quantize_kernel_q16(self.conv_weights)
+        # Mosaic kernels need the interpreter off-TPU (tests run on CPU)
+        self._interpret = jax.default_backend() == "cpu"
+        self._step = jax.jit(
+            functools.partial(self._step_impl),
+            donate_argnums=(0,),
+        )
+
+    # -- state ------------------------------------------------------------
+    def init_state(self, base_frame: np.ndarray) -> Array:
+        """Upload the base frame as the initial reconstruction state
+        (the reference seeds ``d_current`` with it, kernels.cu:406, and
+        ships it raw to the client, threads.cpp:224)."""
+        base = np.asarray(base_frame, dtype=np.uint8).ravel()
+        if base.size != self.config.frame_bytes:
+            raise ValueError("base frame size mismatch")
+        return jnp.asarray(base)
+
+    # -- the fused step ---------------------------------------------------
+    def _step_impl(
+        self, prev: Array, frame: Array, char_ids: Array, n_chars: Array
+    ):
+        cfg = self.config
+        cur = frame
+        if cfg.noise_filter:
+            cur = conv_ops.convolve_q16(
+                cur, self.conv_weights_q16, cfg.height, cfg.width
+            )
+        cur = overlay_ops.overlay_blit(
+            cur, self.atlas, char_ids, n_chars, cfg.height, cfg.width
+        )
+
+        aux = None
+        if cfg.visualizer == Visualizer.HEATMAP:
+            aux = filter_ops.heatmap(cur, prev)
+        elif cfg.visualizer == Visualizer.GRAYSCALE:
+            aux = filter_ops.grayscale_weighted(cur)
+        elif cfg.visualizer == Visualizer.BINARIZE:
+            aux = filter_ops.binarize_pipeline(cur)
+
+        needs_mask = cfg.visualizer in (Visualizer.RED_BLACK, Visualizer.RED_OVERLAP)
+        pallas_ok = cfg.frame_bytes % 1024 == 0 and cfg.frame_bytes < (1 << 23)
+        if cfg.compaction.value == "pallas" and pallas_ok:
+            pos, xs, vals, new_prev = logcompact.fused_diff_compact(
+                cur,
+                prev,
+                threshold=cfg.threshold,
+                negative_feedback=cfg.negative_feedback,
+                interpret=self._interpret,
+            )
+            if cfg.capacity != cfg.frame_bytes:
+                xs, vals = xs[: cfg.capacity], vals[: cfg.capacity]
+            mask = (
+                diff_ops.diff_mask(cur, prev, cfg.threshold)[0] if needs_mask else None
+            )
+        else:
+            mask, raw_vals, new_prev = diff_ops.diff_mask(
+                cur, prev, cfg.threshold, cfg.negative_feedback
+            )
+            backend = "sort"  # host packer consumes the same sorted payload
+            pos, xs, vals = compact_ops.compact(mask, raw_vals, cfg.capacity, backend)
+
+        if cfg.visualizer == Visualizer.RED_BLACK:
+            aux = filter_ops.red_black(mask)
+        elif cfg.visualizer == Visualizer.RED_OVERLAP:
+            aux = filter_ops.red_overlap(prev, mask)
+
+        if aux is None:
+            return new_prev, pos, xs, vals
+        return new_prev, pos, xs, vals, aux
+
+    # -- public API -------------------------------------------------------
+    def step(
+        self, prev: Array, frame, text: str = ""
+    ) -> Tuple[Array, Array, Array, Array, Optional[Array]]:
+        """Run one frame. ``frame`` may be a numpy or device array.
+
+        Returns ``(new_prev, pos, xs, vals, aux)``; ``aux`` is None unless
+        a visualizer is configured. Outputs are device arrays — callers on
+        the hot path should fetch ``pos`` first and slice ``xs``/``vals``
+        host-side (see runtime.executor).
+        """
+        ids = fonts.encode_text(text, MAX_OVERLAY_CHARS)
+        char_ids = jnp.asarray(ids, dtype=jnp.int32)
+        n_chars = jnp.int32(min(len(text), MAX_OVERLAY_CHARS))
+        frame = jnp.asarray(np.asarray(frame, dtype=np.uint8).ravel())
+        out = self._step(prev, frame, char_ids, n_chars)
+        if len(out) == 4:
+            return (*out, None)
+        return out
+
+    @property
+    def jitted(self):
+        """The raw jitted step fn (prev, frame, char_ids, n_chars)."""
+        return self._step

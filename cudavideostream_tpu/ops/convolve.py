@@ -1,0 +1,56 @@
+"""Device convolution / denoise filters.
+
+The reference's tiled shared-memory KxK convolution
+(``kernels.cu:97-136``: BLOCK_SIZE^2 threads stage a halo tile, TILE_SIZE^2
+compute) maps onto the TPU as K^2 shifted integer adds over the whole
+frame — XLA fuses them into a few VPU passes, and the "halo" is just
+array slicing of a zero-padded buffer; no manual staging needed.
+
+Weights are Q16 fixed-point (see :func:`reference_cpu.quantize_kernel_q16`)
+so device and oracle are bit-identical; accumulation fits int32 for K<=9
+(65536*255*81 < 2^31).
+
+The median filter (the reference's benchmarked-and-rejected variant,
+``tests/noise_filter_benchmark/v3.cu``) uses an XLA sort over the K^2
+window axis.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+
+
+def convolve_q16(
+    frame: Array, weights_q16: np.ndarray, height: int, width: int
+) -> Array:
+    """Zero-padded KxK convolution per channel; flat uint8 in/out.
+
+    ``weights_q16`` is a static (k, k) integer numpy array of Q16 weights.
+    """
+    k = weights_q16.shape[0]
+    pad = k // 2
+    img = frame.reshape(height, width, 3).astype(jnp.int32)
+    padded = jnp.pad(img, ((pad, pad), (pad, pad), (0, 0)))
+    acc = jnp.zeros_like(img)
+    for i in range(k):
+        for j in range(k):
+            w = int(weights_q16[i, j])
+            if w:
+                acc = acc + w * padded[i : i + height, j : j + width]
+    out = jnp.clip(acc >> 16, 0, 255).astype(jnp.uint8)
+    return out.reshape(-1)
+
+
+def median_filter(frame: Array, k: int, height: int, width: int) -> Array:
+    """Zero-padded KxK per-channel median; flat uint8 in/out."""
+    pad = k // 2
+    img = frame.reshape(height, width, 3)
+    padded = jnp.pad(img, ((pad, pad), (pad, pad), (0, 0)))
+    windows = jnp.stack(
+        [padded[i : i + height, j : j + width] for i in range(k) for j in range(k)],
+        axis=0,
+    )
+    s = jnp.sort(windows, axis=0)
+    return s[(k * k) // 2].reshape(-1)

@@ -1,0 +1,55 @@
+"""The core delta operator on device: thresholded per-byte diff with
+negative feedback.
+
+TPU-native re-design of the reference's ``kernel2``
+(``server/src/kernels.cu:289-334``): where the CUDA kernel runs 1024
+threads over ``long4`` chunks with an ``atomicInc`` append, here the diff
+is a fused elementwise XLA computation over the whole frame (VPU, one HBM
+pass) and compaction is a separate deterministic stage
+(:mod:`cudavideostream_tpu.ops.compact`).
+
+Byte-exact contract (vs :func:`reference_cpu.diff_encode`):
+
+* ``df = int(cur) - int(prev)`` (true signed difference, no wrap);
+* a byte ships iff ``|df| > threshold`` (strictly greater);
+* shipped value is ``df mod 256`` (client wrap-add reproduces ``cur``);
+* non-shipped bytes of the new previous-frame buffer keep the *previous*
+  value (negative feedback, ``kernels.cu:318-323``), so sub-threshold
+  drift accumulates until it crosses the threshold.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+from jax import Array
+
+
+def diff_mask(
+    current: Array,
+    previous: Array,
+    threshold: int,
+    negative_feedback: bool = True,
+) -> Tuple[Array, Array, Array]:
+    """Elementwise diff stage.
+
+    Args:
+      current / previous: flat ``uint8`` frames of equal length.
+      threshold: ship iff ``|df| > threshold``.
+
+    Returns:
+      ``(mask, vals, new_previous)`` — ``mask`` bool, ``vals`` uint8 wrap
+      deltas (defined everywhere; only masked entries are meaningful),
+      ``new_previous`` uint8.
+    """
+    cur = current.astype(jnp.int16)
+    prev = previous.astype(jnp.int16)
+    df = cur - prev
+    mask = jnp.abs(df) > threshold
+    vals = df.astype(jnp.uint8)  # mod-256 wrap
+    if negative_feedback:
+        new_prev = jnp.where(mask, current, previous)
+    else:
+        new_prev = current
+    return mask, vals, new_prev

@@ -1,0 +1,246 @@
+"""Branch-free Pallas TPU stream compaction via bit-serial segment merging.
+
+The TPU-native ``kernel2`` (reference ``server/src/kernels.cu:289-334``),
+designed for how a TPU actually executes: *zero* scalar control flow, no
+atomics, no gathers — just ~150 dense vector ops over the tile.
+
+Algorithm ("logcompact"). View the tile as a flat sequence of
+``tile_rows * 128`` byte slots. A masked slot holds a packed payload
+``idx*256 + delta`` (idx < 2^23 so it fits int32); unmasked slots hold 0.
+Every slot is a trivially-compacted width-1 segment. Then for
+``W = 1, 2, 4, ... tile/2`` merge segment pairs: the right segment's
+valid prefix (length ``c_R``) slides left by ``gap = W - c_L`` into the
+left segment's holes. The slide happens bit-serially — one step per bit
+``b`` of ``gap``, moving the block ``2^b`` slots when that bit is set —
+and each step is a *dense* lane/sublane roll plus a per-lane select whose
+condition is computed analytically:
+
+* ``take[l] = bit_b(gap) and (src = l + 2^b) inside the moving block's
+  current span``, where the span is known in closed form from the bits of
+  ``gap`` already applied (``sigma = gap & (2^b - 1)``);
+* segment-uniform quantities (``c_L``, ``c_R``, ``gap``) come from
+  inclusive-cumsum values at segment boundaries, maintained by one
+  roll+select per level (the ``E``/``S`` recursions below).
+
+Because exactly one block moves per segment and it only ever lands on
+holes, there are no write conflicts — the correctness argument the
+reference gets from hardware atomics, this kernel gets from arithmetic.
+
+Output order is ascending byte index (deterministic; the reference's
+``atomicInc`` order is nondeterministic, and the client is a pure
+scatter-add so both decode identically — ``client/opencv.cpp:64-66``).
+
+A cheap XLA epilogue concatenates per-tile prefixes with ascending
+``dynamic_update_slice`` and unpacks ``(xs, vals)`` from the packed
+int32; zero-padding past ``pos`` falls out of the packing (packed 0 ->
+xs 0, vals 0).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+
+
+def _pick_tile_rows(rows: int, target: int = 224) -> int:
+    """Largest divisor of ``rows`` <= target that is a multiple of 8."""
+    best = None
+    for d in range(8, target + 1, 8):
+        if rows % d == 0:
+            best = d
+    return best if best is not None else rows
+
+
+def _flat_roll_left(x, s: int, rows: int):
+    """out[f] = x[f + s] on the row-major flattened (rows, 128) array,
+    circular (callers mask wrapped reads via span guards)."""
+    sl, sr = s % LANES, s // LANES
+    if sl == 0:
+        return pltpu.roll(x, (-sr) % rows, 0) if sr else x
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    r = pltpu.roll(x, (-sl) % LANES, 1)  # lane l <- lane (l+sl) % 128
+    same = pltpu.roll(r, (-sr) % rows, 0) if sr else r
+    nxt = pltpu.roll(r, (-(sr + 1)) % rows, 0)
+    return jnp.where(lane < LANES - sl, same, nxt)
+
+
+def _flat_roll_right(x, s: int, rows: int):
+    """out[f] = x[f - s], circular."""
+    sl, sr = s % LANES, s // LANES
+    if sl == 0:
+        return pltpu.roll(x, sr % rows, 0) if sr else x
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    r = pltpu.roll(x, sl, 1)  # lane l <- lane (l-sl) % 128
+    same = pltpu.roll(r, sr % rows, 0) if sr else r
+    prv = pltpu.roll(r, (sr + 1) % rows, 0)
+    return jnp.where(lane >= sl, same, prv)
+
+
+def _kernel(cur_ref, prev_ref, thr_ref, new_prev_ref, out_ref, cnt_ref,
+            *, tile_rows: int, negfeed: bool):
+    i = pl.program_id(0)
+    thr = thr_ref[0]
+    R = tile_rows
+    n_flat = R * LANES
+
+    cur = cur_ref[:].astype(jnp.int32)
+    prev = prev_ref[:].astype(jnp.int32)
+    df = cur - prev
+    m = jnp.abs(df) > thr
+    if negfeed:
+        new_prev_ref[:] = jnp.where(m, cur_ref[:], prev_ref[:])
+    else:
+        new_prev_ref[:] = cur_ref[:]
+
+    mi = m.astype(jnp.int32)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
+    flat = sub * LANES + lane
+    gidx = i * n_flat + flat
+
+    # packed payload; holes are 0 and stay 0
+    x = jnp.where(m, gidx * 256 + jnp.bitwise_and(df, 255), 0)
+
+    # flat inclusive cumsum: lane-phase Hillis-Steele + row-prefix add
+    incl = mi
+    s = 1
+    while s < LANES:
+        incl = incl + jnp.where(lane >= s, pltpu.roll(incl, s, 1), 0)
+        s *= 2
+    rowtot = jnp.broadcast_to(incl[:, LANES - 1 : LANES], (R, LANES))
+    rowpre = rowtot
+    s = 1
+    while s < R:
+        rowpre = rowpre + jnp.where(sub >= s, pltpu.roll(rowpre, s, 0), 0)
+        s *= 2
+    # rowpre is now inclusive-over-rows of rowtot; make exclusive
+    rowpre = rowpre - rowtot
+    incl = incl + rowpre
+
+    E = incl          # incl at end of my W-segment (W=1: myself)
+    S = incl - mi     # incl before my W-segment
+    # broadcast incl[last] to every lane: Mosaic can't broadcast (1,1) ->
+    # (R,128) directly, so max-propagate the last row's total via rolls
+    total_b = jnp.where(sub == R - 1, rowpre + rowtot, 0)
+    s = 1
+    while s < R:
+        total_b = jnp.maximum(total_b, pltpu.roll(total_b, s, 0))
+        s *= 2
+
+    W = 1
+    while W < n_flat:
+        in_left = jnp.bitwise_and(flat, W) == 0
+        E_mid = jnp.where(in_left, E, _flat_roll_right(E, W, R))
+        E_end = jnp.where(in_left, _flat_roll_left(E, W, R), E)
+        S_seg = jnp.where(in_left, S, _flat_roll_right(S, W, R))
+        if n_flat & (n_flat - 1):  # non-power-of-2 tile: clamp reads past
+            segstart = jnp.bitwise_and(flat, ~(2 * W - 1))
+            E_mid = jnp.where(segstart + W > n_flat, total_b, E_mid)
+            E_end = jnp.where(segstart + 2 * W > n_flat, total_b, E_end)
+        c_l = E_mid - S_seg
+        c_r = E_end - E_mid
+        gap = W - c_l
+        pos_in = jnp.bitwise_and(flat, 2 * W - 1)
+
+        b = 1
+        while b <= W:
+            sigma = jnp.bitwise_and(gap, b - 1)  # lower bits already applied
+            lo = W - sigma                       # block's current left edge
+            src = pos_in + b
+            take = (
+                (jnp.bitwise_and(gap, b) != 0)
+                & (src >= lo)
+                & (src < lo + c_r)
+            )
+            x = jnp.where(take, _flat_roll_left(x, b, R), x)
+            b *= 2
+
+        E, S = E_end, S_seg
+        W *= 2
+
+    total = E  # uniform: count of the whole tile
+    x = jnp.where(flat < total, x, 0)
+    out_ref[:] = x
+    cnt_ref[i, 0] = incl[R - 1, LANES - 1]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("threshold", "negative_feedback", "interpret")
+)
+def fused_diff_compact(
+    current: Array,
+    previous: Array,
+    threshold: int = 20,
+    negative_feedback: bool = True,
+    interpret: bool = False,
+) -> Tuple[Array, Array, Array, Array]:
+    """Fused kernel2: ``(cur, prev) -> (pos, xs, vals, new_prev)``.
+
+    Flat uint8 frames; length must be a multiple of 1024 and below 2^23
+    (index packing), which covers 1080p BGR24 (6,220,800 B). Outputs:
+    ``pos`` int32; ``xs`` int32 (zero past pos); ``vals`` uint8 (zero past
+    pos); ``new_prev`` uint8.
+    """
+    n = current.shape[0]
+    if n % (LANES * 8):
+        raise ValueError(f"frame bytes {n} must be a multiple of {LANES * 8}")
+    if n >= 1 << 23:
+        raise ValueError("frame too large for packed-index compaction")
+    rows = n // LANES
+    tile_rows = _pick_tile_rows(rows)
+    grid = rows // tile_rows
+
+    cur2 = current.reshape(rows, LANES)
+    prev2 = previous.reshape(rows, LANES)
+    thr = jnp.full((1,), threshold, jnp.int32)
+
+    kernel = functools.partial(_kernel, tile_rows=tile_rows, negfeed=negative_feedback)
+    new_prev, packed_t, counts = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((grid, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, LANES), jnp.uint8),
+            jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((grid, 1), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(cur2, prev2, thr)
+
+    counts = counts.reshape(grid)
+    offsets = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)]
+    )
+    pos = offsets[grid]
+
+    tile_bytes = tile_rows * LANES
+    packed_flat = packed_t.reshape(n)
+
+    def body(i, acc):
+        block = jax.lax.dynamic_slice(packed_flat, (i * tile_bytes,), (tile_bytes,))
+        return jax.lax.dynamic_update_slice(acc, block, (offsets[i],))
+
+    merged = jax.lax.fori_loop(0, grid, body, jnp.zeros(n, jnp.int32))
+    xs = merged >> 8
+    vals = jnp.bitwise_and(merged, 255).astype(jnp.uint8)
+    return pos, xs, vals, new_prev.reshape(n)

@@ -19,7 +19,7 @@ so that device and host produce bit-identical results on any backend):
 * Weighted grayscale uses exact integer arithmetic
   ``(299*R + 587*G + 114*B) // 1000`` instead of float32 truncation
   (``kernels.cu:67-95``); at most +-1 on a handful of inputs.
-* The motion heatmap is defined by a 511-entry integer LUT precomputed in
+* The motion heatmap is defined by a 766-entry integer LUT precomputed in
   float64 (``heatmap_lut``) rather than per-pixel fast-math ``__sinf``
   (``kernels.cu:243-270``); at most +-1 vs the reference.
 * Convolution uses Q16 fixed-point weights with truncation instead of
@@ -183,17 +183,18 @@ _HEATMAP_LUT: np.ndarray | None = None
 
 
 def heatmap_lut() -> np.ndarray:
-    """(511, 3) uint8 LUT in BGR order for the sine colormap.
+    """(766, 3) uint8 LUT in BGR order for the sine colormap.
 
-    Index is ``sum(|cur-prev|)`` over the three channels (0..510);
-    ``d = idx/510``; ``r = clamp(sin(pi*d - pi/2)*255)``,
+    Index is ``sum(|cur-prev|)`` over the three channels (0..765 — note
+    the reference normalizes by 510, so ``d = idx/510`` runs past 1.0 and
+    the sine colormap *wraps* for extreme motion; that quirk is part of
+    the spec). ``r = clamp(sin(pi*d - pi/2)*255)``,
     ``g = clamp(sin(pi*d)*255)``, ``b = clamp(sin(pi*d + pi/2)*255)``,
-    truncated to int — computed once in float64 (spec; see module
-    docstring).
+    truncated to int — computed once in float64 (see module docstring).
     """
     global _HEATMAP_LUT
     if _HEATMAP_LUT is None:
-        d = np.arange(511, dtype=np.float64) / 510.0
+        d = np.arange(766, dtype=np.float64) / 510.0
         r = np.clip(np.sin(np.pi * d - np.pi / 2) * 255.0, 0.0, 255.0)
         g = np.clip(np.sin(np.pi * d) * 255.0, 0.0, 255.0)
         b = np.clip(np.sin(np.pi * d + np.pi / 2) * 255.0, 0.0, 255.0)

@@ -56,3 +56,42 @@ def bench_op(fn: Callable, *args, warmup: int = 3, iters: int = 20) -> float:
         times.append(time.perf_counter() - t0)
     times.sort()
     return 1e3 * times[len(times) // 2]
+
+
+def _sync(out) -> None:
+    """Force real device completion by fetching one element of each leaf.
+
+    ``jax.block_until_ready`` is unreliable on tunneled/async PJRT
+    backends (observed: returns immediately on the axon TPU transport), so
+    the only trustworthy sync is an actual device-to-host read.
+    """
+    import jax
+
+    for leaf in jax.tree_util.tree_leaves(out):
+        if hasattr(leaf, "ndim"):
+            jax.device_get(leaf if leaf.ndim == 0 else leaf.ravel()[0])
+
+
+def bench_op_amortized(fn: Callable, *args, warmup: int = 2, iters: int = 20) -> float:
+    """Amortized milliseconds per ``fn(*args)`` dispatch.
+
+    Queues ``iters`` sequential executions then syncs once with a real
+    device read; subtracts the measured sync round-trip. This mirrors how
+    the hot loop actually runs (dispatch-ahead, fetch at the end) and is
+    robust to backends where ``block_until_ready`` lies.
+    """
+    for _ in range(warmup):
+        _sync(fn(*args))
+
+    out = fn(*args)
+    _sync(out)
+    t0 = time.perf_counter()
+    _sync(out)
+    rtt = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    _sync(out)
+    total = time.perf_counter() - t0
+    return max(0.0, 1e3 * (total - rtt) / iters)

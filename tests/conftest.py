@@ -7,12 +7,21 @@ before the first ``import jax`` anywhere in the test process.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# NB: in the TPU container a sitecustomize imports jax at interpreter
+# startup and pins JAX_PLATFORMS to the hardware backend, so env vars set
+# here are too late for import-time config — but backend *initialization*
+# is lazy, so jax.config.update still wins as long as no device has been
+# touched yet. XLA_FLAGS is read at CPU-client init, which is also lazy.
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import sys
 

@@ -1,0 +1,229 @@
+"""Byte-exactness of every device operator against the golden CPU oracle.
+
+This is the rebuild's version of the reference's ``checkDifference``
+harness (``tests/algorithms_benchmarks.cu:12-22``): random synthetic
+frames, device output compared elementwise — except the gate here is
+exact equality, not eyeballing.
+"""
+
+import numpy as np
+import pytest
+
+from cudavideostream_tpu.ops import reference_cpu as ref
+from tests.conftest import make_frame_pair
+
+jnp = pytest.importorskip("jax.numpy")
+
+
+@pytest.fixture(scope="module")
+def pair():
+    rng = np.random.default_rng(42)
+    return make_frame_pair(rng, 48 * 64 * 3)
+
+
+class TestDiffCompact:
+    @pytest.mark.parametrize("backend", ["sort", "padded"])
+    def test_matches_oracle(self, pair, backend):
+        from cudavideostream_tpu.ops import compact, diff
+
+        prev, cur = pair
+        n = cur.size
+        pos_ref, xs_ref, vals_ref, new_prev_ref = ref.diff_encode(cur, prev)
+
+        mask, vals, new_prev = diff.diff_mask(jnp.asarray(cur), jnp.asarray(prev), 20)
+        pos, xs, v = compact.compact(mask, vals, n, backend=backend, row_len=256)
+        pos = int(pos)
+        assert pos == pos_ref
+        np.testing.assert_array_equal(np.asarray(new_prev), new_prev_ref)
+        np.testing.assert_array_equal(np.asarray(xs)[:pos], xs_ref)
+        np.testing.assert_array_equal(np.asarray(v)[:pos], vals_ref)
+        # padding is zeroed
+        assert int(np.asarray(xs)[pos:].sum()) == 0
+        assert int(np.asarray(v)[pos:].sum()) == 0
+
+    @pytest.mark.parametrize("backend", ["sort", "padded"])
+    def test_extremes(self, backend):
+        from cudavideostream_tpu.ops import compact, diff
+
+        n = 2048
+        prev = np.zeros(n, dtype=np.uint8)
+        same = prev.copy()
+        allchg = np.full(n, 200, dtype=np.uint8)
+        for cur, expect in ((same, 0), (allchg, n)):
+            mask, vals, _ = diff.diff_mask(jnp.asarray(cur), jnp.asarray(prev), 20)
+            pos, xs, v = compact.compact(mask, vals, n, backend=backend, row_len=256)
+            assert int(pos) == expect
+
+    def test_no_negative_feedback(self, pair):
+        from cudavideostream_tpu.ops import diff
+
+        prev, cur = pair
+        _, _, new_prev = diff.diff_mask(
+            jnp.asarray(cur), jnp.asarray(prev), 20, negative_feedback=False
+        )
+        np.testing.assert_array_equal(np.asarray(new_prev), cur)
+
+
+class TestFilters:
+    def test_grayscale_average(self, pair):
+        from cudavideostream_tpu.ops import filters
+
+        _, cur = pair
+        np.testing.assert_array_equal(
+            np.asarray(filters.grayscale_average(jnp.asarray(cur))),
+            ref.grayscale_average(cur),
+        )
+
+    def test_grayscale_weighted(self, pair):
+        from cudavideostream_tpu.ops import filters
+
+        _, cur = pair
+        np.testing.assert_array_equal(
+            np.asarray(filters.grayscale_weighted(jnp.asarray(cur))),
+            ref.grayscale_weighted(cur),
+        )
+
+    def test_histogram(self, pair):
+        from cudavideostream_tpu.ops import filters
+
+        _, cur = pair
+        g = ref.grayscale_weighted(cur)
+        np.testing.assert_array_equal(
+            np.asarray(filters.gray_histogram(jnp.asarray(g))),
+            ref.gray_histogram(g),
+        )
+
+    @pytest.mark.parametrize(
+        "hist_fn",
+        [
+            lambda: {10: 5, 30: 5},            # tie -> later wins
+            lambda: {200: 9, 100: 7},
+            lambda: {0: 100},                  # degenerate single update run
+            lambda: {255: 1},
+            lambda: {},                        # all-zero histogram
+        ],
+    )
+    def test_top2_matches_scan(self, hist_fn):
+        from cudavideostream_tpu.ops import filters
+
+        h = np.zeros(256, dtype=np.int64)
+        for k, v in hist_fn().items():
+            h[k] = v
+        imax, isec = filters.top2_prefix_max(jnp.asarray(h))
+        assert (int(imax), int(isec)) == ref.top2_scan(h)
+
+    def test_top2_random_histograms(self, rng):
+        from cudavideostream_tpu.ops import filters
+
+        for _ in range(20):
+            h = rng.integers(0, 50, 256)
+            h[rng.integers(0, 256, 5)] = rng.integers(100, 1000, 5)
+            imax, isec = filters.top2_prefix_max(jnp.asarray(h))
+            assert (int(imax), int(isec)) == ref.top2_scan(h)
+            t = filters.binarize_threshold(jnp.asarray(h))
+            assert int(t) == ref.binarize_threshold(h)
+
+    def test_binarize_pipeline(self, pair):
+        from cudavideostream_tpu.ops import filters
+
+        _, cur = pair
+        np.testing.assert_array_equal(
+            np.asarray(filters.binarize_pipeline(jnp.asarray(cur))),
+            ref.binarize_pipeline(cur),
+        )
+
+    def test_heatmap(self, pair):
+        from cudavideostream_tpu.ops import filters
+
+        prev, cur = pair
+        np.testing.assert_array_equal(
+            np.asarray(filters.heatmap(jnp.asarray(cur), jnp.asarray(prev))),
+            ref.heatmap(cur, prev),
+        )
+
+    def test_red_modes(self, pair):
+        from cudavideostream_tpu.ops import diff, filters
+
+        prev, cur = pair
+        _, xs_ref, _, _ = ref.diff_encode(cur, prev)
+        mask, _, _ = diff.diff_mask(jnp.asarray(cur), jnp.asarray(prev), 20)
+        np.testing.assert_array_equal(
+            np.asarray(filters.red_black(mask)), ref.red_black(xs_ref, cur.size)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(filters.red_overlap(jnp.asarray(prev), mask)),
+            ref.red_overlap(prev, xs_ref),
+        )
+
+
+class TestConvolve:
+    @pytest.mark.parametrize("k", [3, 4, 5, 7, 9])
+    def test_gaussian(self, pair, k):
+        from cudavideostream_tpu.ops import convolve
+
+        _, cur = pair
+        wq = ref.quantize_kernel_q16(ref.gaussian_kernel(k))
+        np.testing.assert_array_equal(
+            np.asarray(convolve.convolve_q16(jnp.asarray(cur), wq, 48, 64)),
+            ref.convolve(cur, ref.gaussian_kernel(k), 48, 64),
+        )
+
+    def test_mean(self, pair):
+        from cudavideostream_tpu.ops import convolve
+
+        _, cur = pair
+        wq = ref.quantize_kernel_q16(ref.mean_kernel(5))
+        np.testing.assert_array_equal(
+            np.asarray(convolve.convolve_q16(jnp.asarray(cur), wq, 48, 64)),
+            ref.convolve(cur, ref.mean_kernel(5), 48, 64),
+        )
+
+    @pytest.mark.parametrize("k", [3, 5])
+    def test_median(self, pair, k):
+        from cudavideostream_tpu.ops import convolve
+
+        _, cur = pair
+        np.testing.assert_array_equal(
+            np.asarray(convolve.median_filter(jnp.asarray(cur), k, 48, 64)),
+            ref.median_filter(cur, k, 48, 64),
+        )
+
+
+class TestOverlay:
+    def test_matches_oracle(self, pair):
+        from cudavideostream_tpu.ops import overlay
+        from cudavideostream_tpu.utils import fonts
+
+        _, cur = pair
+        atlas = fonts.make_atlas(scale=2)
+        text = "FPS: 42 BW: 123 kbps"
+        ids = fonts.encode_text(text, 24)
+        out = overlay.overlay_blit(
+            jnp.asarray(cur),
+            jnp.asarray(atlas),
+            jnp.asarray(ids, dtype=jnp.int32),
+            jnp.int32(len(text)),
+            48,
+            64,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out),
+            ref.overlay_blit(cur, atlas, fonts.encode_text(text), 48, 64),
+        )
+
+    def test_empty_text_is_identity(self, pair):
+        from cudavideostream_tpu.ops import overlay
+        from cudavideostream_tpu.utils import fonts
+
+        _, cur = pair
+        atlas = fonts.make_atlas(scale=2)
+        ids = fonts.encode_text("", 24)
+        out = overlay.overlay_blit(
+            jnp.asarray(cur),
+            jnp.asarray(atlas),
+            jnp.asarray(ids, dtype=jnp.int32),
+            jnp.int32(0),
+            48,
+            64,
+        )
+        np.testing.assert_array_equal(np.asarray(out), cur)

@@ -154,7 +154,7 @@ class TestBinarization:
 class TestHeatmap:
     def test_lut_endpoints(self):
         lut = ref.heatmap_lut()
-        assert lut.shape == (511, 3)
+        assert lut.shape == (766, 3)
         # d=0: b=sin(pi/2)=1 -> 255, g=0, r=sin(-pi/2)<0 -> 0
         assert lut[0].tolist() == [255, 0, 0]
         # d=255 (midpoint): g=sin(pi/2)=255 dominates

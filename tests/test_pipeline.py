@@ -1,0 +1,110 @@
+"""End-to-end fused-step tests: device pipeline vs the full-step oracle,
+multi-frame streaming with state carry, and client reconstruction."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from cudavideostream_tpu.config import CompactionBackend, StreamConfig, Visualizer
+from cudavideostream_tpu.models import DeltaStreamPipeline
+from cudavideostream_tpu.ops import reference_cpu as ref
+from cudavideostream_tpu.utils import fonts
+from tests.conftest import make_frame_pair
+
+
+def run_match(cfg, n_frames=3, text="FPS: 30 BW: 5 kbps", seed=0):
+    rng = np.random.default_rng(seed)
+    pipe = DeltaStreamPipeline(cfg)
+    base = rng.integers(0, 255, cfg.frame_bytes, endpoint=True, dtype=np.uint8)
+    prev_dev = pipe.init_state(base)
+    prev_ref = base.copy()
+    atlas = pipe.atlas_np
+    for t in range(n_frames):
+        _, cur = make_frame_pair(rng, cfg.frame_bytes)
+        ids = fonts.encode_text(text) if text else []
+        exp_prev, exp_pos, exp_xs, exp_vals, exp_aux = ref.step_oracle(
+            prev_ref,
+            cur,
+            cfg,
+            atlas=atlas if text else None,
+            char_ids=ids,
+            conv_weights=pipe.conv_weights,
+        )
+        prev_dev, pos, xs, vals, aux = pipe.step(prev_dev, cur, text=text)
+        pos = int(pos)
+        assert pos == exp_pos, f"frame {t}: pos {pos} != {exp_pos}"
+        np.testing.assert_array_equal(np.asarray(prev_dev), exp_prev)
+        np.testing.assert_array_equal(np.asarray(xs)[:pos], exp_xs)
+        np.testing.assert_array_equal(np.asarray(vals)[:pos], exp_vals)
+        if exp_aux is None:
+            assert aux is None
+        else:
+            np.testing.assert_array_equal(np.asarray(aux), exp_aux)
+        prev_ref = exp_prev
+    return pipe
+
+
+class TestPipelineMatchesOracle:
+    def test_default_config(self, small_config):
+        run_match(small_config)
+
+    @pytest.mark.parametrize("viz", list(Visualizer))
+    def test_all_visualizers(self, small_config, viz):
+        cfg = dataclasses.replace(small_config, visualizer=viz)
+        run_match(cfg, n_frames=2)
+
+    def test_noise_filter(self, small_config):
+        cfg = dataclasses.replace(small_config, noise_filter=True, conv_k=3)
+        run_match(cfg, n_frames=2)
+
+    def test_noise_filter_k5(self, small_config):
+        cfg = dataclasses.replace(small_config, noise_filter=True, conv_k=5)
+        run_match(cfg, n_frames=1)
+
+    @pytest.mark.parametrize("backend", list(CompactionBackend))
+    def test_compaction_backends(self, small_config, backend):
+        cfg = dataclasses.replace(small_config, compaction=backend)
+        run_match(cfg, n_frames=2)
+
+    def test_no_text(self, small_config):
+        run_match(small_config, text="")
+
+    def test_no_negative_feedback(self, small_config):
+        cfg = dataclasses.replace(small_config, negative_feedback=False)
+        run_match(cfg, n_frames=2)
+
+    def test_custom_threshold(self, small_config):
+        cfg = dataclasses.replace(small_config, threshold=5)
+        run_match(cfg, n_frames=2)
+
+
+class TestStreaming:
+    def test_client_reconstruction_over_stream(self, small_config):
+        """The whole product invariant: a client applying every payload to
+        the base frame tracks the server's state byte-exactly."""
+        rng = np.random.default_rng(9)
+        cfg = small_config
+        pipe = DeltaStreamPipeline(cfg)
+        base = rng.integers(0, 255, cfg.frame_bytes, endpoint=True, dtype=np.uint8)
+        prev = pipe.init_state(base)
+        client = base.copy()
+        for t in range(5):
+            _, cur = make_frame_pair(rng, cfg.frame_bytes)
+            prev, pos, xs, vals, _ = pipe.step(prev, cur, text=f"FPS: {t}")
+            pos = int(pos)
+            client = ref.client_apply(
+                client, np.asarray(xs)[:pos], np.asarray(vals)[:pos]
+            )
+            np.testing.assert_array_equal(client, np.asarray(prev))
+
+    def test_static_scene_ships_nothing(self, small_config):
+        rng = np.random.default_rng(3)
+        pipe = DeltaStreamPipeline(small_config)
+        base = rng.integers(0, 255, small_config.frame_bytes, endpoint=True, dtype=np.uint8)
+        prev = pipe.init_state(base)
+        prev, pos, *_ = pipe.step(prev, base, text="FPS: 1")
+        first = int(pos)  # overlay appears -> some bytes ship
+        prev, pos, *_ = pipe.step(prev, base, text="FPS: 1")
+        assert int(pos) == 0  # second identical frame+text ships nothing
+        assert first > 0
