@@ -1,0 +1,140 @@
+"""Native helper library loader (ctypes; graceful Python fallback).
+
+Build with ``python -m cudavideostream_tpu.native.build`` (done
+automatically on first load when a compiler is present).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "libcvstpu.so")
+_SRC = os.path.join(_DIR, "csrc", "cvstpu.c")
+
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def build(verbose: bool = False) -> bool:
+    """Compile the helper library; returns True on success."""
+    cmd = [
+        os.environ.get("CC", "cc"),
+        "-O3",
+        "-march=native",
+        "-shared",
+        "-fPIC",
+        _SRC,
+        "-o",
+        _SO,
+    ]
+    try:
+        res = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
+    except (OSError, subprocess.TimeoutExpired):
+        return False
+    if res.returncode != 0:
+        if verbose:
+            print(res.stderr)
+        return False
+    return True
+
+
+def load_native() -> Optional[ctypes.CDLL]:
+    """Load (building if needed); returns None when unavailable."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+        if not build():
+            return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        return None
+    c = ctypes
+    lib.wire_send_payload.argtypes = [
+        c.c_int, c.c_uint32, c.POINTER(c.c_int32), c.POINTER(c.c_uint8)
+    ]
+    lib.wire_send_payload.restype = c.c_int
+    lib.compact_bitmask.argtypes = [
+        c.POINTER(c.c_uint8), c.POINTER(c.c_uint8), c.c_int64,
+        c.POINTER(c.c_int32), c.POINTER(c.c_uint8),
+    ]
+    lib.compact_bitmask.restype = c.c_int64
+    lib.client_apply.argtypes = [
+        c.POINTER(c.c_uint8), c.POINTER(c.c_int32), c.POINTER(c.c_uint8), c.c_int64
+    ]
+    lib.client_apply.restype = None
+    lib.v4l2_open.argtypes = [c.c_char_p, c.c_int, c.c_int]
+    lib.v4l2_open.restype = c.c_int
+    lib.v4l2_grab.argtypes = [c.c_int, c.POINTER(c.c_uint8), c.c_int64]
+    lib.v4l2_grab.restype = c.c_int
+    lib.v4l2_close.argtypes = [c.c_int]
+    lib.v4l2_close.restype = None
+    _lib = lib
+    return _lib
+
+
+def compact_bitmask_np(delta, bitmask):
+    """numpy wrapper over the C packer; falls back to numpy if unbuilt."""
+    import numpy as np
+
+    delta = np.ascontiguousarray(delta, dtype=np.uint8)
+    bitmask = np.ascontiguousarray(bitmask, dtype=np.uint8)
+    lib = load_native()
+    if lib is None:
+        bits = np.unpackbits(bitmask, bitorder="little")[: delta.size].astype(bool)
+        xs = np.nonzero(bits)[0].astype(np.int32)
+        return xs, delta[bits]
+    xs = np.empty(delta.size, dtype=np.int32)
+    vals = np.empty(delta.size, dtype=np.uint8)
+    c = ctypes
+    n = lib.compact_bitmask(
+        delta.ctypes.data_as(c.POINTER(c.c_uint8)),
+        bitmask.ctypes.data_as(c.POINTER(c.c_uint8)),
+        delta.size,
+        xs.ctypes.data_as(c.POINTER(c.c_int32)),
+        vals.ctypes.data_as(c.POINTER(c.c_uint8)),
+    )
+    return xs[:n], vals[:n]
+
+
+def client_apply_np(frame, xs, vals) -> None:
+    """In-place uint8 wrap-add scatter via C (numpy fallback)."""
+    import numpy as np
+
+    lib = load_native()
+    if lib is None:
+        frame[np.asarray(xs, dtype=np.int64)] += np.asarray(vals, dtype=np.uint8)
+        return
+    c = ctypes
+    xs = np.ascontiguousarray(xs, dtype=np.int32)
+    vals = np.ascontiguousarray(vals, dtype=np.uint8)
+    lib.client_apply(
+        frame.ctypes.data_as(c.POINTER(c.c_uint8)),
+        xs.ctypes.data_as(c.POINTER(c.c_int32)),
+        vals.ctypes.data_as(c.POINTER(c.c_uint8)),
+        xs.size,
+    )
+
+
+def wire_send_payload_fd(fd: int, pos: int, xs, vals) -> int:
+    """Send a payload on a raw fd via one writev; -1 if lib missing."""
+    import numpy as np
+
+    lib = load_native()
+    if lib is None:
+        return -1
+    c = ctypes
+    xs = np.ascontiguousarray(xs, dtype=np.int32)
+    vals = np.ascontiguousarray(vals, dtype=np.uint8)
+    return lib.wire_send_payload(
+        fd,
+        pos,
+        xs.ctypes.data_as(c.POINTER(c.c_int32)),
+        vals.ctypes.data_as(c.POINTER(c.c_uint8)),
+    )

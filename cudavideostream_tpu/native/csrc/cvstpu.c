@@ -1,0 +1,229 @@
+/* Native host runtime for cudavideostream_tpu.
+ *
+ * The reference's host path is C++ (threads.cpp: pthread ring, pipes,
+ * raw sockets). The TPU rebuild keeps the device path in XLA/Pallas and
+ * provides these native helpers for the host hot path, loaded via
+ * ctypes (no pybind11 in the image):
+ *
+ *   - wire_send_payload: one writev() of [u32 pos][i32 xs][u8 vals]
+ *     (the reference does three write() calls, threads.cpp:229-231);
+ *     short-write safe.
+ *   - wire_send_segments: scatter-gather send of a *tiled* payload
+ *     (per-tile prefixes from the Pallas kernel) without host-side
+ *     re-packing: the ragged concat happens inside the kernel's iovec
+ *     list, so the device never pays for it.
+ *   - compact_bitmask: dense (delta, bitmask) -> (xs, vals) packer using
+ *     64-bit word scans + ctz; the HOST compaction backend.
+ *   - client_apply: uint8 wrap-add scatter (client/opencv.cpp:64-66).
+ *   - v4l2_*: minimal camera capture (ioctl + mmap), the OpenCV-free
+ *     equivalent of tests/cuda_streaming/v4l.cpp.
+ *
+ * Build: cc -O3 -march=native -shared -fPIC cvstpu.c -o libcvstpu.so
+ */
+
+#define _GNU_SOURCE
+#include <errno.h>
+#include <fcntl.h>
+#include <linux/videodev2.h>
+#include <stdint.h>
+#include <string.h>
+#include <sys/ioctl.h>
+#include <sys/mman.h>
+#include <sys/socket.h>
+#include <sys/uio.h>
+#include <unistd.h>
+
+/* ------------------------------------------------------------------ */
+/* wire                                                               */
+/* ------------------------------------------------------------------ */
+
+static int send_iovs(int fd, struct iovec *iov, int iovcnt) {
+    while (iovcnt > 0) {
+        ssize_t n = writev(fd, iov, iovcnt > 1024 ? 1024 : iovcnt);
+        if (n < 0) {
+            if (errno == EINTR) continue;
+            return -errno;
+        }
+        while (iovcnt > 0 && (size_t)n >= iov->iov_len) {
+            n -= iov->iov_len;
+            ++iov;
+            --iovcnt;
+        }
+        if (iovcnt > 0 && n > 0) {
+            iov->iov_base = (char *)iov->iov_base + n;
+            iov->iov_len -= n;
+        }
+    }
+    return 0;
+}
+
+/* [u32 pos][i32 xs[pos]][u8 vals[pos]] in one gather write. */
+int wire_send_payload(int fd, uint32_t pos, const int32_t *xs,
+                      const uint8_t *vals) {
+    struct iovec iov[3];
+    iov[0].iov_base = &pos;
+    iov[0].iov_len = sizeof pos;
+    iov[1].iov_base = (void *)xs;
+    iov[1].iov_len = (size_t)pos * sizeof *xs;
+    iov[2].iov_base = (void *)vals;
+    iov[2].iov_len = pos;
+    return send_iovs(fd, iov, pos ? 3 : 1);
+}
+
+/* Tiled payload: n_tiles segments; tile t holds counts[t] valid entries
+ * at xs + t*tile_cap / vals + t*tile_cap. Sends header, all xs prefixes,
+ * then all vals prefixes — wire-identical to a flat payload. iov is a
+ * caller-provided scratch of at least 2*n_tiles+1 entries. */
+int wire_send_segments(int fd, uint32_t pos, const int32_t *xs,
+                       const uint8_t *vals, const int32_t *counts,
+                       int n_tiles, int tile_cap, struct iovec *iov) {
+    int k = 0;
+    iov[k].iov_base = &pos;
+    iov[k].iov_len = sizeof pos;
+    ++k;
+    for (int t = 0; t < n_tiles; ++t) {
+        if (counts[t] <= 0) continue;
+        iov[k].iov_base = (void *)(xs + (size_t)t * tile_cap);
+        iov[k].iov_len = (size_t)counts[t] * sizeof *xs;
+        ++k;
+    }
+    for (int t = 0; t < n_tiles; ++t) {
+        if (counts[t] <= 0) continue;
+        iov[k].iov_base = (void *)(vals + (size_t)t * tile_cap);
+        iov[k].iov_len = (size_t)counts[t];
+        ++k;
+    }
+    return send_iovs(fd, iov, k);
+}
+
+/* ------------------------------------------------------------------ */
+/* host compaction + client scatter                                   */
+/* ------------------------------------------------------------------ */
+
+/* bitmask: n/8 bytes, bit i of byte i/8 = "byte i changed" (LSB first).
+ * Returns the number of entries written. */
+int64_t compact_bitmask(const uint8_t *delta, const uint8_t *bitmask,
+                        int64_t n, int32_t *xs_out, uint8_t *vals_out) {
+    int64_t out = 0;
+    int64_t words = n / 64;
+    const uint64_t *bm = (const uint64_t *)bitmask;
+    for (int64_t w = 0; w < words; ++w) {
+        uint64_t m = bm[w];
+        int64_t base = w * 64;
+        while (m) {
+            int b = __builtin_ctzll(m);
+            int64_t i = base + b;
+            xs_out[out] = (int32_t)i;
+            vals_out[out] = delta[i];
+            ++out;
+            m &= m - 1;
+        }
+    }
+    for (int64_t i = words * 64; i < n; ++i) {
+        if (bitmask[i / 8] >> (i % 8) & 1) {
+            xs_out[out] = (int32_t)i;
+            vals_out[out] = delta[i];
+            ++out;
+        }
+    }
+    return out;
+}
+
+/* frame[xs[i]] += vals[i] (uint8 wraparound). */
+void client_apply(uint8_t *frame, const int32_t *xs, const uint8_t *vals,
+                  int64_t pos) {
+    for (int64_t i = 0; i < pos; ++i) frame[xs[i]] = (uint8_t)(frame[xs[i]] + vals[i]);
+}
+
+/* ------------------------------------------------------------------ */
+/* v4l2 capture (single handle, mmap streaming)                       */
+/* ------------------------------------------------------------------ */
+
+#define V4L2_NBUF 4
+static struct {
+    int fd;
+    void *buf[V4L2_NBUF];
+    size_t len[V4L2_NBUF];
+    int w, h;
+} g_cam = {.fd = -1};
+
+int v4l2_open(const char *dev, int width, int height) {
+    if (g_cam.fd >= 0) return -1;
+    int fd = open(dev, O_RDWR);
+    if (fd < 0) return -errno;
+
+    struct v4l2_format fmt;
+    memset(&fmt, 0, sizeof fmt);
+    fmt.type = V4L2_BUF_TYPE_VIDEO_CAPTURE;
+    fmt.fmt.pix.width = width;
+    fmt.fmt.pix.height = height;
+    fmt.fmt.pix.pixelformat = V4L2_PIX_FMT_BGR24;
+    fmt.fmt.pix.field = V4L2_FIELD_NONE;
+    if (ioctl(fd, VIDIOC_S_FMT, &fmt) < 0) {
+        close(fd);
+        return -errno;
+    }
+
+    struct v4l2_requestbuffers req;
+    memset(&req, 0, sizeof req);
+    req.count = V4L2_NBUF;
+    req.type = V4L2_BUF_TYPE_VIDEO_CAPTURE;
+    req.memory = V4L2_MEMORY_MMAP;
+    if (ioctl(fd, VIDIOC_REQBUFS, &req) < 0) {
+        close(fd);
+        return -errno;
+    }
+    for (unsigned i = 0; i < req.count && i < V4L2_NBUF; ++i) {
+        struct v4l2_buffer b;
+        memset(&b, 0, sizeof b);
+        b.type = V4L2_BUF_TYPE_VIDEO_CAPTURE;
+        b.memory = V4L2_MEMORY_MMAP;
+        b.index = i;
+        if (ioctl(fd, VIDIOC_QUERYBUF, &b) < 0) {
+            close(fd);
+            return -errno;
+        }
+        g_cam.buf[i] =
+            mmap(NULL, b.length, PROT_READ | PROT_WRITE, MAP_SHARED, fd, b.m.offset);
+        g_cam.len[i] = b.length;
+        if (ioctl(fd, VIDIOC_QBUF, &b) < 0) {
+            close(fd);
+            return -errno;
+        }
+    }
+    enum v4l2_buf_type type = V4L2_BUF_TYPE_VIDEO_CAPTURE;
+    if (ioctl(fd, VIDIOC_STREAMON, &type) < 0) {
+        close(fd);
+        return -errno;
+    }
+    g_cam.fd = fd;
+    g_cam.w = width;
+    g_cam.h = height;
+    return 0;
+}
+
+int v4l2_grab(int handle, uint8_t *out, int64_t out_len) {
+    (void)handle;
+    if (g_cam.fd < 0) return -1;
+    struct v4l2_buffer b;
+    memset(&b, 0, sizeof b);
+    b.type = V4L2_BUF_TYPE_VIDEO_CAPTURE;
+    b.memory = V4L2_MEMORY_MMAP;
+    if (ioctl(g_cam.fd, VIDIOC_DQBUF, &b) < 0) return -errno;
+    size_t n = b.bytesused < (size_t)out_len ? b.bytesused : (size_t)out_len;
+    memcpy(out, g_cam.buf[b.index], n);
+    if (ioctl(g_cam.fd, VIDIOC_QBUF, &b) < 0) return -errno;
+    return 0;
+}
+
+void v4l2_close(int handle) {
+    (void)handle;
+    if (g_cam.fd < 0) return;
+    enum v4l2_buf_type type = V4L2_BUF_TYPE_VIDEO_CAPTURE;
+    ioctl(g_cam.fd, VIDIOC_STREAMOFF, &type);
+    for (int i = 0; i < V4L2_NBUF; ++i)
+        if (g_cam.buf[i]) munmap(g_cam.buf[i], g_cam.len[i]);
+    close(g_cam.fd);
+    memset(&g_cam, 0, sizeof g_cam);
+    g_cam.fd = -1;
+}

@@ -1,0 +1,157 @@
+"""The streaming TCP server — the product's main entry point.
+
+Wire-compatible rebuild of the reference server loop (``server.cpp:38-175``
++ ``th_show_hdl``, ``threads.cpp:181-237``): listen on one socket, accept
+one client, ship the raw base frame, then per frame ship
+``[u32 pos][i32 xs[pos]][u8 vals[pos]]`` — the reference OpenCV client
+decodes this stream unmodified.
+
+Differences by design:
+
+* runtime config instead of recompiling ``common.h`` (resolution,
+  threshold, filters, port are CLI flags);
+* SIGPIPE doesn't kill the process (the reference exits on client
+  disconnect, ``server.cpp:16-18``): the server closes the connection and
+  accepts the next client, re-sending a fresh base frame;
+* the 1 Hz status line is printed *and* rendered into the stream via the
+  glyph overlay, matching ``server.cpp:164-168``.
+
+Run:  ``python -m cudavideostream_tpu.runtime.server --source synthetic``
+"""
+
+from __future__ import annotations
+
+import argparse
+import socket
+import sys
+import time
+
+import numpy as np
+
+from cudavideostream_tpu import native
+from cudavideostream_tpu.config import CompactionBackend, StreamConfig, Visualizer
+from cudavideostream_tpu.runtime import wire
+from cudavideostream_tpu.runtime.executor import StreamExecutor
+from cudavideostream_tpu.runtime.sources import FrameSource, make_source
+
+
+class DeltaStreamServer:
+    def __init__(self, config: StreamConfig, source: FrameSource,
+                 executor: StreamExecutor | None = None, verbose: bool = True,
+                 overlay_status: bool = True):
+        self.cfg = config
+        self.source = source
+        self.executor = executor or StreamExecutor(config)
+        self.verbose = verbose
+        # render the 1 Hz status into the video (server.cpp:166-168);
+        # off => deterministic streams for tests
+        self.overlay_status = overlay_status
+        self._sock: socket.socket | None = None
+
+    def listen(self) -> socket.socket:
+        srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        srv.bind((self.cfg.host, self.cfg.port))
+        srv.listen(10)
+        self._sock = srv
+        if self.verbose:
+            print(f"listening on {self.cfg.host}:{self.cfg.port}", flush=True)
+        return srv
+
+    @property
+    def port(self) -> int:
+        return self._sock.getsockname()[1]
+
+    def serve(self, max_frames: int | None = None, max_clients: int | None = 1) -> int:
+        """Accept clients sequentially; returns frames served in total."""
+        if self._sock is None:
+            self.listen()
+        served = 0
+        clients = 0
+        while max_clients is None or clients < max_clients:
+            conn, addr = self._sock.accept()
+            clients += 1
+            if self.verbose:
+                print(f"client {addr} connected", flush=True)
+            try:
+                served += self._stream_to(conn, max_frames)
+            except (BrokenPipeError, ConnectionResetError):
+                if self.verbose:
+                    print("client disconnected", flush=True)
+            finally:
+                conn.close()
+        return served
+
+    def _stream_to(self, conn: socket.socket, max_frames: int | None) -> int:
+        conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        base = self.executor.start(self.source.base_frame())
+        conn.sendall(base.tobytes())
+        text = ""
+        n = 0
+        while max_frames is None or n < max_frames:
+            t0 = time.perf_counter()
+            try:
+                frame = next(self.source)
+            except StopIteration:
+                break
+            read_s = time.perf_counter() - t0
+            pos, xs, vals, aux = self.executor.process(frame, text=text)
+            rc = native.wire_send_payload_fd(conn.fileno(), pos, xs, vals)
+            if rc == -1:  # native helper unavailable: pure-python path
+                conn.sendall(wire.pack_payload(pos, xs, vals))
+            elif rc < 0:
+                raise BrokenPipeError(f"writev failed: {rc}")
+            n += 1
+            line = self.executor.metrics.status_line(read_s)
+            if line:
+                if self.overlay_status:
+                    text = self.executor.metrics.overlay_text()
+                if self.verbose:
+                    print("\r" + line, end="", flush=True)
+        if self.verbose:
+            print()
+        return n
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description="TPU delta-stream server")
+    p.add_argument("--source", default="synthetic",
+                   choices=["synthetic", "file", "v4l2"])
+    p.add_argument("--path", help="file source path / camera device")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=2734)
+    p.add_argument("--height", type=int, default=1080)
+    p.add_argument("--width", type=int, default=1920)
+    p.add_argument("--threshold", type=int, default=20)
+    p.add_argument("--visualizer", type=int, default=0,
+                   help="0 none, 1 heatmap, 2 red-black, 3 red-overlap, "
+                        "4 grayscale, 5 binarize")
+    p.add_argument("--noise-filter", action="store_true")
+    p.add_argument("--conv-k", type=int, default=3)
+    p.add_argument("--compaction", default="pallas",
+                   choices=[b.value for b in CompactionBackend])
+    p.add_argument("--frames", type=int, default=None,
+                   help="stop after N frames (default: run forever)")
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    cfg = StreamConfig(
+        height=args.height,
+        width=args.width,
+        threshold=args.threshold,
+        visualizer=Visualizer(args.visualizer),
+        noise_filter=args.noise_filter,
+        conv_k=args.conv_k,
+        compaction=CompactionBackend(args.compaction),
+        host=args.host,
+        port=args.port,
+    )
+    source = make_source(args.source, cfg, path=args.path, seed=args.seed)
+    server = DeltaStreamServer(cfg, source)
+    served = server.serve(max_frames=args.frames)
+    print(f"served {served} frames", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,198 @@
+"""Frame sources: where frames come from.
+
+The reference captures via OpenCV/V4L2 on a dedicated pthread feeding a
+pipe-based ring (``threads.cpp:166-179``); capture dominates its wall
+clock (~30-40 ms/frame, report.tex:782). Here a source is a simple
+iterator protocol the executor pulls from; capture parallelism comes from
+the executor's double-buffering rather than pipes.
+
+Sources:
+
+* :class:`SyntheticSource` — procedural 1080p scene (sensor noise +
+  moving bright square), the benchmark-time stand-in the survey calls for
+  (SURVEY.md §6: the rebuild must fix the capture bottleneck with a
+  synthetic/file source).
+* :class:`FileSource` — a ``.npy`` stack or raw BGR24 file, the analogue
+  of the reference's file-based socket tests
+  (``tests/test_socket_opencv_webcam/image_reader.cpp:63``).
+* :class:`V4L2Source` — real camera via the native helper library
+  (ioctl/mmap, like ``tests/cuda_streaming/v4l.cpp``); gated on the
+  device and the built helper existing.
+* :func:`device_synthetic_frames` — frames generated *on device* for
+  transfer-free benchmarking.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator, Optional
+
+import numpy as np
+
+from cudavideostream_tpu.config import StreamConfig
+
+
+class FrameSource:
+    """Iterator protocol: ``__next__`` returns a flat uint8 frame."""
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        return self
+
+    def __next__(self) -> np.ndarray:  # pragma: no cover - interface
+        raise NotImplementedError
+
+    def base_frame(self) -> np.ndarray:
+        """First frame, used for the base-frame handshake."""
+        return next(self)
+
+
+class SyntheticSource(FrameSource):
+    """Procedural scene: static textured background + per-frame sensor
+    noise below the diff threshold + a moving bright rectangle above it.
+
+    Calibrated so the changed-byte rate is in the ballpark of the
+    reference's measured 5.93% (report.tex:2594).
+    """
+
+    def __init__(self, config: StreamConfig, seed: int = 0, noise: int = 10,
+                 object_size: int = 200, speed: int = 12):
+        self.cfg = config
+        self.rng = np.random.default_rng(seed)
+        self.noise = noise
+        self.object_size = object_size
+        self.speed = speed
+        self.t = 0
+        self.background = self.rng.integers(
+            0, 255, config.frame_bytes, endpoint=True, dtype=np.uint8
+        )
+
+    def __next__(self) -> np.ndarray:
+        cfg = self.cfg
+        img = self.background.reshape(cfg.height, cfg.width, 3).astype(np.int16)
+        if self.noise:
+            img = img + self.rng.integers(
+                -self.noise, self.noise, img.shape, endpoint=True, dtype=np.int16
+            )
+        s = max(1, min(self.object_size, cfg.height // 2, cfg.width // 2))
+        y = (self.t * self.speed) % max(1, cfg.height - s)
+        x = (self.t * self.speed * 2) % max(1, cfg.width - s)
+        img[y : y + s, x : x + s] = 255
+        self.t += 1
+        return np.clip(img, 0, 255).astype(np.uint8).ravel()
+
+
+class FileSource(FrameSource):
+    """Frames from a ``.npy`` array of shape (n, H*W*3) or (n, H, W, 3),
+    or a raw concatenated-BGR24 file; loops when exhausted."""
+
+    def __init__(self, path: str, config: StreamConfig, loop: bool = True):
+        self.cfg = config
+        self.loop = loop
+        if path.endswith(".npy"):
+            arr = np.load(path)
+            self.frames = arr.reshape(arr.shape[0], -1).astype(np.uint8)
+        else:
+            raw = np.fromfile(path, dtype=np.uint8)
+            n = raw.size // config.frame_bytes
+            if n == 0:
+                raise ValueError(f"{path}: smaller than one frame")
+            self.frames = raw[: n * config.frame_bytes].reshape(n, -1)
+        if self.frames.shape[1] != config.frame_bytes:
+            raise ValueError(
+                f"{path}: frame size {self.frames.shape[1]} != {config.frame_bytes}"
+            )
+        self.i = 0
+
+    def __next__(self) -> np.ndarray:
+        if self.i >= len(self.frames):
+            if not self.loop:
+                raise StopIteration
+            self.i = 0
+        f = self.frames[self.i]
+        self.i += 1
+        return f
+
+
+class V4L2Source(FrameSource):
+    """Camera capture through the native helper (see native/csrc/v4l2.c).
+
+    Raises ``RuntimeError`` when the device or the helper is unavailable —
+    callers fall back to Synthetic/File sources.
+    """
+
+    def __init__(self, config: StreamConfig, device: str = "/dev/video0"):
+        self.cfg = config
+        if not os.path.exists(device):
+            raise RuntimeError(f"camera device {device} not present")
+        from cudavideostream_tpu.native import load_native
+
+        lib = load_native()
+        if lib is None or not hasattr(lib, "v4l2_open"):
+            raise RuntimeError("native v4l2 helper not built")
+        self._lib = lib
+        self._handle = lib.v4l2_open(
+            device.encode(), config.width, config.height
+        )
+        if self._handle < 0:
+            raise RuntimeError(f"v4l2_open({device}) failed: {self._handle}")
+        self._buf = np.empty(config.frame_bytes, dtype=np.uint8)
+
+    def __next__(self) -> np.ndarray:
+        import ctypes
+
+        rc = self._lib.v4l2_grab(
+            self._handle,
+            self._buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            self._buf.size,
+        )
+        if rc != 0:
+            raise RuntimeError(f"v4l2_grab failed: {rc}")
+        return self._buf.copy()
+
+    def close(self) -> None:
+        self._lib.v4l2_close(self._handle)
+
+
+def make_source(kind: str, config: StreamConfig, path: Optional[str] = None,
+                seed: int = 0) -> FrameSource:
+    if kind == "synthetic":
+        return SyntheticSource(config, seed=seed)
+    if kind == "file":
+        if not path:
+            raise ValueError("file source needs --path")
+        return FileSource(path, config)
+    if kind == "v4l2":
+        return V4L2Source(config, device=path or "/dev/video0")
+    raise ValueError(f"unknown source kind {kind!r}")
+
+
+def device_synthetic_frames(config: StreamConfig, seed: int = 0):
+    """On-device procedural frame generator for transfer-free benchmarks.
+
+    Returns ``(init_frame, next_frame)`` where ``next_frame(key, t)`` is
+    jittable and produces the frame for timestep ``t`` entirely in HBM.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    cfg = config
+    h, w = cfg.height, cfg.width
+    key = jax.random.PRNGKey(seed)
+    background = jax.random.randint(
+        key, (h, w, 3), 0, 256, dtype=jnp.int32
+    )
+
+    def next_frame(key, t):
+        nz = jax.random.randint(key, (h, w, 3), -10, 11, dtype=jnp.int32)
+        img = background + nz
+        s = max(1, min(200, h // 2, w // 2))
+        y = (t * 12) % (h - s)
+        x = (t * 24) % (w - s)
+        ys = jax.lax.broadcasted_iota(jnp.int32, (h, w, 3), 0)
+        xs = jax.lax.broadcasted_iota(jnp.int32, (h, w, 3), 1)
+        inbox = (ys >= y) & (ys < y + s) & (xs >= x) & (xs < x + s)
+        img = jnp.where(inbox, 255, img)
+        return jnp.clip(img, 0, 255).astype(jnp.uint8).reshape(-1)
+
+    init = jnp.clip(background, 0, 255).astype(jnp.uint8).reshape(-1)
+    return init, next_frame

@@ -1,0 +1,91 @@
+"""Native helper library tests (build + byte-exactness vs oracle).
+
+Skipped when no C compiler is available; the Python fallbacks are
+exercised either way via the _np wrappers.
+"""
+
+import socket
+import threading
+
+import numpy as np
+import pytest
+
+from cudavideostream_tpu import native
+from cudavideostream_tpu.ops import reference_cpu as ref
+from cudavideostream_tpu.runtime import wire
+
+
+@pytest.fixture(scope="module")
+def lib():
+    lib = native.load_native()
+    if lib is None:
+        pytest.skip("no C toolchain / build failed")
+    return lib
+
+
+def test_build_succeeds(lib):
+    assert lib is not None
+
+
+def test_compact_bitmask_matches_oracle(lib, rng):
+    n = 6144
+    prev = rng.integers(0, 255, n, endpoint=True, dtype=np.uint8)
+    cur = np.where(
+        rng.random(n) < 0.1, (prev.astype(np.int32) + 99) % 256, prev
+    ).astype(np.uint8)
+    pos_r, xs_r, vals_r, _ = ref.diff_encode(cur, prev)
+    df = (cur.astype(np.int32) - prev.astype(np.int32))
+    mask = np.abs(df) > 20
+    delta = df.astype(np.uint8)
+    bitmask = np.packbits(mask, bitorder="little")
+    xs, vals = native.compact_bitmask_np(delta, bitmask)
+    assert xs.size == pos_r
+    np.testing.assert_array_equal(xs, xs_r)
+    np.testing.assert_array_equal(vals, vals_r)
+
+
+def test_compact_bitmask_tail_handling(lib):
+    # n not a multiple of 64 exercises the scalar tail loop
+    n = 100
+    delta = np.arange(n, dtype=np.uint8)
+    mask = np.zeros(n, dtype=bool)
+    mask[[0, 63, 64, 65, 99]] = True
+    xs, vals = native.compact_bitmask_np(delta, np.packbits(mask, bitorder="little"))
+    assert xs.tolist() == [0, 63, 64, 65, 99]
+    assert vals.tolist() == [0, 63, 64, 65, 99]
+
+
+def test_client_apply_matches_oracle(lib, rng):
+    n = 2048
+    frame = rng.integers(0, 255, n, endpoint=True, dtype=np.uint8)
+    xs = np.sort(rng.choice(n, 100, replace=False)).astype(np.int32)
+    vals = rng.integers(0, 255, 100, endpoint=True, dtype=np.uint8)
+    expect = ref.client_apply(frame, xs, vals)
+    got = frame.copy()
+    native.client_apply_np(got, xs, vals)
+    np.testing.assert_array_equal(got, expect)
+
+
+def test_wire_send_payload_over_socket(lib, rng):
+    pos = 1000
+    xs = np.sort(rng.choice(100000, pos, replace=False)).astype(np.int32)
+    vals = rng.integers(0, 255, pos, endpoint=True, dtype=np.uint8)
+    a, b = socket.socketpair()
+    received = bytearray()
+
+    def reader():
+        want = 4 + pos * 5
+        while len(received) < want:
+            received.extend(b.recv(65536))
+
+    t = threading.Thread(target=reader)
+    t.start()
+    rc = native.wire_send_payload_fd(a.fileno(), pos, xs, vals)
+    t.join(timeout=10)
+    a.close()
+    b.close()
+    assert rc == 0
+    p2, xs2, vals2, _ = wire.unpack_payload(bytes(received))
+    assert p2 == pos
+    np.testing.assert_array_equal(xs2, xs)
+    np.testing.assert_array_equal(vals2, vals)

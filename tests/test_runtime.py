@@ -1,0 +1,164 @@
+"""Host runtime tests: sources, tiered fetch, and the full TCP loopback —
+the rebuild's version of the reference's two-process localhost validation
+(server + client over 127.0.0.1, threads.cpp:187 / client/opencv.cpp:23)."""
+
+import threading
+
+import numpy as np
+import pytest
+
+from cudavideostream_tpu.config import StreamConfig
+from cudavideostream_tpu.ops import reference_cpu as ref
+from cudavideostream_tpu.runtime.client import DeltaStreamClient
+from cudavideostream_tpu.runtime.executor import StreamExecutor, TieredFetcher
+from cudavideostream_tpu.runtime.server import DeltaStreamServer
+from cudavideostream_tpu.runtime.sources import (
+    FileSource,
+    SyntheticSource,
+    make_source,
+)
+
+
+class TestSources:
+    def test_synthetic_deterministic(self, small_config):
+        a = SyntheticSource(small_config, seed=7)
+        b = SyntheticSource(small_config, seed=7)
+        for _ in range(3):
+            np.testing.assert_array_equal(next(a), next(b))
+
+    def test_synthetic_changes_over_time(self, small_config):
+        s = SyntheticSource(small_config, seed=1)
+        f1, f2 = next(s), next(s)
+        assert (f1 != f2).any()
+        assert f1.shape == (small_config.frame_bytes,)
+
+    def test_file_source_npy(self, tmp_path, rng, small_config):
+        frames = rng.integers(
+            0, 255, (4, small_config.frame_bytes), endpoint=True, dtype=np.uint8
+        )
+        path = tmp_path / "clip.npy"
+        np.save(path, frames)
+        src = FileSource(str(path), small_config)
+        for i in range(6):  # loops past the end
+            np.testing.assert_array_equal(next(src), frames[i % 4])
+
+    def test_file_source_raw(self, tmp_path, rng, small_config):
+        frames = rng.integers(
+            0, 255, (2, small_config.frame_bytes), endpoint=True, dtype=np.uint8
+        )
+        path = tmp_path / "clip.bgr"
+        frames.tofile(path)
+        src = FileSource(str(path), small_config)
+        np.testing.assert_array_equal(next(src), frames[0])
+
+    def test_file_source_size_mismatch(self, tmp_path, rng, small_config):
+        np.save(tmp_path / "bad.npy", rng.integers(0, 255, (2, 100), dtype=np.int64))
+        with pytest.raises(ValueError):
+            FileSource(str(tmp_path / "bad.npy"), small_config)
+
+    def test_make_source_unknown(self, small_config):
+        with pytest.raises(ValueError):
+            make_source("webcam9000", small_config)
+
+    def test_device_synthetic(self, small_config):
+        import jax
+
+        from cudavideostream_tpu.runtime.sources import device_synthetic_frames
+
+        init, next_frame = device_synthetic_frames(small_config)
+        f = next_frame(jax.random.PRNGKey(1), 3)
+        assert f.shape == (small_config.frame_bytes,)
+        assert f.dtype == np.uint8
+
+
+class TestTieredFetcher:
+    def test_tiers_cover_capacity(self):
+        import jax.numpy as jnp
+
+        f = TieredFetcher(100_000, min_tier=1024)
+        arr = jnp.arange(100_000, dtype=jnp.int32)
+        for pos in (0, 1, 1023, 1024, 5000, 99_999, 100_000):
+            out = f.fetch(arr, pos)
+            assert out.shape == (pos,)
+            np.testing.assert_array_equal(out, np.arange(pos))
+
+
+class TestLoopback:
+    def test_server_client_byte_exact(self, small_config):
+        """End to end over a real socket: client reconstruction must equal
+        an oracle replay of the same source, frame for frame."""
+        import dataclasses
+
+        cfg = dataclasses.replace(small_config, port=0)
+        n_frames = 4
+        server = DeltaStreamServer(
+            cfg,
+            SyntheticSource(cfg, seed=3),
+            verbose=False,
+            overlay_status=False,
+        )
+        server.listen()
+        port = server.port
+        t = threading.Thread(
+            target=server.serve, kwargs={"max_frames": n_frames}, daemon=True
+        )
+        t.start()
+
+        cli = DeltaStreamClient("127.0.0.1", port, cfg.height, cfg.width)
+        cli.connect()
+
+        # oracle replay of the same deterministic source
+        replay = SyntheticSource(cfg, seed=3)
+        prev = next(replay).copy()
+        np.testing.assert_array_equal(cli.frame, prev)
+        positions = []
+        for _ in range(n_frames):
+            frame = next(replay)
+            prev, _, _, _, _ = ref.step_oracle(prev, frame, cfg)
+            pos, recon = cli.read_frame()
+            positions.append(pos)
+            np.testing.assert_array_equal(recon, prev)
+        cli.close()
+        t.join(timeout=30)
+        assert positions[0] > 0
+
+    def test_reconnect_gets_fresh_base(self, small_config):
+        import dataclasses
+
+        cfg = dataclasses.replace(small_config, port=0)
+        server = DeltaStreamServer(
+            cfg,
+            SyntheticSource(cfg, seed=5),
+            verbose=False,
+            overlay_status=False,
+        )
+        server.listen()
+        port = server.port
+        t = threading.Thread(
+            target=server.serve,
+            kwargs={"max_frames": 2, "max_clients": 2},
+            daemon=True,
+        )
+        t.start()
+        for _ in range(2):
+            cli = DeltaStreamClient("127.0.0.1", port, cfg.height, cfg.width)
+            cli.connect()
+            for _ in range(2):
+                cli.read_frame()
+            cli.close()
+        t.join(timeout=30)
+
+
+class TestExecutor:
+    def test_process_matches_oracle(self, small_config, rng):
+        ex = StreamExecutor(small_config)
+        base = rng.integers(0, 255, small_config.frame_bytes, endpoint=True, dtype=np.uint8)
+        ex.start(base)
+        frame = rng.integers(0, 255, small_config.frame_bytes, endpoint=True, dtype=np.uint8)
+        pos, xs, vals, aux = ex.process(frame)
+        pr, xr, vr, _ = ref.diff_encode(frame, base)
+        assert pos == pr
+        np.testing.assert_array_equal(xs, xr)
+        np.testing.assert_array_equal(vals, vr)
+        assert aux is None
+        assert ex.metrics.total_frames == 1
