@@ -1,0 +1,223 @@
+"""The multi-chip pipeline: the full per-frame step as manual SPMD.
+
+Sharding layout (the "pick a mesh, annotate shardings, let collectives
+ride ICI" recipe):
+
+* ``data`` axis — independent video streams (batch dim B);
+* ``space`` axis — frame rows, contiguous blocks per shard (the chip-level
+  analogue of the reference's per-thread contiguous chunks,
+  ``kernels.cu:404-408``).
+
+Collectives used, all inside one ``shard_map``:
+
+* ``ppermute``   — conv halo rows between row-neighbor shards;
+* ``psum``       — global histogram for the binarization threshold, the
+  global changed-byte count, and the ragged payload concat (disjoint
+  scattered blocks summed into one buffer — zero padding is the
+  identity, so overlap regions compose exactly);
+* ``all_gather`` — per-shard payload counts -> global offsets.
+
+Outputs: the new previous-frame state stays sharded in place
+(``P("data", "space")``); the wire payload is replicated so any host can
+ship it.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from cudavideostream_tpu.config import StreamConfig, Visualizer
+from cudavideostream_tpu.ops import compact as compact_ops
+from cudavideostream_tpu.ops import diff as diff_ops
+from cudavideostream_tpu.ops import filters as filter_ops
+from cudavideostream_tpu.ops import reference_cpu
+from cudavideostream_tpu.parallel.halo_conv import sharded_convolve_q16
+from cudavideostream_tpu.utils import fonts
+
+MAX_OVERLAY_CHARS = 28
+
+
+class ShardedDeltaPipeline:
+    """Configured sharded pipeline over a ``(data, space)`` mesh.
+
+    Frames are ``(B, frame_bytes)`` uint8 with B divisible by the data
+    axis and image rows divisible by the space axis.
+    """
+
+    def __init__(self, config: StreamConfig, mesh: Mesh,
+                 conv_weights: Optional[np.ndarray] = None):
+        self.cfg = config
+        self.mesh = mesh
+        self.n_space = mesh.shape["space"]
+        self.n_data = mesh.shape["data"]
+        if config.height % self.n_space:
+            raise ValueError(
+                f"height {config.height} not divisible by space={self.n_space}"
+            )
+        self.local_rows = config.height // self.n_space
+        self.local_bytes = config.frame_bytes // self.n_space
+        if conv_weights is None:
+            conv_weights = reference_cpu.gaussian_kernel(config.conv_k)
+        self.conv_q16 = reference_cpu.quantize_kernel_q16(conv_weights)
+        self.atlas_np = fonts.make_atlas(config.overlay_scale)
+        self.atlas = jnp.asarray(self.atlas_np)
+        # payload capacity rounded so every shard block fits at any offset
+        self.capacity = config.frame_bytes
+
+        self._sharding_state = NamedSharding(mesh, P("data", "space"))
+        self._sharding_rep = NamedSharding(mesh, P("data"))
+        self._step = jax.jit(
+            jax.shard_map(
+                self._body,
+                mesh=mesh,
+                in_specs=(
+                    P("data", "space"),  # prev
+                    P("data", "space"),  # frame
+                    P(),                 # char_ids
+                    P(),                 # n_chars
+                ),
+                out_specs=(
+                    P("data", "space"),  # new_prev
+                    P("data"),           # pos
+                    P("data"),           # xs
+                    P("data"),           # vals
+                    P("data", "space"),  # aux (zeros when disabled)
+                ),
+                check_vma=False,
+            ),
+            donate_argnums=(0,),
+        )
+
+    # -- local shard body (runs per device) --------------------------------
+    def _body(self, prev, frame, char_ids, n_chars):
+        cfg = self.cfg
+        sidx = jax.lax.axis_index("space")
+        Bl = prev.shape[0]
+        Ln = self.local_bytes
+        Lr = self.local_rows
+        W = cfg.width
+
+        cur = frame
+        if cfg.noise_filter:
+            conv = functools.partial(
+                sharded_convolve_q16,
+                weights_q16=self.conv_q16,
+                local_rows=Lr,
+                width=W,
+                axis_name="space",
+            )
+            cur = jax.vmap(conv)(cur)
+
+        # overlay lands in the top image rows; the glyph band may span
+        # multiple row-shards, so each shard blits its intersection
+        cur = self._overlay_local(cur, char_ids, n_chars, sidx)
+
+        aux = jnp.zeros((Bl, Ln), jnp.uint8)
+        if cfg.visualizer == Visualizer.HEATMAP:
+            aux = jax.vmap(filter_ops.heatmap)(cur, prev)
+        elif cfg.visualizer == Visualizer.GRAYSCALE:
+            aux = jax.vmap(filter_ops.grayscale_weighted)(cur)
+        elif cfg.visualizer == Visualizer.BINARIZE:
+            gray = jax.vmap(filter_ops.grayscale_weighted)(cur)
+            hist = jax.vmap(filter_ops.gray_histogram)(gray)
+            hist = jax.lax.psum(hist, "space")  # global histogram
+            thr = jax.vmap(filter_ops.binarize_threshold)(hist)
+            aux = jax.vmap(filter_ops.binarize)(gray, thr)
+
+        mask, vals_dense, new_prev = jax.vmap(
+            lambda c, p: diff_ops.diff_mask(c, p, cfg.threshold, cfg.negative_feedback)
+        )(cur, prev)
+
+        if cfg.visualizer == Visualizer.RED_BLACK:
+            aux = jax.vmap(filter_ops.red_black)(mask)
+        elif cfg.visualizer == Visualizer.RED_OVERLAP:
+            aux = jax.vmap(filter_ops.red_overlap)(prev, mask)
+
+        # local deterministic compaction (ascending local index)
+        lpos, lxs, lvals = jax.vmap(
+            lambda m, v: compact_ops.compact_sort(m, v, Ln)
+        )(mask, vals_dense)
+        # globalize indices (padding stays zero)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (Bl, Ln), 1)
+        valid = lane < lpos[:, None]
+        gxs = jnp.where(valid, lxs + sidx * Ln, 0)
+        gvals = jnp.where(valid, lvals.astype(jnp.int32), 0)
+
+        # ragged concat across shards: all_gather counts -> offsets,
+        # scatter local block at my offset, psum the disjoint blocks
+        counts = jax.lax.all_gather(lpos, "space", axis=1)  # (Bl, n_space)
+        before = jnp.sum(jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, counts.shape, 1) < sidx,
+            counts, 0), axis=1)  # (Bl,)
+        pos = jnp.sum(counts, axis=1)  # (Bl,) global count
+
+        pad_cap = self.capacity + Ln
+        out_xs = jnp.zeros((Bl, pad_cap), jnp.int32)
+        out_vals = jnp.zeros((Bl, pad_cap), jnp.int32)
+
+        def place(out, block, off):
+            return jax.vmap(
+                lambda o, b, s: jax.lax.dynamic_update_slice(o, b, (s,))
+            )(out, block, off)
+
+        out_xs = jax.lax.psum(place(out_xs, gxs, before), "space")
+        out_vals = jax.lax.psum(place(out_vals, gvals, before), "space")
+        out_xs = out_xs[:, : self.capacity]
+        out_vals = out_vals[:, : self.capacity].astype(jnp.uint8)
+        return new_prev, pos, out_xs, out_vals, aux
+
+    def _overlay_local(self, cur, char_ids, n_chars, sidx):
+        """Batched glyph blit of this shard's slice of the text band.
+
+        Shard ``s`` owns global rows ``[s*Lr, (s+1)*Lr)``; it copies atlas
+        rows ``[s*Lr, s*Lr+Lr)`` (zero-padded past the cell) and masks to
+        global rows inside the band — shards below the band are no-ops.
+        """
+        cfg = self.cfg
+        Bl = cur.shape[0]
+        Lr = self.local_rows
+        img = cur.reshape(Bl, Lr, cfg.width, 3)
+        cell_h, cell_w = self.atlas.shape[1], self.atlas.shape[2]
+        grow = sidx * Lr + jax.lax.broadcasted_iota(jnp.int32, (Lr,), 0)
+        in_band = (grow < cell_h)[None, :, None, None]
+        row_off = jnp.clip(sidx * Lr, 0, cell_h)
+        for j in range(min(MAX_OVERLAY_CHARS, char_ids.shape[0])):
+            x0 = j * cell_w
+            if x0 + cell_w > cfg.width:
+                break
+            cell = jax.lax.dynamic_index_in_dim(self.atlas, char_ids[j], 0, False)
+            cell = jnp.pad(cell, ((0, Lr), (0, 0), (0, 0)))
+            sub = jax.lax.dynamic_slice(cell, (row_off, 0, 0), (Lr, cell_w, 3))
+            sub = jnp.broadcast_to(sub[None], (Bl, Lr, cell_w, 3))
+            curslice = jax.lax.dynamic_slice(
+                img, (0, 0, x0, 0), (Bl, Lr, cell_w, 3)
+            )
+            new = jnp.where(in_band & (j < n_chars), sub, curslice)
+            img = jax.lax.dynamic_update_slice(img, new, (0, 0, x0, 0))
+        return img.reshape(Bl, -1)
+
+    # -- host API ----------------------------------------------------------
+    def init_state(self, base_frames: np.ndarray) -> Array:
+        """(B, frame_bytes) uint8 -> sharded device state."""
+        base = np.asarray(base_frames, dtype=np.uint8)
+        if base.ndim == 1:
+            base = base[None]
+        return jax.device_put(base, self._sharding_state)
+
+    def step(self, prev: Array, frames, text: str = ""):
+        """Returns ``(new_prev, pos(B,), xs(B,cap), vals(B,cap), aux)``."""
+        ids = fonts.encode_text(text, MAX_OVERLAY_CHARS)
+        char_ids = jnp.asarray(ids, dtype=jnp.int32)
+        n_chars = jnp.int32(min(len(text), MAX_OVERLAY_CHARS))
+        frames = np.asarray(frames, dtype=np.uint8)
+        if frames.ndim == 1:
+            frames = frames[None]
+        frames = jax.device_put(frames, self._sharding_state)
+        return self._step(prev, frames, char_ids, n_chars)

@@ -1,0 +1,101 @@
+"""Sharded pipeline tests on a virtual 8-device CPU mesh: the multi-chip
+step must reproduce the single-device oracle byte-exactly, including the
+collectively-assembled payload."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from cudavideostream_tpu.config import StreamConfig, Visualizer
+from cudavideostream_tpu.ops import reference_cpu as ref
+from cudavideostream_tpu.parallel import ShardedDeltaPipeline, make_mesh
+from cudavideostream_tpu.utils import fonts
+from tests.conftest import make_frame_pair
+
+jax = pytest.importorskip("jax")
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return make_mesh(8, data_parallel=2)
+
+
+def cfg_for(mesh, **kw):
+    return StreamConfig(height=48, width=64, overlay_scale=1, **kw)
+
+
+def run_and_compare(cfg, mesh, n_frames=2, batch=2, text="FPS: 9"):
+    pipe = ShardedDeltaPipeline(cfg, mesh)
+    rng = np.random.default_rng(5)
+    base = rng.integers(0, 255, (batch, cfg.frame_bytes), endpoint=True, dtype=np.uint8)
+    state = pipe.init_state(base)
+    prev_ref = [base[b].copy() for b in range(batch)]
+    atlas = pipe.atlas_np
+    ids = fonts.encode_text(text) if text else []
+    for t in range(n_frames):
+        frames = np.stack(
+            [make_frame_pair(rng, cfg.frame_bytes)[1] for _ in range(batch)]
+        )
+        state, pos, xs, vals, aux = pipe.step(state, frames, text=text)
+        pos = np.asarray(pos)
+        xs = np.asarray(xs)
+        vals = np.asarray(vals)
+        new_prev = np.asarray(state)
+        aux = np.asarray(aux)
+        for b in range(batch):
+            exp_prev, exp_pos, exp_xs, exp_vals, exp_aux = ref.step_oracle(
+                prev_ref[b], frames[b], cfg,
+                atlas=atlas if text else None, char_ids=ids,
+            )
+            assert pos[b] == exp_pos, (t, b)
+            np.testing.assert_array_equal(new_prev[b], exp_prev)
+            np.testing.assert_array_equal(xs[b][: pos[b]], exp_xs)
+            np.testing.assert_array_equal(vals[b][: pos[b]], exp_vals)
+            assert xs[b][pos[b]:].sum() == 0
+            if exp_aux is not None:
+                np.testing.assert_array_equal(aux[b], exp_aux)
+            prev_ref[b] = exp_prev
+
+
+class TestShardedPipeline:
+    def test_default(self, mesh8):
+        run_and_compare(cfg_for(mesh8), mesh8)
+
+    def test_no_text(self, mesh8):
+        run_and_compare(cfg_for(mesh8), mesh8, text="")
+
+    @pytest.mark.parametrize("viz", [1, 2, 3, 4, 5])
+    def test_visualizers(self, mesh8, viz):
+        run_and_compare(
+            cfg_for(mesh8, visualizer=Visualizer(viz)), mesh8, n_frames=1
+        )
+
+    def test_noise_filter_halo(self, mesh8):
+        # K=5 needs a 2-row halo crossing shard boundaries (12 rows/shard)
+        run_and_compare(
+            cfg_for(mesh8, noise_filter=True, conv_k=5), mesh8, n_frames=1
+        )
+
+    def test_space_only_mesh(self):
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        mesh = make_mesh(8, data_parallel=1)
+        run_and_compare(cfg_for(mesh), mesh, batch=1, n_frames=1)
+
+    def test_state_stays_sharded(self, mesh8):
+        cfg = cfg_for(mesh8)
+        pipe = ShardedDeltaPipeline(cfg, mesh8)
+        rng = np.random.default_rng(0)
+        base = rng.integers(0, 255, (2, cfg.frame_bytes), endpoint=True, dtype=np.uint8)
+        state = pipe.init_state(base)
+        state, *_ = pipe.step(state, base, text="")
+        # 8 shards: 2 data x 4 space
+        assert len(state.sharding.device_set) == 8
+
+    def test_bad_geometry_rejected(self, mesh8):
+        cfg = StreamConfig(height=50, width=64)  # 50 % 4 != 0
+        with pytest.raises(ValueError):
+            ShardedDeltaPipeline(cfg, mesh8)
