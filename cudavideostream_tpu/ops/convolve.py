@@ -43,14 +43,62 @@ def convolve_q16(
     return out.reshape(-1)
 
 
+def _oddeven_merge_network(n: int):
+    """Batcher odd-even mergesort compare-exchange pairs for n inputs."""
+    pairs = []
+
+    def merge(lo, length, r):
+        step = r * 2
+        if step < length:
+            merge(lo, length, step)
+            merge(lo + r, length, step)
+            for i in range(lo + r, lo + length - r, step):
+                if i + r < lo + length:
+                    pairs.append((i, i + r))
+        else:
+            if lo + r < lo + length:
+                pairs.append((lo, lo + r))
+
+    def sort(lo, length):
+        if length > 1:
+            m = length // 2
+            sort(lo, m)
+            sort(lo + m, length - m)
+            merge(lo, length, 1)
+
+    # Batcher needs a power-of-two width; pad indices >= n are virtual
+    # +inf sentinels and their exchanges are dropped.
+    p = 1
+    while p < n:
+        p *= 2
+    sort(0, p)
+    return [(a, b) for a, b in pairs if a < n and b < n]
+
+
 def median_filter(frame: Array, k: int, height: int, width: int) -> Array:
-    """Zero-padded KxK per-channel median; flat uint8 in/out."""
+    """Zero-padded KxK per-channel median; flat uint8 in/out.
+
+    Sorting-network formulation: ``jnp.sort`` over the k^2 window axis
+    materializes an iota of the full window stack (34 GB at 1080p K=5),
+    so the k^2 candidates are reduced with a Batcher odd-even
+    compare-exchange network instead — pure min/max VPU ops the compiler
+    can fuse, the same structure as the reference's unrolled bubble sort
+    device function (``tests/noise_filter_benchmark/v3.cu:32-47``).
+
+    The virtual padding sentinels of the network are +inf, so dropped
+    exchanges leave real elements in place and the middle element of the
+    first ``k*k`` slots is the true median.
+    """
     pad = k // 2
     img = frame.reshape(height, width, 3)
     padded = jnp.pad(img, ((pad, pad), (pad, pad), (0, 0)))
-    windows = jnp.stack(
-        [padded[i : i + height, j : j + width] for i in range(k) for j in range(k)],
-        axis=0,
-    )
-    s = jnp.sort(windows, axis=0)
-    return s[(k * k) // 2].reshape(-1)
+    win = [
+        padded[i : i + height, j : j + width]
+        for i in range(k)
+        for j in range(k)
+    ]
+    for a, b in _oddeven_merge_network(len(win)):
+        lo = jnp.minimum(win[a], win[b])
+        hi = jnp.maximum(win[a], win[b])
+        win[a], win[b] = lo, hi
+    return win[(k * k) // 2].reshape(-1)

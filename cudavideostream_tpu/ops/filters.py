@@ -1,26 +1,39 @@
 """Device filter bank: grayscale, binarization, heatmap, red visualizers.
 
 TPU re-designs of the reference kernels (all byte-exact vs
-:mod:`reference_cpu`):
+:mod:`reference_cpu`).
 
-* grayscale avg/weighted (``kernels.cu:31-95``) — integer VPU elementwise;
+Layout note (the key to performance): frames are flat interleaved BGR
+bytes. Any ``reshape(-1, 3)`` view puts 3 elements in the 128-lane minor
+dimension and forces a relayout costing milliseconds at 1080p. Instead
+the frame is viewed as ``(M, 384)`` rows of 128 interleaved pixels — a
+free reshape — and *channel extraction/summation/replication are matmuls*
+against tiny constant 0/1 matrices, which the MXU does in microseconds:
+
+    pixels (M,384) @ E (384,128)  ->  per-pixel channel combination
+    values (M,128) @ R (128,384)  ->  replicate back to interleaved lanes
+
+All arithmetic that must be bit-exact (``//3``, ``//1000``, LUT indices)
+runs in int32 after the (exact, <2^24) f32 matmuls.
+
+* grayscale avg/weighted (``kernels.cu:31-95``);
 * histogram + prefix-max "top-2" + binarize (``kernels.cu:138-241``,
   CPU scan ``server.cpp:96-135``) — the shared-memory atomic histogram
-  becomes a one-hot reduction, the tree reduction becomes a vectorized
-  exclusive-cummax (which also *exactly* captures the CPU scan's quirky
-  tie-breaking: the scan's ``elif`` branch is dead code because
-  ``sec == max`` after every update, so the result is simply the last two
+  becomes a fused compare-and-sum reduction; the tree reduction becomes
+  a vectorized exclusive-cummax which *exactly* captures the CPU scan's
+  quirky tie-breaking (the scan's ``elif`` is dead code because
+  ``sec == max`` after every update, so the result is the last two
   prefix-max update indices);
-* motion heatmap (``kernels.cu:243-270``) — the per-pixel ``sinf``
-  colormap becomes a 766-entry integer LUT gather (exact by construction);
-* red visualizers (``kernels.cu:273-281``) — the xs-scatter becomes an
-  elementwise select on the changed-pixel mask, which also fixes the
-  reference's truncated launch geometry that drops the last
-  ``pos % 1024`` entries (``kernels.cu:514``).
+* motion heatmap (``kernels.cu:243-270``) — per-pixel ``sinf`` colormap
+  as a 766-entry integer LUT (exact by construction);
+* red visualizers (``kernels.cu:273-281``) — elementwise selects on the
+  changed-pixel mask, which also fixes the reference's truncated launch
+  geometry that drops the last ``pos % 1024`` entries (``kernels.cu:514``).
 """
 
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
 import jax
@@ -30,44 +43,99 @@ from jax import Array
 
 from cudavideostream_tpu.ops import reference_cpu
 
+_PIX = 128          # pixels per row in the (M, 384) view
+_ROW = 3 * _PIX     # bytes per row
+
+
+@functools.lru_cache(maxsize=None)
+def _extract_matrix(weights: Tuple[int, int, int]) -> np.ndarray:
+    """(384, 128) f32: column p sums channel c of pixel p with weight
+    weights[c]."""
+    e = np.zeros((_ROW, _PIX), np.float32)
+    for p in range(_PIX):
+        for c in range(3):
+            e[3 * p + c, p] = weights[c]
+    return e
+
+
+@functools.lru_cache(maxsize=None)
+def _replicate_matrix(channels: Tuple[int, ...]) -> np.ndarray:
+    """(128, 384) f32: places pixel value p at lanes 3p+c for given c."""
+    r = np.zeros((_PIX, _ROW), np.float32)
+    for p in range(_PIX):
+        for c in channels:
+            r[p, 3 * p + c] = 1.0
+    return r
+
+
+def _rows(frame: Array) -> Array:
+    """Free (M, 384) view; pads are impossible (frame_bytes % 384 may be
+    nonzero for exotic widths — fall back to a pixel view then)."""
+    return frame.reshape(-1, _ROW)
+
+
+def _per_pixel(frame: Array, weights: Tuple[int, int, int]) -> Array:
+    """(M, 128) f32 of per-pixel weighted channel sums (exact ints)."""
+    e = jnp.asarray(_extract_matrix(weights))
+    return jnp.dot(
+        _rows(frame).astype(jnp.float32), e, preferred_element_type=jnp.float32
+    )
+
+
+def _replicate(vals_f32: Array, channels=(0, 1, 2)) -> Array:
+    r = jnp.asarray(_replicate_matrix(tuple(channels)))
+    return jnp.dot(vals_f32, r, preferred_element_type=jnp.float32)
+
+
+def _layout_ok(frame: Array) -> bool:
+    return frame.shape[0] % _ROW == 0
+
 
 def grayscale_average(frame: Array) -> Array:
     """(B+G+R)//3 broadcast to all three channels; flat uint8 in/out."""
-    px = frame.reshape(-1, 3).astype(jnp.int32)
-    g = (px[:, 0] + px[:, 1] + px[:, 2]) // 3
-    return jnp.repeat(g.astype(jnp.uint8), 3)
+    if not _layout_ok(frame):
+        px = frame.reshape(-1, 3).astype(jnp.int32)
+        g = (px[:, 0] + px[:, 1] + px[:, 2]) // 3
+        return jnp.repeat(g.astype(jnp.uint8), 3)
+    s = _per_pixel(frame, (1, 1, 1)).astype(jnp.int32)
+    g = (s // 3).astype(jnp.float32)
+    return _replicate(g).astype(jnp.uint8).reshape(-1)
 
 
 def grayscale_weighted(frame: Array) -> Array:
     """(114*B + 587*G + 299*R)//1000, BGR layout; flat uint8 in/out."""
-    px = frame.reshape(-1, 3).astype(jnp.int32)
-    g = (114 * px[:, 0] + 587 * px[:, 1] + 299 * px[:, 2]) // 1000
-    return jnp.repeat(g.astype(jnp.uint8), 3)
+    if not _layout_ok(frame):
+        px = frame.reshape(-1, 3).astype(jnp.int32)
+        g = (114 * px[:, 0] + 587 * px[:, 1] + 299 * px[:, 2]) // 1000
+        return jnp.repeat(g.astype(jnp.uint8), 3)
+    s = _per_pixel(frame, (114, 587, 299)).astype(jnp.int32)
+    g = (s // 1000).astype(jnp.float32)
+    return _replicate(g).astype(jnp.uint8).reshape(-1)
 
 
 def gray_histogram(gray_frame: Array) -> Array:
     """256-bin per-pixel histogram (samples channel 0 of the 3-channel
     gray buffer, like ``generate_histogram`` kernels.cu:147-149).
 
-    One-hot matmul formulation: exact integer counts accumulated in f32
-    on the MXU (counts < 2^24 so f32 is exact), avoiding TPU scatter-adds.
+    Fused compare-and-sum over bin chunks: counts accumulate in int32
+    without scatter-adds; the comparison broadcast fuses into the
+    reduction.
     """
-    g = gray_frame.reshape(-1, 3)[:, 0].astype(jnp.int32)
-    npx = g.shape[0]
-    # chunk to bound the materialized one-hot at chunk x 256
-    chunk = 8192
-    pad = (-npx) % chunk
-    g = jnp.pad(g, (0, pad), constant_values=-1)  # -1 matches no bin
-    g = g.reshape(-1, chunk)
-
-    bins = jax.lax.broadcasted_iota(jnp.int32, (256,), 0)
-
-    def body(carry, row):
-        onehot = (row[:, None] == bins[None, :]).astype(jnp.float32)
-        return carry + jnp.sum(onehot, axis=0), None
-
-    hist, _ = jax.lax.scan(body, jnp.zeros(256, jnp.float32), g)
-    return hist.astype(jnp.int32)
+    if _layout_ok(gray_frame):
+        g = _per_pixel(gray_frame, (1, 0, 0)).astype(jnp.int32)  # (M,128)
+    else:
+        g = gray_frame.reshape(-1, 3)[:, 0].astype(jnp.int32)
+    chunk = 64
+    parts = []
+    for b0 in range(0, 256, chunk):
+        bins = jax.lax.broadcasted_iota(jnp.int32, (chunk,), 0) + b0
+        parts.append(
+            jnp.sum(
+                (g[..., None] == bins).astype(jnp.int32),
+                axis=tuple(range(g.ndim)),
+            )
+        )
+    return jnp.concatenate(parts)
 
 
 def top2_prefix_max(histogram: Array) -> Tuple[Array, Array]:
@@ -115,6 +183,7 @@ def binarize_pipeline(frame: Array) -> Array:
 
 
 _HEATMAP_LUT_DEV = None
+_HEATMAP_LUT_PACKED = None
 
 
 def _heatmap_lut_dev() -> Array:
@@ -126,13 +195,41 @@ def _heatmap_lut_dev() -> Array:
     return _HEATMAP_LUT_DEV
 
 
+def _heatmap_lut_packed() -> Array:
+    """(766,) int32 with b | g<<8 | r<<16 — one gather instead of three."""
+    global _HEATMAP_LUT_PACKED
+    if _HEATMAP_LUT_PACKED is None:
+        lut = reference_cpu.heatmap_lut().astype(np.int32)
+        _HEATMAP_LUT_PACKED = jnp.asarray(
+            lut[:, 0] | (lut[:, 1] << 8) | (lut[:, 2] << 16)
+        )
+    return _HEATMAP_LUT_PACKED
+
+
 def heatmap(current: Array, previous: Array) -> Array:
-    """Per-pixel sum|Δ| -> sine-colormap LUT, BGR out; flat uint8."""
-    cur = current.reshape(-1, 3).astype(jnp.int32)
-    prev = previous.reshape(-1, 3).astype(jnp.int32)
-    d = jnp.sum(jnp.abs(cur - prev), axis=1)  # (npx,) 0..765 (colormap wraps past 510 — reference quirk)
-    lut = _heatmap_lut_dev()
-    return jnp.take(lut, d, axis=0).astype(jnp.uint8).reshape(-1)
+    """Per-pixel sum|Δ| -> sine-colormap LUT, BGR out; flat uint8.
+
+    sum|Δ| comes from one extract-matmul over |cur-prev|; the LUT is
+    packed (3 bytes per int32) so only one gather runs on the (M,128)
+    layout; channels unpack with shifts and scatter back through
+    replicate-matmuls.
+    """
+    if not _layout_ok(current):
+        lut = _heatmap_lut_dev()
+        cur = current.reshape(-1, 3).astype(jnp.int32)
+        prev = previous.reshape(-1, 3).astype(jnp.int32)
+        d = jnp.sum(jnp.abs(cur - prev), axis=1)
+        return jnp.take(lut, d, axis=0).astype(jnp.uint8).reshape(-1)
+    ad = jnp.abs(
+        current.astype(jnp.int16) - previous.astype(jnp.int16)
+    ).astype(jnp.uint8)
+    d = _per_pixel(ad, (1, 1, 1)).astype(jnp.int32)  # (M,128) 0..765
+    packed = jnp.take(_heatmap_lut_packed(), d, axis=0)
+    out = jnp.zeros((d.shape[0], _ROW), jnp.float32)
+    for c in range(3):
+        ch = jnp.bitwise_and(packed >> (8 * c), 255).astype(jnp.float32)
+        out = out + _replicate(ch, (c,))
+    return out.astype(jnp.uint8).reshape(-1)
 
 
 def changed_pixels(mask: Array) -> Array:
@@ -140,18 +237,31 @@ def changed_pixels(mask: Array) -> Array:
     return jnp.any(mask.reshape(-1, 3), axis=1)
 
 
+def _changed_rows(mask: Array) -> Array:
+    """(M,128) bool changed-pixel flags from the flat byte mask."""
+    s = _per_pixel(mask.astype(jnp.uint8), (1, 1, 1))
+    return s > 0
+
+
 def red_black(mask: Array) -> Array:
     """Mode 2: black frame, R=255 on changed pixels; flat uint8."""
-    ch = changed_pixels(mask)
-    npx = ch.shape[0]
-    out = jnp.zeros((npx, 3), jnp.uint8)
-    out = out.at[:, 2].set(jnp.where(ch, 255, 0).astype(jnp.uint8))
-    return out.reshape(-1)
+    if not _layout_ok(mask):
+        ch = changed_pixels(mask)
+        out = jnp.zeros((ch.shape[0], 3), jnp.uint8)
+        out = out.at[:, 2].set(jnp.where(ch, 255, 0).astype(jnp.uint8))
+        return out.reshape(-1)
+    ch = _changed_rows(mask).astype(jnp.float32) * 255.0
+    return _replicate(ch, (2,)).astype(jnp.uint8).reshape(-1)
 
 
 def red_overlap(previous: Array, mask: Array) -> Array:
     """Mode 3: previous frame with R=255 on changed pixels; flat uint8."""
-    ch = changed_pixels(mask)
-    px = previous.reshape(-1, 3)
-    r = jnp.where(ch, jnp.uint8(255), px[:, 2])
-    return px.at[:, 2].set(r).reshape(-1)
+    if not _layout_ok(mask):
+        ch = changed_pixels(mask)
+        px = previous.reshape(-1, 3)
+        r = jnp.where(ch, jnp.uint8(255), px[:, 2])
+        return px.at[:, 2].set(r).reshape(-1)
+    ch = _changed_rows(mask).astype(jnp.float32)
+    red_lanes = _replicate(ch, (2,)) > 0  # (M,384) bool at R lanes
+    out = jnp.where(red_lanes, jnp.uint8(255), _rows(previous))
+    return out.reshape(-1)

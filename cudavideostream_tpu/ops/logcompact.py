@@ -50,7 +50,7 @@ from jax.experimental.pallas import tpu as pltpu
 LANES = 128
 
 
-def _pick_tile_rows(rows: int, target: int = 224) -> int:
+def _pick_tile_rows(rows: int, target: int = 400) -> int:
     """Largest divisor of ``rows`` <= target that is a multiple of 8."""
     best = None
     for d in range(8, target + 1, 8):

@@ -27,6 +27,14 @@ def overlay_blit(
 ) -> Array:
     """Blit up to ``max_chars = char_ids.shape[0]`` glyph cells.
 
+    Single-pass strip formulation: gather the selected cells into one
+    ``(cell_h, max_chars*cell_w, 3)`` text strip (a tiny gather), mask
+    characters past ``n_chars`` with the underlying frame pixels, and
+    write the strip back with one *static* slice update. This replaces
+    the reference's one-kernel-launch-per-character schedule
+    (``kernels.cu:466-476``) with a single fused op — and replaces 28
+    dynamic-slice round trips over a 6 MB buffer with one small one.
+
     Args:
       frame: flat uint8 frame.
       atlas: (n_glyphs, cell_h, cell_w, 3) uint8 device atlas.
@@ -34,14 +42,19 @@ def overlay_blit(
       n_chars: int32 scalar — characters beyond it leave the frame intact.
     """
     cell_h, cell_w = atlas.shape[1], atlas.shape[2]
-    img = frame.reshape(height, width, 3)
     max_chars = char_ids.shape[0]
-    for j in range(max_chars):
-        x0 = j * cell_w
-        if x0 + cell_w > width or cell_h > height:
-            break
-        cell = jax.lax.dynamic_index_in_dim(atlas, char_ids[j], 0, keepdims=False)
-        cur = jax.lax.dynamic_slice(img, (0, x0, 0), (cell_h, cell_w, 3))
-        new = jnp.where(j < n_chars, cell, cur)
-        img = jax.lax.dynamic_update_slice(img, new, (0, x0, 0))
+    n_fit = min(max_chars, width // cell_w)
+    if n_fit == 0 or cell_h > height:
+        return frame
+    # byte-space 2D views only: an (H, W, 3) view would force a
+    # minor-dim-3 relayout of the whole frame (milliseconds at 1080p)
+    img = frame.reshape(height, width * 3)
+    cw3 = cell_w * 3
+    strip_w3 = n_fit * cw3
+    cells = jnp.take(atlas.reshape(-1, cell_h, cw3), char_ids[:n_fit], axis=0)
+    strip = cells.transpose(1, 0, 2).reshape(cell_h, strip_w3)
+    under = img[:cell_h, :strip_w3]
+    col_char = jax.lax.broadcasted_iota(jnp.int32, (1, strip_w3), 1) // cw3
+    merged = jnp.where(col_char < n_chars, strip, under)
+    img = img.at[:cell_h, :strip_w3].set(merged)
     return img.reshape(-1)

@@ -92,6 +92,27 @@ class StreamExecutor:
         return pos, xs, vals, aux
 
 
+    # -- checkpoint / resume (beyond reference: it has nothing to persist,
+    # SURVEY.md §5 — here the stream state is the previous-frame buffer,
+    # so a restarted server can resume without a fresh base-frame
+    # handshake for clients that kept their reconstruction) -------------
+    def save_state(self, path: str) -> None:
+        if self._state is None:
+            raise RuntimeError("no state to save")
+        np.savez(
+            path,
+            prev=np.asarray(self._state),
+            geometry=np.array([self.cfg.height, self.cfg.width]),
+            threshold=np.array([self.cfg.threshold]),
+        )
+
+    def load_state(self, path: str) -> None:
+        data = np.load(path if path.endswith(".npz") else path + ".npz")
+        if tuple(data["geometry"]) != (self.cfg.height, self.cfg.width):
+            raise ValueError("checkpoint geometry mismatch")
+        self._state = self.pipe.init_state(data["prev"])
+
+
 class ExecMetrics:
     """1 Hz status line state (reference ``server.cpp:150-171``)."""
 

@@ -130,6 +130,9 @@ def main(argv=None) -> int:
     p.add_argument("--conv-k", type=int, default=3)
     p.add_argument("--compaction", default="pallas",
                    choices=[b.value for b in CompactionBackend])
+    p.add_argument("--backend", default="device", choices=["device", "oracle"],
+                   help="device = JAX/Pallas pipeline; oracle = pure-NumPy "
+                        "CPU reference (the #ifdef CPU path, but complete)")
     p.add_argument("--frames", type=int, default=None,
                    help="stop after N frames (default: run forever)")
     p.add_argument("--seed", type=int, default=0)
@@ -147,7 +150,12 @@ def main(argv=None) -> int:
         port=args.port,
     )
     source = make_source(args.source, cfg, path=args.path, seed=args.seed)
-    server = DeltaStreamServer(cfg, source)
+    executor = None
+    if args.backend == "oracle":
+        from cudavideostream_tpu.runtime.oracle_executor import OracleExecutor
+
+        executor = OracleExecutor(cfg)
+    server = DeltaStreamServer(cfg, source, executor=executor)
     served = server.serve(max_frames=args.frames)
     print(f"served {served} frames", file=sys.stderr)
     return 0

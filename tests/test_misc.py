@@ -1,0 +1,145 @@
+"""Coverage for variants, oracle executor, checkpointing, profiling,
+graft entry points, and CLI argument plumbing."""
+
+import numpy as np
+import pytest
+
+from cudavideostream_tpu.config import StreamConfig, Visualizer
+from cudavideostream_tpu.models import available, get_config
+from cudavideostream_tpu.ops import reference_cpu as ref
+from cudavideostream_tpu.runtime.executor import StreamExecutor
+from cudavideostream_tpu.runtime.oracle_executor import OracleExecutor
+
+
+class TestVariants:
+    def test_registry_complete(self):
+        # one variant per shipped reference build combination
+        assert set(available()) == {
+            "delta-stream", "delta-denoised", "heatmap", "red-black",
+            "red-overlap", "grayscale", "binarize",
+        }
+
+    def test_configs_resolve(self):
+        assert get_config("heatmap").visualizer == Visualizer.HEATMAP
+        assert get_config("delta-denoised").noise_filter
+        cfg = get_config("delta-stream", height=48, width=64)
+        assert cfg.height == 48
+
+    def test_unknown_raises(self):
+        with pytest.raises(KeyError):
+            get_config("4k-ultra")
+
+
+class TestOracleExecutor:
+    def test_matches_device_executor(self, small_config, rng):
+        base = rng.integers(0, 255, small_config.frame_bytes, endpoint=True, dtype=np.uint8)
+        frames = [
+            rng.integers(0, 255, small_config.frame_bytes, endpoint=True, dtype=np.uint8)
+            for _ in range(2)
+        ]
+        dev = StreamExecutor(small_config)
+        orc = OracleExecutor(small_config)
+        dev.start(base)
+        orc.start(base)
+        for f in frames:
+            dp, dx, dv, _ = dev.process(f, text="FPS: 1")
+            op, ox, ov, _ = orc.process(f, text="FPS: 1")
+            assert dp == op
+            np.testing.assert_array_equal(dx, ox)
+            np.testing.assert_array_equal(dv, ov)
+
+
+class TestCheckpoint:
+    def test_save_load_roundtrip(self, small_config, rng, tmp_path):
+        ex = StreamExecutor(small_config)
+        base = rng.integers(0, 255, small_config.frame_bytes, endpoint=True, dtype=np.uint8)
+        ex.start(base)
+        f1 = rng.integers(0, 255, small_config.frame_bytes, endpoint=True, dtype=np.uint8)
+        ex.process(f1)
+        path = str(tmp_path / "state")
+        ex.save_state(path)
+
+        ex2 = StreamExecutor(small_config)
+        ex2.load_state(path)
+        f2 = rng.integers(0, 255, small_config.frame_bytes, endpoint=True, dtype=np.uint8)
+        p1, x1, v1, _ = ex.process(f2)
+        p2, x2, v2, _ = ex2.process(f2)
+        assert p1 == p2
+        np.testing.assert_array_equal(x1, x2)
+        np.testing.assert_array_equal(v1, v2)
+
+    def test_geometry_mismatch_rejected(self, small_config, rng, tmp_path):
+        import dataclasses
+
+        ex = StreamExecutor(small_config)
+        ex.start(rng.integers(0, 255, small_config.frame_bytes, endpoint=True, dtype=np.uint8))
+        path = str(tmp_path / "state")
+        ex.save_state(path)
+        other = dataclasses.replace(small_config, height=64, width=64)
+        with pytest.raises(ValueError):
+            StreamExecutor(other).load_state(path)
+
+
+class TestProfiling:
+    def test_frame_profiler(self):
+        from cudavideostream_tpu.utils.profiling import FrameProfiler
+
+        fp = FrameProfiler(window=4)
+        for _ in range(6):
+            with fp.stage("compute"):
+                pass
+        assert len(fp.samples["compute"]) == 4
+        assert "compute" in fp.summary()
+
+    def test_trace_smoke(self, tmp_path):
+        import jax.numpy as jnp
+
+        from cudavideostream_tpu.utils import profiling
+
+        with profiling.trace(str(tmp_path / "t")):
+            with profiling.annotate("op"):
+                jnp.arange(8).sum().block_until_ready()
+
+
+class TestGraftEntry:
+    def test_entry_runs(self):
+        import __graft_entry__ as g
+
+        fn, args = g.entry()
+        out = fn(*args)
+        assert len(out) == 4
+
+    def test_dryrun_two_devices(self):
+        import jax
+
+        import __graft_entry__ as g
+
+        if len(jax.devices()) < 2:
+            pytest.skip("needs 2 virtual devices")
+        g.dryrun_multichip(2)
+
+
+class TestServerCLIPlumbing:
+    def test_oracle_backend_serves(self, small_config):
+        """server main() wiring: oracle backend over a real socket."""
+        import dataclasses
+        import threading
+
+        from cudavideostream_tpu.runtime.client import DeltaStreamClient
+        from cudavideostream_tpu.runtime.server import DeltaStreamServer
+        from cudavideostream_tpu.runtime.sources import SyntheticSource
+
+        cfg = dataclasses.replace(small_config, port=0)
+        server = DeltaStreamServer(
+            cfg, SyntheticSource(cfg, seed=1), executor=OracleExecutor(cfg),
+            verbose=False, overlay_status=False,
+        )
+        server.listen()
+        t = threading.Thread(target=server.serve, kwargs={"max_frames": 2}, daemon=True)
+        t.start()
+        cli = DeltaStreamClient("127.0.0.1", server.port, cfg.height, cfg.width)
+        cli.connect()
+        for _ in range(2):
+            cli.read_frame()
+        cli.close()
+        t.join(timeout=20)
