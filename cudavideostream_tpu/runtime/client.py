@@ -48,6 +48,14 @@ class DeltaStreamClient:
             self.sock.close()
 
 
+def write_ppm(path: str, frame: np.ndarray, height: int, width: int) -> None:
+    """Dependency-free viewable dump: binary PPM (P6), BGR -> RGB."""
+    img = frame.reshape(height, width, 3)[:, :, ::-1]
+    with open(path, "wb") as f:
+        f.write(f"P6\n{width} {height}\n255\n".encode())
+        f.write(np.ascontiguousarray(img).tobytes())
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description="TPU delta-stream client")
     p.add_argument("--host", default="127.0.0.1")
@@ -58,6 +66,9 @@ def main(argv=None) -> int:
     p.add_argument("--check", action="store_true",
                    help="verify invariants and print a digest per second")
     p.add_argument("--save", help="save reconstructed frames to this .npy")
+    p.add_argument("--ppm", help="dump every Nth frame as viewable .ppm "
+                                 "images to this directory prefix")
+    p.add_argument("--ppm-every", type=int, default=30)
     args = p.parse_args(argv)
 
     cli = DeltaStreamClient(args.host, args.port, args.height, args.width)
@@ -73,6 +84,8 @@ def main(argv=None) -> int:
             n += 1
             if args.save:
                 saved.append(frame.copy())
+            if args.ppm and n % args.ppm_every == 1:
+                write_ppm(f"{args.ppm}_{n:06d}.ppm", frame, args.height, args.width)
             now = time.perf_counter()
             if args.check and now - last >= 1.0:
                 digest = int(frame.sum())

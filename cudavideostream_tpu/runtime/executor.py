@@ -92,6 +92,10 @@ class StreamExecutor:
         return pos, xs, vals, aux
 
 
+    def flush(self):
+        """No pending work in the synchronous executor."""
+        return None
+
     # -- checkpoint / resume (beyond reference: it has nothing to persist,
     # SURVEY.md §5 — here the stream state is the previous-frame buffer,
     # so a restarted server can resume without a fresh base-frame
@@ -111,6 +115,44 @@ class StreamExecutor:
         if tuple(data["geometry"]) != (self.cfg.height, self.cfg.width):
             raise ValueError("checkpoint geometry mismatch")
         self._state = self.pipe.init_state(data["prev"])
+
+
+class PipelinedExecutor(StreamExecutor):
+    """One-frame-deep software pipeline: dispatch frame N, then land frame
+    N-1's payload while N computes — the executor-level equivalent of the
+    reference's capture/compute/send thread overlap
+    (``threads.cpp:166-237``). The output stream lags one frame; call
+    :meth:`flush` after the last frame to drain the pending payload.
+    """
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self._pending = None  # (t0, pos_d, xs_d, vals_d, aux_d)
+
+    def process(self, frame, text: str = ""):
+        if self._state is None:
+            raise RuntimeError("call start(base_frame) first")
+        t0 = time.perf_counter()
+        self._state, pos_d, xs_d, vals_d, aux_d = self.pipe.step(
+            self._state, frame, text=text
+        )
+        prev, self._pending = self._pending, (t0, pos_d, xs_d, vals_d, aux_d)
+        if prev is None:
+            return None
+        return self._land(prev)
+
+    def flush(self):
+        prev, self._pending = self._pending, None
+        return self._land(prev) if prev is not None else None
+
+    def _land(self, entry):
+        t0, pos_d, xs_d, vals_d, aux_d = entry
+        pos = int(pos_d)
+        xs = self._fetch_xs.fetch(xs_d, pos)
+        vals = self._fetch_vals.fetch(vals_d, pos)
+        aux = np.asarray(aux_d) if aux_d is not None else None
+        self.metrics.record(time.perf_counter() - t0, pos)
+        return pos, xs, vals, aux
 
 
 class ExecMetrics:

@@ -57,3 +57,6 @@ class OracleExecutor:
         )
         self.metrics.record(time.perf_counter() - t0, pos)
         return pos, xs, vals, aux
+
+    def flush(self):
+        return None

@@ -95,12 +95,9 @@ class DeltaStreamServer:
             except StopIteration:
                 break
             read_s = time.perf_counter() - t0
-            pos, xs, vals, aux = self.executor.process(frame, text=text)
-            rc = native.wire_send_payload_fd(conn.fileno(), pos, xs, vals)
-            if rc == -1:  # native helper unavailable: pure-python path
-                conn.sendall(wire.pack_payload(pos, xs, vals))
-            elif rc < 0:
-                raise BrokenPipeError(f"writev failed: {rc}")
+            result = self.executor.process(frame, text=text)
+            if result is not None:  # pipelined executors lag one frame
+                self._send_payload(conn, result)
             n += 1
             line = self.executor.metrics.status_line(read_s)
             if line:
@@ -108,9 +105,21 @@ class DeltaStreamServer:
                     text = self.executor.metrics.overlay_text()
                 if self.verbose:
                     print("\r" + line, end="", flush=True)
+        tail = self.executor.flush()
+        if tail is not None:
+            self._send_payload(conn, tail)
         if self.verbose:
             print()
         return n
+
+    @staticmethod
+    def _send_payload(conn: socket.socket, result) -> None:
+        pos, xs, vals, aux = result
+        rc = native.wire_send_payload_fd(conn.fileno(), pos, xs, vals)
+        if rc == -1:  # native helper unavailable: pure-python path
+            conn.sendall(wire.pack_payload(pos, xs, vals))
+        elif rc < 0:
+            raise BrokenPipeError(f"writev failed: {rc}")
 
 
 def main(argv=None) -> int:
@@ -133,6 +142,9 @@ def main(argv=None) -> int:
     p.add_argument("--backend", default="device", choices=["device", "oracle"],
                    help="device = JAX/Pallas pipeline; oracle = pure-NumPy "
                         "CPU reference (the #ifdef CPU path, but complete)")
+    p.add_argument("--pipelined", action="store_true",
+                   help="one-frame-deep software pipeline: overlap frame N's "
+                        "compute with frame N-1's payload landing")
     p.add_argument("--frames", type=int, default=None,
                    help="stop after N frames (default: run forever)")
     p.add_argument("--seed", type=int, default=0)
@@ -155,6 +167,10 @@ def main(argv=None) -> int:
         from cudavideostream_tpu.runtime.oracle_executor import OracleExecutor
 
         executor = OracleExecutor(cfg)
+    elif args.pipelined:
+        from cudavideostream_tpu.runtime.executor import PipelinedExecutor
+
+        executor = PipelinedExecutor(cfg)
     server = DeltaStreamServer(cfg, source, executor=executor)
     served = server.serve(max_frames=args.frames)
     print(f"served {served} frames", file=sys.stderr)
