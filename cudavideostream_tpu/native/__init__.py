@@ -69,6 +69,11 @@ def load_native() -> Optional[ctypes.CDLL]:
         c.POINTER(c.c_uint8), c.POINTER(c.c_int32), c.POINTER(c.c_uint8), c.c_int64
     ]
     lib.client_apply.restype = None
+    lib.client_decode.argtypes = [
+        c.c_char_p, c.c_int, c.c_int64, c.c_int64,
+        c.POINTER(c.c_uint8), c.POINTER(c.c_uint64),
+    ]
+    lib.client_decode.restype = c.c_int64
     lib.v4l2_open.argtypes = [c.c_char_p, c.c_int, c.c_int]
     lib.v4l2_open.restype = c.c_int
     lib.v4l2_grab.argtypes = [c.c_int, c.POINTER(c.c_uint8), c.c_int64]
@@ -120,6 +125,29 @@ def client_apply_np(frame, xs, vals) -> None:
         vals.ctypes.data_as(c.POINTER(c.c_uint8)),
         xs.size,
     )
+
+
+def client_decode_np(host: str, port: int, n_bytes: int, max_frames: int):
+    """Run the native C decode loop (the reference client's exact read
+    protocol); returns ``(frames, final_frame, digest)`` or None if the
+    native lib is unavailable."""
+    import numpy as np
+
+    lib = load_native()
+    if lib is None:
+        return None
+    c = ctypes
+    frame = np.zeros(n_bytes, dtype=np.uint8)
+    digest = c.c_uint64(0)
+    frames = lib.client_decode(
+        host.encode(),
+        port,
+        n_bytes,
+        max_frames,
+        frame.ctypes.data_as(c.POINTER(c.c_uint8)),
+        c.byref(digest),
+    )
+    return int(frames), frame, int(digest.value)
 
 
 def wire_send_payload_fd(fd: int, pos: int, xs, vals) -> int:

@@ -136,6 +136,88 @@ void client_apply(uint8_t *frame, const int32_t *xs, const uint8_t *vals,
 }
 
 /* ------------------------------------------------------------------ */
+/* native decoding client — the reference client's read loop          */
+/* (client/opencv.cpp:39-66) in plain C: read base frame, then loop   */
+/* [u32 pos][i32 xs][u8 vals], scatter-add. Proves wire compatibility */
+/* without OpenCV. Returns frames decoded, or negative errno.         */
+/* ------------------------------------------------------------------ */
+
+#include <arpa/inet.h>
+#include <netinet/in.h>
+#include <netinet/tcp.h>
+#include <stdlib.h>
+
+static int read_exact(int fd, void *buf, size_t n) {
+    size_t got = 0;
+    while (got < n) {
+        ssize_t r = read(fd, (char *)buf + got, n - got);
+        if (r == 0) return -1; /* peer closed */
+        if (r < 0) {
+            if (errno == EINTR) continue;
+            return -errno;
+        }
+        got += (size_t)r;
+    }
+    return 0;
+}
+
+/* Decodes up to max_frames; writes the final reconstruction into
+ * frame_out (caller-allocated n_bytes) and a running digest (sum of all
+ * bytes of every reconstruction) into digest_out. */
+int64_t client_decode(const char *host, int port, int64_t n_bytes,
+                      int64_t max_frames, uint8_t *frame_out,
+                      uint64_t *digest_out) {
+    int fd = socket(AF_INET, SOCK_STREAM, 0);
+    if (fd < 0) return -errno;
+    struct sockaddr_in addr;
+    memset(&addr, 0, sizeof addr);
+    addr.sin_family = AF_INET;
+    addr.sin_port = htons((uint16_t)port);
+    if (inet_pton(AF_INET, host, &addr.sin_addr) != 1) {
+        close(fd);
+        return -22;
+    }
+    if (connect(fd, (struct sockaddr *)&addr, sizeof addr) < 0) {
+        int e = -errno;
+        close(fd);
+        return e;
+    }
+    int one = 1;
+    setsockopt(fd, IPPROTO_TCP, TCP_NODELAY, &one, sizeof one);
+
+    if (read_exact(fd, frame_out, (size_t)n_bytes) < 0) {
+        close(fd);
+        return -5;
+    }
+    int32_t *xs = malloc((size_t)n_bytes * sizeof *xs);
+    uint8_t *vals = malloc((size_t)n_bytes);
+    if (!xs || !vals) {
+        free(xs);
+        free(vals);
+        close(fd);
+        return -12;
+    }
+    uint64_t digest = 0;
+    int64_t frames = 0;
+    while (frames < max_frames) {
+        uint32_t pos;
+        if (read_exact(fd, &pos, sizeof pos) < 0) break;
+        if (pos > (uint32_t)n_bytes) break;
+        if (read_exact(fd, xs, (size_t)pos * sizeof *xs) < 0) break;
+        if (read_exact(fd, vals, pos) < 0) break;
+        for (uint32_t i = 0; i < pos; ++i)
+            frame_out[xs[i]] = (uint8_t)(frame_out[xs[i]] + vals[i]);
+        for (int64_t i = 0; i < n_bytes; ++i) digest += frame_out[i];
+        ++frames;
+    }
+    free(xs);
+    free(vals);
+    close(fd);
+    if (digest_out) *digest_out = digest;
+    return frames;
+}
+
+/* ------------------------------------------------------------------ */
 /* v4l2 capture (single handle, mmap streaming)                       */
 /* ------------------------------------------------------------------ */
 

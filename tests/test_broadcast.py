@@ -1,0 +1,102 @@
+"""Broadcast server: multiple clients, including a late joiner whose base
+frame is the mid-stream reconstruction, all byte-exact."""
+
+import dataclasses
+import threading
+import time
+
+import numpy as np
+
+from cudavideostream_tpu.ops import reference_cpu as ref
+from cudavideostream_tpu.runtime.broadcast import BroadcastServer
+from cudavideostream_tpu.runtime.client import DeltaStreamClient
+from cudavideostream_tpu.runtime.sources import SyntheticSource
+
+
+def test_two_clients_one_late_joiner(small_config):
+    cfg = dataclasses.replace(small_config, port=0)
+    n_frames = 8
+    server = BroadcastServer(
+        cfg,
+        SyntheticSource(cfg, seed=11),
+        verbose=False,
+        overlay_status=False,
+    )
+    server.listen()
+    port = server.port
+    t = threading.Thread(
+        target=server.serve, kwargs={"max_frames": n_frames}, daemon=True
+    )
+    t.start()
+
+    cli1 = DeltaStreamClient("127.0.0.1", port, cfg.height, cfg.width)
+    cli1.connect()
+
+    # oracle replay of the deterministic source
+    replay = SyntheticSource(cfg, seed=11)
+    prev = next(replay).copy()
+    np.testing.assert_array_equal(cli1.frame, prev)
+
+    # client 1 reads a few frames, then client 2 joins mid-stream; its
+    # base frame is the server's current reconstruction, and from there
+    # it tracks the same stream. Read it on a thread until the server
+    # closes, keeping the last reconstruction.
+    state2 = {}
+
+    def late_reader():
+        cli2 = DeltaStreamClient("127.0.0.1", port, cfg.height, cfg.width)
+        cli2.connect()
+        state2["base"] = cli2.frame.copy()
+        n = 0
+        try:
+            while True:
+                _, recon2 = cli2.read_frame()
+                state2["last"] = recon2.copy()
+                n += 1
+        except (ConnectionError, ValueError, OSError):
+            pass
+        state2["count"] = n
+        cli2.close()
+
+    reader = None
+    for k in range(n_frames):
+        frame = next(replay)
+        prev, *_ = ref.step_oracle(prev, frame, cfg)
+        _, recon1 = cli1.read_frame()
+        np.testing.assert_array_equal(recon1, prev)
+        if k == 2:
+            reader = threading.Thread(target=late_reader, daemon=True)
+            reader.start()
+            time.sleep(0.2)
+
+    t.join(timeout=30)
+    reader.join(timeout=30)
+    # both clients converge to the same final reconstruction
+    np.testing.assert_array_equal(recon1, prev)
+    assert state2["count"] >= 1
+    np.testing.assert_array_equal(state2["last"], prev)
+    cli1.close()
+
+
+def test_dead_client_dropped(small_config):
+    cfg = dataclasses.replace(small_config, port=0)
+    server = BroadcastServer(
+        cfg,
+        SyntheticSource(cfg, seed=2),
+        verbose=False,
+        overlay_status=False,
+    )
+    server.listen()
+    t = threading.Thread(target=server.serve, kwargs={"max_frames": 6}, daemon=True)
+    t.start()
+    cli1 = DeltaStreamClient("127.0.0.1", server.port, cfg.height, cfg.width)
+    cli1.connect()
+    cli2 = DeltaStreamClient("127.0.0.1", server.port, cfg.height, cfg.width)
+    cli2.connect()
+    cli1.read_frame()
+    cli2.sock.close()  # dies abruptly
+    # remaining client keeps receiving the stream
+    for _ in range(3):
+        cli1.read_frame()
+    cli1.close()
+    t.join(timeout=30)

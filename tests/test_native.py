@@ -89,3 +89,37 @@ def test_wire_send_payload_over_socket(lib, rng):
     assert p2 == pos
     np.testing.assert_array_equal(xs2, xs)
     np.testing.assert_array_equal(vals2, vals)
+
+
+def test_c_client_decodes_server_stream(lib, small_config):
+    """The native C decoder (the reference client's exact read loop)
+    decodes our server's stream to the oracle-exact reconstruction."""
+    import dataclasses
+    import threading
+
+    from cudavideostream_tpu.runtime.server import DeltaStreamServer
+    from cudavideostream_tpu.runtime.sources import SyntheticSource
+
+    cfg = dataclasses.replace(small_config, port=0)
+    n_frames = 3
+    server = DeltaStreamServer(
+        cfg, SyntheticSource(cfg, seed=21), verbose=False, overlay_status=False
+    )
+    server.listen()
+    t = threading.Thread(
+        target=server.serve, kwargs={"max_frames": n_frames}, daemon=True
+    )
+    t.start()
+    result = native.client_decode_np(
+        "127.0.0.1", server.port, cfg.frame_bytes, n_frames
+    )
+    t.join(timeout=30)
+    assert result is not None
+    frames, final, digest = result
+    assert frames == n_frames
+    # oracle replay
+    replay = SyntheticSource(cfg, seed=21)
+    prev = next(replay).copy()
+    for _ in range(n_frames):
+        prev, *_ = ref.step_oracle(prev, next(replay), cfg)
+    np.testing.assert_array_equal(final, prev)
