@@ -35,7 +35,7 @@ def run(out_path: str | None = None, candidates=None):
     cur, prev = jnp.asarray(cur_np), jnp.asarray(prev_np)
 
     if candidates is None:
-        candidates = [d for d in (72, 120, 216, 360, 600)
+        candidates = [d for d in (216, 360, 600, 1080, 1800)
                       if rows % d == 0]
 
     orig = logcompact._pick_tile_rows

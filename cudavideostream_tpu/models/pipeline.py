@@ -61,6 +61,12 @@ class DeltaStreamPipeline:
         self.conv_weights_q16 = reference_cpu.quantize_kernel_q16(self.conv_weights)
         # Mosaic kernels need the interpreter off-TPU (tests run on CPU)
         self._interpret = jax.default_backend() == "cpu"
+        # use the fast VPU sine colormap only when this backend provably
+        # reproduces the float64 LUT for all 766 inputs
+        self._heatmap_sine = (
+            config.visualizer == Visualizer.HEATMAP
+            and filter_ops.heatmap_sine_is_exact()
+        )
         self._step = jax.jit(
             functools.partial(self._step_impl),
             donate_argnums=(0,),
@@ -92,7 +98,7 @@ class DeltaStreamPipeline:
 
         aux = None
         if cfg.visualizer == Visualizer.HEATMAP:
-            aux = filter_ops.heatmap(cur, prev)
+            aux = filter_ops.heatmap(cur, prev, use_sine=self._heatmap_sine)
         elif cfg.visualizer == Visualizer.GRAYSCALE:
             aux = filter_ops.grayscale_weighted(cur)
         elif cfg.visualizer == Visualizer.BINARIZE:

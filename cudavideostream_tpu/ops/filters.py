@@ -206,13 +206,47 @@ def _heatmap_lut_packed() -> Array:
     return _HEATMAP_LUT_PACKED
 
 
-def heatmap(current: Array, previous: Array) -> Array:
+def _heatmap_sine_channels(d: Array):
+    """Direct f32 evaluation of the three colormap channels for integer
+    ``d`` (0..765): trunc(clamp(sin(pi*d/510 + phase))*255). Returns
+    (b, g, r) f32 arrays with exact small-integer values *iff* the
+    backend's f32 sin reproduces the float64 LUT — which
+    :func:`heatmap_sine_is_exact` verifies per backend.
+    """
+    u = d.astype(jnp.float32) * jnp.float32(np.pi / 510.0)
+    half = jnp.float32(np.pi / 2)
+
+    def chan(phase):
+        v = jnp.sin(u + phase) * 255.0
+        return jnp.floor(jnp.clip(v, 0.0, 255.0))
+
+    return chan(half), chan(jnp.float32(0.0)), chan(-half)
+
+
+@functools.lru_cache(maxsize=None)
+def heatmap_sine_is_exact() -> bool:
+    """One-time on-device check: does the sine path reproduce the float64
+    LUT for every one of the 766 possible inputs on this backend?"""
+    try:
+        d = jnp.arange(766, dtype=jnp.int32)
+        b, g, r = jax.jit(_heatmap_sine_channels)(d)
+        got = np.stack(
+            [np.asarray(b), np.asarray(g), np.asarray(r)], axis=1
+        ).astype(np.int32)
+        return bool(np.array_equal(got, reference_cpu.heatmap_lut().astype(np.int32)))
+    except Exception:
+        return False
+
+
+def heatmap(current: Array, previous: Array, use_sine: bool = False) -> Array:
     """Per-pixel sum|Δ| -> sine-colormap LUT, BGR out; flat uint8.
 
-    sum|Δ| comes from one extract-matmul over |cur-prev|; the LUT is
-    packed (3 bytes per int32) so only one gather runs on the (M,128)
-    layout; channels unpack with shifts and scatter back through
-    replicate-matmuls.
+    sum|Δ| comes from one extract-matmul over |cur-prev|. Two value
+    paths: ``use_sine`` evaluates the colormap directly on the VPU
+    (callers must have verified :func:`heatmap_sine_is_exact` on this
+    backend — DeltaStreamPipeline does); otherwise the 766-entry LUT is
+    packed (3 bytes per int32) so a single gather runs on the (M,128)
+    layout. Channels scatter back through replicate-matmuls.
     """
     if not _layout_ok(current):
         lut = _heatmap_lut_dev()
@@ -224,11 +258,17 @@ def heatmap(current: Array, previous: Array) -> Array:
         current.astype(jnp.int16) - previous.astype(jnp.int16)
     ).astype(jnp.uint8)
     d = _per_pixel(ad, (1, 1, 1)).astype(jnp.int32)  # (M,128) 0..765
-    packed = jnp.take(_heatmap_lut_packed(), d, axis=0)
+    if use_sine:
+        chans = _heatmap_sine_channels(d)
+    else:
+        packed = jnp.take(_heatmap_lut_packed(), d, axis=0)
+        chans = [
+            jnp.bitwise_and(packed >> (8 * c), 255).astype(jnp.float32)
+            for c in range(3)
+        ]
     out = jnp.zeros((d.shape[0], _ROW), jnp.float32)
     for c in range(3):
-        ch = jnp.bitwise_and(packed >> (8 * c), 255).astype(jnp.float32)
-        out = out + _replicate(ch, (c,))
+        out = out + _replicate(chans[c], (c,))
     return out.astype(jnp.uint8).reshape(-1)
 
 

@@ -178,19 +178,19 @@ def device_synthetic_frames(config: StreamConfig, seed: int = 0):
     cfg = config
     h, w = cfg.height, cfg.width
     key = jax.random.PRNGKey(seed)
-    background = jax.random.randint(
-        key, (h, w, 3), 0, 256, dtype=jnp.int32
-    )
+    # all ops in the (h, w*3) byte view — a (h, w, 3) view would force a
+    # minor-dim-3 relayout of the whole frame every frame
+    background = jax.random.randint(key, (h, w * 3), 0, 256, dtype=jnp.int32)
 
     def next_frame(key, t):
-        nz = jax.random.randint(key, (h, w, 3), -10, 11, dtype=jnp.int32)
+        nz = jax.random.randint(key, (h, w * 3), -10, 11, dtype=jnp.int32)
         img = background + nz
         s = max(1, min(200, h // 2, w // 2))
         y = (t * 12) % (h - s)
         x = (t * 24) % (w - s)
-        ys = jax.lax.broadcasted_iota(jnp.int32, (h, w, 3), 0)
-        xs = jax.lax.broadcasted_iota(jnp.int32, (h, w, 3), 1)
-        inbox = (ys >= y) & (ys < y + s) & (xs >= x) & (xs < x + s)
+        ys = jax.lax.broadcasted_iota(jnp.int32, (h, w * 3), 0)
+        xb = jax.lax.broadcasted_iota(jnp.int32, (h, w * 3), 1) // 3
+        inbox = (ys >= y) & (ys < y + s) & (xb >= x) & (xb < x + s)
         img = jnp.where(inbox, 255, img)
         return jnp.clip(img, 0, 255).astype(jnp.uint8).reshape(-1)
 
