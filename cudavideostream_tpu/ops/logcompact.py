@@ -84,6 +84,76 @@ def _flat_roll_right(x, s: int, rows: int):
     return jnp.where(lane >= sl, same, prv)
 
 
+def _kernel_v2(cur_ref, prev_ref, thr_ref, new_prev_ref, out_ref, cnt_ref,
+               *, tile_rows: int, negfeed: bool):
+    """Per-element LSB-first shift compaction — ~16 dense passes.
+
+    Each masked element must move left by its hole count
+    ``holes_i = flat_i - (incl_i - 1)``; holes is nondecreasing along the
+    tile. Processing the gap bits LSB-first, a lane-level collision at
+    bit b (an element arriving on a staying element) would require
+    ``holes_j < holes_i`` for some ``j > i`` — impossible — so each step
+    is a plain roll + select with no carried occupancy state
+    (tests/test_negative_examples.py pins the bit-order argument; an
+    exhaustive lane-level simulation to n=11 and the byte-exact oracle
+    tests at all densities pin the result).
+
+    Empty lanes hold 0, which is unambiguous because a valid packed
+    payload ``idx*256 + delta`` is never 0 (delta 0 never ships).
+    """
+    i = pl.program_id(0)
+    thr = thr_ref[0]
+    R = tile_rows
+    n_flat = R * LANES
+
+    cur = cur_ref[:].astype(jnp.int32)
+    prev = prev_ref[:].astype(jnp.int32)
+    df = cur - prev
+    m = jnp.abs(df) > thr
+    if negfeed:
+        new_prev_ref[:] = jnp.where(m, cur_ref[:], prev_ref[:])
+    else:
+        new_prev_ref[:] = cur_ref[:]
+
+    mi = m.astype(jnp.int32)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
+    flat = sub * LANES + lane
+    gidx = i * n_flat + flat
+
+    x = jnp.where(m, gidx * 256 + jnp.bitwise_and(df, 255), 0)
+
+    # flat inclusive cumsum: lane-phase Hillis-Steele + row-prefix add
+    incl = mi
+    s = 1
+    while s < LANES:
+        incl = incl + jnp.where(lane >= s, pltpu.roll(incl, s, 1), 0)
+        s *= 2
+    rowtot = jnp.broadcast_to(incl[:, LANES - 1 : LANES], (R, LANES))
+    rowpre = rowtot
+    s = 1
+    while s < R:
+        rowpre = rowpre + jnp.where(sub >= s, pltpu.roll(rowpre, s, 0), 0)
+        s *= 2
+    incl = incl + (rowpre - rowtot)
+
+    holes = jnp.where(m, flat - (incl - 1), 0)
+
+    b = 1
+    while b < n_flat:
+        rx = _flat_roll_left(x, b, R)
+        rh = _flat_roll_left(holes, b, R)
+        src_ok = flat + b < n_flat  # static pattern: no wrap-in
+        take = src_ok & (rx != 0) & (jnp.bitwise_and(rh, b) != 0)
+        stay = (x != 0) & (jnp.bitwise_and(holes, b) == 0)
+        x = jnp.where(take, rx, jnp.where(stay, x, 0))
+        holes = jnp.where(take, rh, jnp.where(stay, holes, 0))
+        b *= 2
+
+    out_ref[:] = x
+    cnt_ref[i, 0] = incl[R - 1, LANES - 1]
+
+
 def _kernel(cur_ref, prev_ref, thr_ref, new_prev_ref, out_ref, cnt_ref,
             *, tile_rows: int, negfeed: bool):
     i = pl.program_id(0)
@@ -173,7 +243,7 @@ def _kernel(cur_ref, prev_ref, thr_ref, new_prev_ref, out_ref, cnt_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("threshold", "negative_feedback", "interpret")
+    jax.jit, static_argnames=("threshold", "negative_feedback", "interpret", "scheme")
 )
 def fused_diff_compact(
     current: Array,
@@ -181,6 +251,7 @@ def fused_diff_compact(
     threshold: int = 20,
     negative_feedback: bool = True,
     interpret: bool = False,
+    scheme: str = "element",
 ) -> Tuple[Array, Array, Array, Array]:
     """Fused kernel2: ``(cur, prev) -> (pos, xs, vals, new_prev)``.
 
@@ -188,6 +259,10 @@ def fused_diff_compact(
     (index packing), which covers 1080p BGR24 (6,220,800 B). Outputs:
     ``pos`` int32; ``xs`` int32 (zero past pos); ``vals`` uint8 (zero past
     pos); ``new_prev`` uint8.
+
+    ``scheme``: ``"element"`` (default) = per-element LSB-first shifts,
+    ~log2(tile) dense passes; ``"segment"`` = bit-serial segment merging,
+    ~sum-of-bits passes (kept as the independently-derived cross-check).
     """
     n = current.shape[0]
     if n % (LANES * 8):
@@ -202,7 +277,8 @@ def fused_diff_compact(
     prev2 = previous.reshape(rows, LANES)
     thr = jnp.full((1,), threshold, jnp.int32)
 
-    kernel = functools.partial(_kernel, tile_rows=tile_rows, negfeed=negative_feedback)
+    body = _kernel_v2 if scheme == "element" else _kernel
+    kernel = functools.partial(body, tile_rows=tile_rows, negfeed=negative_feedback)
     new_prev, packed_t, counts = pl.pallas_call(
         kernel,
         grid=(grid,),
