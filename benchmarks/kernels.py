@@ -1,24 +1,47 @@
 """Per-kernel benchmark table — the rebuild of the reference's nvprof
-tables (report.tex §per-kernel; raw data ``tests/*/times*``).
+tables (report.tex; raw data ``tests/*/times*``).
 
-Run on TPU:  ``python benchmarks/kernels.py [--out benchmarks/times_tpu]``
+Methodology: each kernel is chained K times inside one ``lax.scan`` with
+its output threaded back into its input (so the compiler cannot hoist
+loop-invariant work), timed over several scan invocations with a real
+device-get sync. This measures pure device time, robust to host/tunnel
+jitter — the moral equivalent of nvprof's kernel-average column.
 
-Writes one ``name<TAB>ms`` row per kernel, comparable against the
-reference's Jetson numbers recorded in BASELINE.md.
+Run on TPU:  ``python benchmarks/kernels.py [--out benchmarks/times_tpu_v5e]``
 """
 
 from __future__ import annotations
 
 import argparse
-import sys
+import time
 
 import os, sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
+K = 24      # chain length inside the scan
+ITERS = 4   # scan invocations per measurement
+
+
+def _bench_scan(chain, init_carry):
+    """ms per chain step: jit(scan(chain)) timed over ITERS invocations."""
+    import jax
+
+    @jax.jit
+    def run(c):
+        return jax.lax.scan(lambda c, _: (chain(c), None), c, None, length=K)[0]
+
+    c = run(init_carry)
+    jax.device_get(jax.tree_util.tree_leaves(c)[0].ravel()[0])
+    t0 = time.perf_counter()
+    c = init_carry
+    for _ in range(ITERS):
+        c = run(c)
+    jax.device_get(jax.tree_util.tree_leaves(c)[0].ravel()[0])
+    return 1e3 * (time.perf_counter() - t0) / (K * ITERS)
+
 
 def run(out_path: str | None = None):
-    import jax
     import jax.numpy as jnp
 
     from cudavideostream_tpu.config import StreamConfig
@@ -30,9 +53,10 @@ def run(out_path: str | None = None):
         overlay,
         reference_cpu,
     )
-    from cudavideostream_tpu.utils import fonts, timing
+    from cudavideostream_tpu.utils import fonts
 
     cfg = StreamConfig()
+    h, w = cfg.height, cfg.width
     rng = np.random.default_rng(0)
     n = cfg.frame_bytes
     prev = jnp.asarray(rng.integers(0, 255, n, endpoint=True, dtype=np.uint8))
@@ -43,43 +67,63 @@ def run(out_path: str | None = None):
         np.asarray(prev),
     ).astype(np.uint8)
     cur = jnp.asarray(cur_np)
+    sine_ok = filters.heatmap_sine_is_exact()
 
-    # (name, reference Jetson ms from BASELINE.md, fn, args)
+    def chain_diff_compact(c):
+        a, b = c
+        _, xs, vals, new_prev = logcompact.fused_diff_compact(a, b)
+        # fold a payload byte back in so nothing is dead code
+        return b, new_prev ^ vals[:1].astype(jnp.uint8)
+
+    def chain_diff_mask(c):
+        a, b = c
+        m, v, np_ = diff.diff_mask(a, b, 20)
+        return b, np_
+
+    def chain_heatmap(c):
+        a, b = c
+        return b, filters.heatmap(a, b, use_sine=sine_ok)
+
+    def chain_red(c):
+        a, b = c
+        m, _, _ = diff.diff_mask(a, b, 20)
+        return b, filters.red_overlap(a, m)
+
+    def chain_hist(frame):
+        hist = filters.gray_histogram(frame)
+        return frame ^ jnp.bitwise_and(hist[0], 1).astype(jnp.uint8)
+
+    atlas = jnp.asarray(fonts.make_atlas(cfg.overlay_scale))
+    ids = jnp.asarray(fonts.encode_text("FPS: 30 BW: 5 kbps", 28), jnp.int32)
+
     entries = [
-        ("diff+compact_pallas", 3.42, lambda c, p: logcompact.fused_diff_compact(c, p), (cur, prev)),
-        ("diff_mask_only", 3.42, lambda c, p: diff.diff_mask(c, p, 20), (cur, prev)),
-        ("grayscale_avg", None, filters.grayscale_average, (cur,)),
-        ("grayscale_weighted", None, filters.grayscale_weighted, (cur,)),
-        ("histogram", None, filters.gray_histogram, (cur,)),
-        ("binarize_pipeline", None, filters.binarize_pipeline, (cur,)),
-        ("heatmap", 20.99, filters.heatmap, (cur, prev)),
-        ("red_overlap", 0.915, lambda p, c: filters.red_overlap(p, diff.diff_mask(c, p, 20)[0]), (prev, cur)),
+        ("diff+compact_pallas", 3.42, chain_diff_compact, (cur, prev)),
+        ("diff_mask_only", 3.42, chain_diff_mask, (cur, prev)),
+        ("grayscale_avg", None, filters.grayscale_average, cur),
+        ("grayscale_weighted", None, filters.grayscale_weighted, cur),
+        ("histogram", None, chain_hist, cur),
+        ("binarize_pipeline", None, filters.binarize_pipeline, cur),
+        ("heatmap" + ("_sine" if sine_ok else "_lut"), 20.99, chain_heatmap, (cur, prev)),
+        ("red_overlap", 0.915, chain_red, (prev, cur)),
     ]
     for k, ref_ms in ((3, 5.1), (5, 9.8), (7, 17.7), (9, 27.7)):
         wq = reference_cpu.quantize_kernel_q16(reference_cpu.gaussian_kernel(k))
         entries.append(
             (f"gaussian_conv_k{k}", ref_ms,
-             lambda f, wq=wq: convolve.convolve_q16(f, wq, cfg.height, cfg.width),
-             (cur,))
+             lambda f, wq=wq: convolve.convolve_q16(f, wq, h, w), cur)
         )
     entries.append(
-        ("median_k5", 574.67,
-         lambda f: convolve.median_filter(f, 5, cfg.height, cfg.width), (cur,))
+        ("median_k5", 574.67, lambda f: convolve.median_filter(f, 5, h, w), cur)
     )
-    atlas = jnp.asarray(fonts.make_atlas(cfg.overlay_scale))
-    ids = jnp.asarray(fonts.encode_text("FPS: 30 BW: 5 kbps", 28), jnp.int32)
     entries.append(
-        ("text_overlay_18ch", 18 * 0.001868,  # per-char 1.868 us x 18
-         lambda f: overlay.overlay_blit(f, atlas, ids, jnp.int32(18), cfg.height, cfg.width),
-         (cur,))
+        ("text_overlay_18ch", 18 * 0.001868,
+         lambda f: overlay.overlay_blit(f, atlas, ids, jnp.int32(18), h, w), cur)
     )
 
     rows = []
-    for name, ref_ms, fn, args in entries:
-        f = jax.jit(fn)
-        timing._sync(f(*args))
-        ms = timing.bench_op_amortized(f, *args, iters=10)
-        speedup = f"{ref_ms/ms:7.1f}x" if ref_ms else "      -"
+    for name, ref_ms, fn, init in entries:
+        ms = _bench_scan(fn, init)
+        speedup = f"{ref_ms/ms:7.1f}x" if ref_ms and ms > 1e-6 else "      -"
         rows.append((name, ms, ref_ms))
         print(f"{name:24s} {ms:8.3f} ms   jetson {ref_ms or float('nan'):8.3f} ms  {speedup}",
               flush=True)
@@ -88,7 +132,7 @@ def run(out_path: str | None = None):
         with open(out_path, "w") as f:
             for name, ms, ref_ms in rows:
                 f.write(f"{name}\t{ms:.4f}\t{'' if ref_ms is None else ref_ms}\n")
-        print(f"wrote {out_path}", file=sys.stderr)
+        print(f"wrote {out_path}")
     return rows
 
 

@@ -31,14 +31,16 @@ def convolve_q16(
     """
     k = weights_q16.shape[0]
     pad = k // 2
-    img = frame.reshape(height, width, 3).astype(jnp.int32)
-    padded = jnp.pad(img, ((pad, pad), (pad, pad), (0, 0)))
+    # byte-space 2D view: an (h, w, 3) view would relayout the whole
+    # frame (minor dim 3); a horizontal pixel shift is a 3-byte shift
+    img = frame.reshape(height, width * 3).astype(jnp.int32)
+    padded = jnp.pad(img, ((pad, pad), (3 * pad, 3 * pad)))
     acc = jnp.zeros_like(img)
     for i in range(k):
         for j in range(k):
             w = int(weights_q16[i, j])
             if w:
-                acc = acc + w * padded[i : i + height, j : j + width]
+                acc = acc + w * padded[i : i + height, 3 * j : 3 * j + width * 3]
     out = jnp.clip(acc >> 16, 0, 255).astype(jnp.uint8)
     return out.reshape(-1)
 
@@ -90,10 +92,10 @@ def median_filter(frame: Array, k: int, height: int, width: int) -> Array:
     first ``k*k`` slots is the true median.
     """
     pad = k // 2
-    img = frame.reshape(height, width, 3)
-    padded = jnp.pad(img, ((pad, pad), (pad, pad), (0, 0)))
+    img = frame.reshape(height, width * 3)  # byte-space view (see above)
+    padded = jnp.pad(img, ((pad, pad), (3 * pad, 3 * pad)))
     win = [
-        padded[i : i + height, j : j + width]
+        padded[i : i + height, 3 * j : 3 * j + width * 3]
         for i in range(k)
         for j in range(k)
     ]

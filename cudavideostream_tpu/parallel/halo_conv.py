@@ -20,8 +20,9 @@ from jax import Array
 def halo_exchange_rows(local: Array, pad: int, axis_name: str) -> Array:
     """Concatenate ``pad`` rows from each neighbor around ``local``.
 
-    ``local`` is (rows, W, C); returns (rows + 2*pad, W, C). Global edge
-    shards receive zeros, matching the reference's zero padding.
+    ``local`` is (rows, row_bytes); returns (rows + 2*pad, row_bytes).
+    Global edge shards receive zeros, matching the reference's zero
+    padding.
     """
     n = jax.lax.axis_size(axis_name)
     idx = jax.lax.axis_index(axis_name)
@@ -50,17 +51,21 @@ def sharded_convolve_q16(
     width: int,
     axis_name: str,
 ) -> Array:
-    """Per-shard body: flat local rows -> convolved flat local rows."""
+    """Per-shard body: flat local rows -> convolved flat local rows.
+
+    Byte-space (rows, W*3) view throughout (a (…,3) view would relayout);
+    horizontal pixel shifts are 3-byte shifts.
+    """
     k = weights_q16.shape[0]
     pad = k // 2
-    img = local_frame.reshape(local_rows, width, 3).astype(jnp.int32)
+    img = local_frame.reshape(local_rows, width * 3).astype(jnp.int32)
     img = halo_exchange_rows(img, pad, axis_name)
     # horizontal zero padding is shard-local
-    img = jnp.pad(img, ((0, 0), (pad, pad), (0, 0)))
-    acc = jnp.zeros((local_rows, width, 3), jnp.int32)
+    img = jnp.pad(img, ((0, 0), (3 * pad, 3 * pad)))
+    acc = jnp.zeros((local_rows, width * 3), jnp.int32)
     for i in range(k):
         for j in range(k):
             w = int(weights_q16[i, j])
             if w:
-                acc = acc + w * img[i : i + local_rows, j : j + width]
+                acc = acc + w * img[i : i + local_rows, 3 * j : 3 * j + width * 3]
     return jnp.clip(acc >> 16, 0, 255).astype(jnp.uint8).reshape(-1)

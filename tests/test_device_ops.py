@@ -227,3 +227,22 @@ class TestOverlay:
             64,
         )
         np.testing.assert_array_equal(np.asarray(out), cur)
+
+
+class TestCompactionSchemesAgree:
+    def test_element_vs_segment_cross_check(self, pair):
+        """Two independently-derived Pallas compaction schemes must
+        produce identical outputs (mutual cross-check, plus both are
+        tested against the oracle elsewhere)."""
+        from cudavideostream_tpu.ops import logcompact
+
+        prev, cur = pair
+        a = logcompact.fused_diff_compact(
+            jnp.asarray(cur), jnp.asarray(prev), interpret=True, scheme="element"
+        )
+        b = logcompact.fused_diff_compact(
+            jnp.asarray(cur), jnp.asarray(prev), interpret=True, scheme="segment"
+        )
+        assert int(a[0]) == int(b[0])
+        for x, y in zip(a[1:], b[1:]):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
