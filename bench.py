@@ -136,51 +136,14 @@ def main(argv=None) -> int:
 
 
 def _kernel_table(cfg, file=sys.stderr) -> None:
-    """Per-kernel ms table mirroring the reference's nvprof tables."""
-    import jax
-    import jax.numpy as jnp
+    """Per-kernel ms table (scan-chained; see benchmarks/kernels.py)."""
+    import os
+    import sys as _sys
 
-    from cudavideostream_tpu.ops import (
-        convolve,
-        diff,
-        filters,
-        logcompact,
-        overlay,
-        reference_cpu,
-    )
-    from cudavideostream_tpu.utils import fonts, timing
+    _sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from benchmarks import kernels
 
-    rng = np.random.default_rng(0)
-    n = cfg.frame_bytes
-    prev = jnp.asarray(rng.integers(0, 255, n, endpoint=True, dtype=np.uint8))
-    cur = jnp.asarray(rng.integers(0, 255, n, endpoint=True, dtype=np.uint8))
-    rows = []
-
-    def add(name, fn, *a):
-        f = jax.jit(fn)
-        timing._sync(f(*a))
-        rows.append((name, timing.bench_op_amortized(f, *a, iters=10)))
-
-    add("diff+compact (pallas)", lambda c, p: logcompact.fused_diff_compact(c, p), cur, prev)
-    add("diff mask only", lambda c, p: diff.diff_mask(c, p, 20), cur, prev)
-    add("grayscale avg", filters.grayscale_average, cur)
-    add("grayscale weighted", filters.grayscale_weighted, cur)
-    add("binarize pipeline", filters.binarize_pipeline, cur)
-    add("heatmap", filters.heatmap, cur, prev)
-    add("red overlap", lambda p, c: filters.red_overlap(p, diff.diff_mask(c, p, 20)[0]), prev, cur)
-    for k in (3, 5, 7, 9):
-        wq = reference_cpu.quantize_kernel_q16(reference_cpu.gaussian_kernel(k))
-        add(f"gaussian conv K={k}",
-            lambda f_, wq=wq: convolve.convolve_q16(f_, wq, cfg.height, cfg.width), cur)
-    add("median K=3", lambda f_: convolve.median_filter(f_, 3, cfg.height, cfg.width), cur)
-    atlas = jnp.asarray(fonts.make_atlas(cfg.overlay_scale))
-    ids = jnp.asarray(fonts.encode_text("FPS: 30 BW: 5 kbps", 28), jnp.int32)
-    add("text overlay (18 chars)",
-        lambda f_: overlay.overlay_blit(f_, atlas, ids, jnp.int32(18), cfg.height, cfg.width), cur)
-
-    print("\nper-kernel ms (1080p frame):", file=file)
-    for name, ms in rows:
-        print(f"  {name:28s} {ms:8.3f} ms", file=file)
+    kernels.run()
 
 
 if __name__ == "__main__":

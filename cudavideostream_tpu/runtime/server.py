@@ -38,7 +38,8 @@ from cudavideostream_tpu.runtime.sources import FrameSource, make_source
 class DeltaStreamServer:
     def __init__(self, config: StreamConfig, source: FrameSource,
                  executor: StreamExecutor | None = None, verbose: bool = True,
-                 overlay_status: bool = True):
+                 overlay_status: bool = True, aux_dir: str | None = None,
+                 aux_every: int = 30):
         self.cfg = config
         self.source = source
         self.executor = executor or StreamExecutor(config)
@@ -46,6 +47,11 @@ class DeltaStreamServer:
         # render the 1 Hz status into the video (server.cpp:166-168);
         # off => deterministic streams for tests
         self.overlay_status = overlay_status
+        # visualizer-frame sink: the reference imshows the aux frame on a
+        # dedicated thread when SERVER_IMSHOW is set (th_noise_hdl,
+        # threads.cpp:149-164); headless equivalent: periodic PPM dumps
+        self.aux_dir = aux_dir
+        self.aux_every = aux_every
         self._sock: socket.socket | None = None
 
     def listen(self) -> socket.socket:
@@ -98,6 +104,14 @@ class DeltaStreamServer:
             result = self.executor.process(frame, text=text)
             if result is not None:  # pipelined executors lag one frame
                 self._send_payload(conn, result)
+                aux = result[3]
+                if self.aux_dir and aux is not None and n % self.aux_every == 0:
+                    from cudavideostream_tpu.runtime.client import write_ppm
+
+                    write_ppm(
+                        f"{self.aux_dir}/aux_{n:06d}.ppm",
+                        aux, self.cfg.height, self.cfg.width,
+                    )
             n += 1
             line = self.executor.metrics.status_line(read_s)
             if line:
@@ -148,6 +162,9 @@ def main(argv=None) -> int:
     p.add_argument("--frames", type=int, default=None,
                    help="stop after N frames (default: run forever)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--aux-dir", default=None,
+                   help="dump visualizer aux frames as PPMs here "
+                        "(the headless SERVER_IMSHOW)")
     args = p.parse_args(argv)
 
     cfg = StreamConfig(
@@ -171,7 +188,10 @@ def main(argv=None) -> int:
         from cudavideostream_tpu.runtime.executor import PipelinedExecutor
 
         executor = PipelinedExecutor(cfg)
-    server = DeltaStreamServer(cfg, source, executor=executor)
+    import os as _os
+    if args.aux_dir:
+        _os.makedirs(args.aux_dir, exist_ok=True)
+    server = DeltaStreamServer(cfg, source, executor=executor, aux_dir=args.aux_dir)
     served = server.serve(max_frames=args.frames)
     print(f"served {served} frames", file=sys.stderr)
     return 0
