@@ -105,6 +105,15 @@ class DeltaStreamPipeline:
             aux = filter_ops.binarize_pipeline(cur)
 
         needs_mask = cfg.visualizer in (Visualizer.RED_BLACK, Visualizer.RED_OVERLAP)
+        if cfg.frame_bytes >= (1 << 23) and cfg.compaction.value == "pallas":
+            # 4K+ single-chip exceeds the packed-index range; the sort
+            # fallback compiles pathologically at that size. Row-sharding
+            # keeps each shard's local frame within range.
+            raise NotImplementedError(
+                f"frames of {cfg.frame_bytes} bytes exceed the single-chip "
+                "packed-index compaction range (2^23); shard rows across "
+                "chips with parallel.ShardedDeltaPipeline instead"
+            )
         pallas_ok = cfg.frame_bytes % 1024 == 0 and cfg.frame_bytes < (1 << 23)
         if cfg.compaction.value == "pallas" and pallas_ok:
             pos, xs, vals, new_prev = logcompact.fused_diff_compact(

@@ -36,6 +36,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from cudavideostream_tpu.config import StreamConfig, Visualizer
 from cudavideostream_tpu.ops import compact as compact_ops
 from cudavideostream_tpu.ops import diff as diff_ops
+from cudavideostream_tpu.ops import logcompact
 from cudavideostream_tpu.ops import filters as filter_ops
 from cudavideostream_tpu.ops import reference_cpu
 from cudavideostream_tpu.parallel.halo_conv import sharded_convolve_q16
@@ -68,6 +69,7 @@ class ShardedDeltaPipeline:
         self.conv_q16 = reference_cpu.quantize_kernel_q16(conv_weights)
         self.atlas_np = fonts.make_atlas(config.overlay_scale)
         self.atlas = jnp.asarray(self.atlas_np)
+        self._interpret = jax.default_backend() == "cpu"
         # payload capacity rounded so every shard block fits at any offset
         self.capacity = config.frame_bytes
 
@@ -131,19 +133,42 @@ class ShardedDeltaPipeline:
             thr = jax.vmap(filter_ops.binarize_threshold)(hist)
             aux = jax.vmap(filter_ops.binarize)(gray, thr)
 
-        mask, vals_dense, new_prev = jax.vmap(
-            lambda c, p: diff_ops.diff_mask(c, p, cfg.threshold, cfg.negative_feedback)
-        )(cur, prev)
+        needs_mask = cfg.visualizer in (Visualizer.RED_BLACK, Visualizer.RED_OVERLAP)
+        # local deterministic compaction (ascending local index): the
+        # flagship Pallas kernel per shard when the local frame fits its
+        # packed-index range — this is how >2^23-byte (4K+) frames scale:
+        # shard rows until each local slice fits
+        pallas_ok = Ln % 1024 == 0 and Ln < (1 << 23)
+        if pallas_ok:
+            lpos, lxs, lvals, new_prev = jax.vmap(
+                lambda c, p: logcompact.fused_diff_compact(
+                    c, p,
+                    threshold=cfg.threshold,
+                    negative_feedback=cfg.negative_feedback,
+                    interpret=self._interpret,
+                )
+            )(cur, prev)
+            mask = (
+                jax.vmap(lambda c, p: diff_ops.diff_mask(c, p, cfg.threshold)[0])(
+                    cur, prev
+                )
+                if needs_mask
+                else None
+            )
+        else:
+            mask, vals_dense, new_prev = jax.vmap(
+                lambda c, p: diff_ops.diff_mask(
+                    c, p, cfg.threshold, cfg.negative_feedback
+                )
+            )(cur, prev)
+            lpos, lxs, lvals = jax.vmap(
+                lambda m, v: compact_ops.compact_sort(m, v, Ln)
+            )(mask, vals_dense)
 
         if cfg.visualizer == Visualizer.RED_BLACK:
             aux = jax.vmap(filter_ops.red_black)(mask)
         elif cfg.visualizer == Visualizer.RED_OVERLAP:
             aux = jax.vmap(filter_ops.red_overlap)(prev, mask)
-
-        # local deterministic compaction (ascending local index)
-        lpos, lxs, lvals = jax.vmap(
-            lambda m, v: compact_ops.compact_sort(m, v, Ln)
-        )(mask, vals_dense)
         # globalize indices (padding stays zero)
         lane = jax.lax.broadcasted_iota(jnp.int32, (Bl, Ln), 1)
         valid = lane < lpos[:, None]

@@ -143,3 +143,15 @@ class TestServerCLIPlumbing:
             cli.read_frame()
         cli.close()
         t.join(timeout=20)
+
+
+class TestLargeFrameGuard:
+    def test_4k_single_chip_guides_to_sharding(self):
+        from cudavideostream_tpu.config import StreamConfig
+        from cudavideostream_tpu.models import DeltaStreamPipeline
+
+        cfg = StreamConfig(height=2160, width=3840)  # 24.8 MB > 2^23
+        pipe = DeltaStreamPipeline(cfg)
+        prev = pipe.init_state(np.zeros(cfg.frame_bytes, np.uint8))
+        with pytest.raises(Exception, match="Sharded"):
+            pipe.step(prev, np.zeros(cfg.frame_bytes, np.uint8))

@@ -99,3 +99,12 @@ class TestShardedPipeline:
         cfg = StreamConfig(height=50, width=64)  # 50 % 4 != 0
         with pytest.raises(ValueError):
             ShardedDeltaPipeline(cfg, mesh8)
+
+
+def test_pallas_kernel_per_shard(mesh8):
+    """Geometry where each shard's local bytes hit the Pallas kernel's
+    constraints (Ln % 1024 == 0): the flagship kernel runs inside
+    shard_map. 32x128x3 over space=4 -> 3072 B/shard."""
+    cfg = StreamConfig(height=32, width=128, overlay_scale=1)
+    assert (cfg.frame_bytes // 4) % 1024 == 0
+    run_and_compare(cfg, mesh8, n_frames=2)
