@@ -183,7 +183,10 @@ def device_synthetic_frames(config: StreamConfig, seed: int = 0):
     background = jax.random.randint(key, (h, w * 3), 0, 256, dtype=jnp.int32)
 
     def next_frame(key, t):
-        nz = jax.random.randint(key, (h, w * 3), -10, 11, dtype=jnp.int32)
+        # uint8 random bits (4x less RNG traffic than int32 randint);
+        # mod-21 bias is irrelevant for synthetic sensor noise
+        bits = jax.random.bits(key, (h, w * 3), jnp.uint8)
+        nz = (bits % 21).astype(jnp.int32) - 10
         img = background + nz
         s = max(1, min(200, h // 2, w // 2))
         y = (t * 12) % (h - s)
