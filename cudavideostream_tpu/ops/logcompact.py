@@ -1,39 +1,38 @@
-"""Branch-free Pallas TPU stream compaction via bit-serial segment merging.
+"""Branch-free Pallas TPU stream compaction.
 
 The TPU-native ``kernel2`` (reference ``server/src/kernels.cu:289-334``),
-designed for how a TPU actually executes: *zero* scalar control flow, no
-atomics, no gathers — just ~150 dense vector ops over the tile.
+designed for how a TPU actually executes: zero scalar control flow, no
+atomics, no gathers.
 
-Algorithm ("logcompact"). View the tile as a flat sequence of
-``tile_rows * 128`` byte slots. A masked slot holds a packed payload
-``idx*256 + delta`` (idx < 2^23 so it fits int32); unmasked slots hold 0.
-Every slot is a trivially-compacted width-1 segment. Then for
-``W = 1, 2, 4, ... tile/2`` merge segment pairs: the right segment's
-valid prefix (length ``c_R``) slides left by ``gap = W - c_L`` into the
-left segment's holes. The slide happens bit-serially — one step per bit
-``b`` of ``gap``, moving the block ``2^b`` slots when that bit is set —
-and each step is a *dense* lane/sublane roll plus a per-lane select whose
-condition is computed analytically:
+Two schemes, both byte-exact against the oracle and each other:
 
-* ``take[l] = bit_b(gap) and (src = l + 2^b) inside the moving block's
-  current span``, where the span is known in closed form from the bits of
-  ``gap`` already applied (``sigma = gap & (2^b - 1)``);
-* segment-uniform quantities (``c_L``, ``c_R``, ``gap``) come from
-  inclusive-cumsum values at segment boundaries, maintained by one
-  roll+select per level (the ``E``/``S`` recursions below).
+**element (default)** — per-element LSB-first bit-serial shifting. Every
+masked slot holds a packed payload ``idx*256 + delta`` (idx < 2^23 so it
+fits int32; holes hold 0, which no valid payload equals) and must move
+left by its hole count ``holes_i = flat_i - (incl_i - 1)``. Holes are
+nondecreasing along the frame, so shifting one gap-bit at a time,
+LSB-first, can never land an element on a staying one: a collision at
+bit b would need ``holes_j < holes_i`` for ``j > i`` (write out
+``p_j - 2^b = p_i`` with ``p = orig - (holes mod 2^b)`` and bit b set on
+j but not i — it forces the higher bits of ``holes_j`` below those of
+``holes_i``). Hence ~log2(tile) ≈ 16 dense roll+select passes. The bit
+ORDER is essential: MSB-first collides (see
+tests/test_negative_examples.py).
 
-Because exactly one block moves per segment and it only ever lands on
-holes, there are no write conflicts — the correctness argument the
-reference gets from hardware atomics, this kernel gets from arithmetic.
+**segment** — bit-serial segment merging: for ``W = 1,2,4,...`` the right
+sibling's compacted prefix slides left by ``gap = W - c_L`` over the left
+sibling's holes, with spans computed in closed form from cumsum values at
+segment boundaries; ~sum-of-bits ≈ 136 passes. Kept as an independently
+derived cross-check.
 
 Output order is ascending byte index (deterministic; the reference's
 ``atomicInc`` order is nondeterministic, and the client is a pure
 scatter-add so both decode identically — ``client/opencv.cpp:64-66``).
-
-A cheap XLA epilogue concatenates per-tile prefixes with ascending
-``dynamic_update_slice`` and unpacks ``(xs, vals)`` from the packed
-int32; zero-padding past ``pos`` falls out of the packing (packed 0 ->
-xs 0, vals 0).
+Each grid tile emits a tile-locally compacted block plus a count; a cheap
+XLA epilogue (exclusive cumsum over tile counts + ascending
+``dynamic_update_slice``) concatenates tile prefixes into the flat
+``(pos, xs, vals)`` payload, preserving the zero-padding invariant past
+``pos``. Worst case (all 6.2M bytes changed) is fully supported.
 """
 
 from __future__ import annotations
