@@ -24,19 +24,34 @@ from cudavideostream_tpu.runtime import wire
 
 class DeltaStreamClient:
     def __init__(self, host: str = "127.0.0.1", port: int = 2734,
-                 height: int = 1080, width: int = 1920):
+                 height: int = 1080, width: int = 1920,
+                 record: str | None = None):
         self.host, self.port = host, port
         self.n_bytes = height * width * 3
         self.frame: np.ndarray | None = None
         self.sock: socket.socket | None = None
+        # tee every received byte to a session journal replayable with
+        # runtime.replay (the wire stream is self-contained)
+        self._rec = open(record, "wb") if record else None
+
+    def _read_exact(self, n: int) -> bytes:
+        data = wire.read_exact(self.sock, n)
+        if self._rec:
+            self._rec.write(data)
+        return data
 
     def connect(self) -> None:
         self.sock = socket.create_connection((self.host, self.port))
-        self.frame = wire.read_base_frame(self.sock, self.n_bytes)
+        self.frame = np.frombuffer(
+            self._read_exact(self.n_bytes), dtype=np.uint8
+        ).copy()
 
     def read_frame(self) -> tuple[int, np.ndarray]:
         """Read and apply one delta; returns (pos, reconstructed frame)."""
-        pos, xs, vals = wire.read_payload(self.sock)
+        (pos,) = np.frombuffer(self._read_exact(4), dtype="<u4")
+        pos = int(pos)
+        xs = np.frombuffer(self._read_exact(pos * 4), dtype="<i4")
+        vals = np.frombuffer(self._read_exact(pos), dtype=np.uint8)
         if pos:
             if xs.min() < 0 or xs.max() >= self.n_bytes:
                 raise ValueError("payload index out of range")
@@ -46,6 +61,9 @@ class DeltaStreamClient:
     def close(self) -> None:
         if self.sock:
             self.sock.close()
+        if self._rec:
+            self._rec.close()
+            self._rec = None
 
 
 def write_ppm(path: str, frame: np.ndarray, height: int, width: int) -> None:
@@ -69,9 +87,12 @@ def main(argv=None) -> int:
     p.add_argument("--ppm", help="dump every Nth frame as viewable .ppm "
                                  "images to this directory prefix")
     p.add_argument("--ppm-every", type=int, default=30)
+    p.add_argument("--record", help="tee the raw wire stream to this file "
+                                    "(replay with runtime.replay)")
     args = p.parse_args(argv)
 
-    cli = DeltaStreamClient(args.host, args.port, args.height, args.width)
+    cli = DeltaStreamClient(args.host, args.port, args.height, args.width,
+                            record=args.record)
     cli.connect()
     print(f"base frame received ({cli.n_bytes} bytes)", flush=True)
     saved = []

@@ -1,0 +1,110 @@
+"""Delta-stream recording and replay.
+
+The wire stream is self-contained (base frame + ordered payloads), so a
+byte-capture of it *is* a session journal. This module turns that into
+an ops tool the reference lacks:
+
+* ``DeltaStreamClient``-side recording: ``client --record session.cvs``
+  captures the raw bytes while decoding;
+* :class:`ReplayServer` re-serves a recorded session to any number of
+  sequential clients, byte-identically, with optional pacing — no
+  accelerator needed (think: incident replay, client regression tests,
+  demo reels).
+
+File format: exactly the wire bytes (``[base][u32 pos][xs][vals]...``),
+plus nothing — a recorded file can even be netcat'd at a client.
+"""
+
+from __future__ import annotations
+
+import argparse
+import socket
+import struct
+import sys
+import time
+
+
+class ReplayServer:
+    def __init__(self, path: str, frame_bytes: int, host: str = "127.0.0.1",
+                 port: int = 2734, fps: float | None = None,
+                 verbose: bool = True):
+        self.path = path
+        self.frame_bytes = frame_bytes
+        self.host, self.port_arg = host, port
+        self.fps = fps
+        self.verbose = verbose
+        self._sock: socket.socket | None = None
+        with open(path, "rb") as f:
+            self.data = f.read()
+        if len(self.data) < frame_bytes:
+            raise ValueError(f"{path}: shorter than one base frame")
+        # pre-scan payload boundaries
+        self.marks = []
+        off = frame_bytes
+        while off + 4 <= len(self.data):
+            (pos,) = struct.unpack_from("<I", self.data, off)
+            end = off + 4 + pos * 5
+            if end > len(self.data):
+                break  # truncated tail: ignore
+            self.marks.append((off, end))
+            off = end
+
+    def listen(self) -> None:
+        srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        srv.bind((self.host, self.port_arg))
+        srv.listen(5)
+        self._sock = srv
+        if self.verbose:
+            print(
+                f"replaying {self.path} ({len(self.marks)} frames) on "
+                f"{self.host}:{self.port}",
+                flush=True,
+            )
+
+    @property
+    def port(self) -> int:
+        return self._sock.getsockname()[1]
+
+    def serve(self, max_clients: int = 1) -> int:
+        if self._sock is None:
+            self.listen()
+        served = 0
+        for _ in range(max_clients):
+            conn, _ = self._sock.accept()
+            try:
+                conn.sendall(self.data[: self.frame_bytes])
+                delay = 1.0 / self.fps if self.fps else 0.0
+                for off, end in self.marks:
+                    conn.sendall(self.data[off:end])
+                    served += 1
+                    if delay:
+                        time.sleep(delay)
+            except (BrokenPipeError, ConnectionResetError):
+                pass
+            finally:
+                conn.close()
+        return served
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description="replay a recorded delta stream")
+    p.add_argument("path")
+    p.add_argument("--height", type=int, default=1080)
+    p.add_argument("--width", type=int, default=1920)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=2734)
+    p.add_argument("--fps", type=float, default=None, help="pace the replay")
+    p.add_argument("--clients", type=int, default=1)
+    args = p.parse_args(argv)
+    server = ReplayServer(
+        args.path, args.height * args.width * 3,
+        host=args.host, port=args.port, fps=args.fps,
+    )
+    n = server.serve(max_clients=args.clients)
+    print(f"replayed {n} payloads", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
