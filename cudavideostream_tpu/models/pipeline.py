@@ -125,9 +125,14 @@ class DeltaStreamPipeline:
             )
             if cfg.capacity != cfg.frame_bytes:
                 xs, vals = xs[: cfg.capacity], vals[: cfg.capacity]
-            mask = (
-                diff_ops.diff_mask(cur, prev, cfg.threshold)[0] if needs_mask else None
-            )
+            mask = None
+            if needs_mask:
+                if cfg.negative_feedback and cfg.threshold > 0:
+                    # |df| > thr > 0 implies cur != prev, so the negfeed
+                    # update encodes the mask exactly — no second diff pass
+                    mask = new_prev != prev
+                else:
+                    mask = diff_ops.diff_mask(cur, prev, cfg.threshold)[0]
         else:
             mask, raw_vals, new_prev = diff_ops.diff_mask(
                 cur, prev, cfg.threshold, cfg.negative_feedback

@@ -148,13 +148,16 @@ class ShardedDeltaPipeline:
                     interpret=self._interpret,
                 )
             )(cur, prev)
-            mask = (
-                jax.vmap(lambda c, p: diff_ops.diff_mask(c, p, cfg.threshold)[0])(
-                    cur, prev
-                )
-                if needs_mask
-                else None
-            )
+            mask = None
+            if needs_mask:
+                if cfg.negative_feedback and cfg.threshold > 0:
+                    # |df| > thr > 0 implies cur != prev: the negfeed
+                    # update encodes the mask, saving a second diff pass
+                    mask = new_prev != prev
+                else:
+                    mask = jax.vmap(
+                        lambda c, p: diff_ops.diff_mask(c, p, cfg.threshold)[0]
+                    )(cur, prev)
         else:
             mask, vals_dense, new_prev = jax.vmap(
                 lambda c, p: diff_ops.diff_mask(

@@ -108,3 +108,17 @@ class TestStreaming:
         prev, pos, *_ = pipe.step(prev, base, text="FPS: 1")
         assert int(pos) == 0  # second identical frame+text ships nothing
         assert first > 0
+
+
+def test_red_mode_without_negative_feedback(small_config):
+    """The mask cannot be derived from the state update when negative
+    feedback is off (new_prev == cur); the explicit diff branch must
+    produce identical aux output."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        small_config,
+        visualizer=Visualizer.RED_OVERLAP,
+        negative_feedback=False,
+    )
+    run_match(cfg, n_frames=2)
