@@ -12,15 +12,16 @@ import subprocess
 from typing import Optional
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SO = os.path.join(_DIR, "libcvstpu.so")
+_SO = os.path.join(_DIR, "_build", "libcvstpu.so")  # outside module space
 _SRC = os.path.join(_DIR, "csrc", "cvstpu.c")
 
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
 
-def build(verbose: bool = False) -> bool:
+def build_library(verbose: bool = False) -> bool:
     """Compile the helper library; returns True on success."""
+    os.makedirs(os.path.dirname(_SO), exist_ok=True)
     cmd = [
         os.environ.get("CC", "cc"),
         "-O3",
@@ -49,7 +50,7 @@ def load_native() -> Optional[ctypes.CDLL]:
         return _lib
     _tried = True
     if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
-        if not build():
+        if not build_library():
             return None
     try:
         lib = ctypes.CDLL(_SO)

@@ -5,9 +5,9 @@
 
 import sys
 
-from cudavideostream_tpu.native import _SO, build
+from cudavideostream_tpu.native import _SO, build_library
 
 if __name__ == "__main__":
-    ok = build(verbose=True)
+    ok = build_library(verbose=True)
     print(f"{'built' if ok else 'FAILED to build'} {_SO}")
     sys.exit(0 if ok else 1)
