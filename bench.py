@@ -30,43 +30,40 @@ import numpy as np
 BASELINE_FPS = 26.0
 
 
-def main(argv=None) -> int:
-    p = argparse.ArgumentParser()
-    p.add_argument("--frames", type=int, default=24, help="scan length")
-    p.add_argument("--iters", type=int, default=8, help="scan invocations")
-    p.add_argument("--full", action="store_true", help="per-kernel table")
-    p.add_argument("--skip-check", action="store_true")
-    args = p.parse_args(argv)
-
+def _bench_config(cfg, atlas_text, frames, iters, skip_check, label=""):
+    """fps of the fused step under ``cfg``, scan-chained on device, gated
+    by a byte-exactness check of one step against the CPU oracle."""
     import jax
     import jax.numpy as jnp
 
-    from cudavideostream_tpu.config import StreamConfig
     from cudavideostream_tpu.models import DeltaStreamPipeline
     from cudavideostream_tpu.ops import reference_cpu as ref
     from cudavideostream_tpu.runtime.sources import device_synthetic_frames
     from cudavideostream_tpu.utils import fonts
 
-    on_tpu = jax.default_backend() not in ("cpu",)
-    cfg = StreamConfig() if on_tpu else StreamConfig(height=48, width=64)
-    print(
-        f"bench: {cfg.height}x{cfg.width} on {jax.devices()[0].platform}",
-        file=sys.stderr,
-    )
     pipe = DeltaStreamPipeline(cfg)
     init_frame, next_frame = device_synthetic_frames(cfg, seed=0)
 
-    ids = jnp.asarray(fonts.encode_text("FPS: 240 BW: 14000 kbps", 28), jnp.int32)
-    n_chars = jnp.int32(23)
-    T = args.frames
+    ids = jnp.asarray(fonts.encode_text(atlas_text, 28), jnp.int32)
+    n_chars = jnp.int32(len(atlas_text))
+    T = frames
+    tiled = cfg.tiled_payload
+    has_aux = cfg.visualizer.value != 0
 
     def scan_step(carry, t):
         prev, key = carry
         key, sub = jax.random.split(key)
         frame = next_frame(sub, t)
-        prev, pos, xs, vals = pipe._step_impl(prev, frame, ids, n_chars)[:4]
+        out = pipe._step_impl(prev, frame, ids, n_chars)
+        prev = out[0]
+        if tiled:
+            pos, counts, xs, vals = out[1:5]
+        else:
+            pos, xs, vals = out[1:4]
         # digest forces full payload materialization (int32 wrap is fine)
         digest = jnp.sum(xs) + jnp.sum(vals.astype(jnp.int32))
+        if has_aux:
+            digest = digest + jnp.sum(out[-1].astype(jnp.int32))
         return (prev, key), (pos, digest)
 
     @jax.jit
@@ -78,49 +75,126 @@ def main(argv=None) -> int:
 
     t0 = time.perf_counter()
     (prev, key), (pos_hist, digests) = run_scan(prev0, key0)
-    pos_hist.block_until_ready()
     _ = jax.device_get(pos_hist)
     compile_s = time.perf_counter() - t0
-    print(f"compile+first scan: {compile_s:.1f}s  pos={np.asarray(pos_hist)[:4]}...",
-          file=sys.stderr)
+    print(
+        f"[{label}] compile+first scan: {compile_s:.1f}s  "
+        f"pos={np.asarray(pos_hist)[:4]}...",
+        file=sys.stderr,
+    )
 
     # byte-exactness gate: one step's payload vs the CPU oracle
-    if not args.skip_check:
+    if not skip_check:
         key, sub = jax.random.split(key0)
         frame1 = next_frame(sub, jnp.int32(0))
-        new_prev, pos, xs, vals = pipe._step_impl(
+        out = pipe._step_impl(
             jnp.asarray(np.asarray(init_frame)).copy(), frame1, ids, n_chars
-        )[:4]
+        )
+        new_prev = out[0]
+        if tiled:
+            pos, counts, xs_t, vals_t = out[1:5]
+            counts = np.asarray(counts)
+            xs = np.concatenate(
+                [np.asarray(xs_t)[t, : counts[t]] for t in range(len(counts))]
+            )
+            vals = np.concatenate(
+                [np.asarray(vals_t)[t, : counts[t]] for t in range(len(counts))]
+            )
+        else:
+            pos, xs, vals = out[1:4]
+            xs, vals = np.asarray(xs), np.asarray(vals)
         pos = int(pos)
         f_h = np.asarray(frame1)
         p_h = np.asarray(init_frame)
-        exp_prev, exp_pos, exp_xs, exp_vals, _ = ref.step_oracle(
+        exp_prev, exp_pos, exp_xs, exp_vals, exp_aux = ref.step_oracle(
             p_h, f_h, cfg, atlas=pipe.atlas_np,
-            char_ids=fonts.encode_text("FPS: 240 BW: 14000 kbps"),
+            char_ids=fonts.encode_text(atlas_text),
         )
         assert pos == exp_pos, (pos, exp_pos)
-        np.testing.assert_array_equal(np.asarray(xs)[:pos], exp_xs)
-        np.testing.assert_array_equal(np.asarray(vals)[:pos], exp_vals)
+        np.testing.assert_array_equal(xs[:pos], exp_xs)
+        np.testing.assert_array_equal(vals[:pos], exp_vals)
         np.testing.assert_array_equal(np.asarray(new_prev), exp_prev)
-        print(f"byte-exact vs oracle: OK (pos={pos})", file=sys.stderr)
+        if has_aux and exp_aux is not None:
+            np.testing.assert_array_equal(np.asarray(out[-1]), exp_aux)
+        print(f"[{label}] byte-exact vs oracle: OK (pos={pos})", file=sys.stderr)
 
     # timed region: iters scans, one sync at the end (minus measured rtt)
-    state = (prev0, key0)
-    out = run_scan(*state)
+    out = run_scan(prev0, key0)
     _ = jax.device_get(out[1][0].ravel()[0])
     t0 = time.perf_counter()
     _ = jax.device_get(out[1][0].ravel()[0])
     rtt = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    for _ in range(args.iters):
+    for _ in range(iters):
         (prev0, key0), out = run_scan(prev0, key0)
     _ = jax.device_get(out[0].ravel()[0])
     total = time.perf_counter() - t0 - rtt
-    fps = args.iters * T / total
+    return iters * T / total
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--frames", type=int, default=24, help="scan length")
+    p.add_argument("--iters", type=int, default=8, help="scan invocations")
+    p.add_argument("--full", action="store_true", help="per-kernel table")
+    p.add_argument("--skip-check", action="store_true")
+    p.add_argument("--emit", default="tiled", choices=["tiled", "flat"],
+                   help="payload layout for the headline (tiled = the "
+                        "product wire path via wire_send_segments; flat = "
+                        "the library API with the device merge epilogue)")
+    p.add_argument("--all-variants", action="store_true",
+                   help="additionally bench every named pipeline variant; "
+                        "writes benchmarks/variants_tpu_v5e.json")
+    args = p.parse_args(argv)
+
+    import dataclasses
+
+    import jax
+
+    from cudavideostream_tpu.config import StreamConfig
+
+    on_tpu = jax.default_backend() not in ("cpu",)
+    base_cfg = StreamConfig() if on_tpu else StreamConfig(height=48, width=64)
+    cfg = dataclasses.replace(base_cfg, tiled_payload=(args.emit == "tiled"))
+    print(
+        f"bench: {cfg.height}x{cfg.width} on {jax.devices()[0].platform} "
+        f"(emit={args.emit})",
+        file=sys.stderr,
+    )
+    text = "FPS: 240 BW: 14000 kbps"
+    fps = _bench_config(cfg, text, args.frames, args.iters, args.skip_check,
+                        label="headline")
 
     if args.full:
         _kernel_table(cfg, file=sys.stderr)
+
+    if args.all_variants:
+        from cudavideostream_tpu.models import variants as variants_mod
+
+        results = {}
+        for name in variants_mod.available():
+            vcfg = variants_mod.get_config(
+                name, tiled_payload=(args.emit == "tiled")
+            )
+            if not on_tpu:
+                vcfg = dataclasses.replace(vcfg, height=48, width=64)
+            vfps = _bench_config(
+                vcfg, text, args.frames, args.iters, args.skip_check,
+                label=name,
+            )
+            results[name] = round(vfps, 2)
+            print(f"[{name}] {vfps:9.2f} fps  ({vfps/BASELINE_FPS:.1f}x baseline)",
+                  file=sys.stderr)
+        import os
+
+        out_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "benchmarks", "variants_tpu_v5e.json",
+        )
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=1)
+        print(f"wrote {out_path}", file=sys.stderr)
 
     print(
         json.dumps(

@@ -6,7 +6,7 @@ chosen operating point Gaussian K~4).
 Measures how many payload bytes each Gaussian/mean kernel size saves on
 a noisy synthetic scene.
 
-Run:  ``python benchmarks/bandwidth.py``
+Run:  ``python benchmarks/bandwidth.py [--out benchmarks/bandwidth_1080p]``
 """
 
 from __future__ import annotations
@@ -16,7 +16,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def run(height=1080, width=1920, noise=26, seed=0):
+def run(height=1080, width=1920, noise=26, seed=0, out_path=None):
     """Both sides of the diff pass through the filter, exactly as in the
     pipeline (the conv feeds ``d_current`` *before* diffing,
     kernels.cu:457-459) — two noisy observations of the same scene plus a
@@ -49,8 +49,22 @@ def run(height=1080, width=1920, noise=26, seed=0):
             saved = 100 * (pos0 - pos) / n
             print(f"{kind} K={k}: changed {pos} ({100*pos/n:.2f}%), saved {saved:.2f}% of frame")
             rows.append((kind, k, pos, saved))
+    if out_path:
+        with open(out_path, "w") as f:
+            f.write(
+                f"# kind\tK\tchanged_bytes\tsaved_pct_of_frame "
+                f"({height}x{width}, noise=+-{noise}, seed={seed}; "
+                f"reference table: report.tex:2594-2617)\n"
+            )
+            for kind, k, pos, saved in rows:
+                f.write(f"{kind}\t{k}\t{pos}\t{saved:.2f}\n")
+        print(f"wrote {out_path}", file=sys.stderr)
     return rows
 
 
 if __name__ == "__main__":
-    run()
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", default=None)
+    run(out_path=p.parse_args().out)

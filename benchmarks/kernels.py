@@ -75,6 +75,24 @@ def run(out_path: str | None = None):
         # fold a payload byte back in so nothing is dead code
         return b, new_prev ^ vals[:1].astype(jnp.uint8)
 
+    def chain_diff_compact_tiled(c):
+        a, b = c
+        _, counts, xs_t, vals_t, new_prev = logcompact.fused_diff_compact(
+            a, b, emit="tiled"
+        )
+        # fold payload bytes back in: the tiled blocks must materialize
+        return b, new_prev ^ vals_t[0, 0] ^ xs_t[0, 0].astype(jnp.uint8)
+
+    def make_chain_scheme(scheme):
+        def chain(c):
+            a, b = c
+            _, xs, vals, new_prev = logcompact.fused_diff_compact(
+                a, b, scheme=scheme
+            )
+            return b, new_prev ^ vals[:1].astype(jnp.uint8)
+
+        return chain
+
     def chain_diff_mask(c):
         a, b = c
         m, v, np_ = diff.diff_mask(a, b, 20)
@@ -97,7 +115,10 @@ def run(out_path: str | None = None):
     ids = jnp.asarray(fonts.encode_text("FPS: 30 BW: 5 kbps", 28), jnp.int32)
 
     entries = [
+        ("diff+compact_tiled", 3.42, chain_diff_compact_tiled, (cur, prev)),
         ("diff+compact_pallas", 3.42, chain_diff_compact, (cur, prev)),
+        ("diff+compact_register", 3.42, make_chain_scheme("register"), (cur, prev)),
+        ("diff+compact_segment", 3.42, make_chain_scheme("segment"), (cur, prev)),
         ("diff_mask_only", 3.42, chain_diff_mask, (cur, prev)),
         ("grayscale_avg", None, filters.grayscale_average, cur),
         ("grayscale_weighted", None, filters.grayscale_weighted, cur),

@@ -4,7 +4,10 @@ The TPU analogue of the reference's thread-count sweeps
 (``tests/heat_map_benchmark/kernel_test.sh``: nvprof over 4..1024
 threads, data committed as ``times``/``times2``). Here the tunable is
 ``tile_rows`` — rows of 128 bytes per Pallas grid step — which trades
-grid overhead against VMEM pressure and epilogue (merge) length.
+grid overhead against VMEM pressure and shift-pass count (the bit-serial
+pass count is ~log2(tile_rows*128)). Since round 2 the kernel pads
+internally, so ANY multiple-of-8 tile size is sweepable: the sweep pins
+``_pick_tile_rows``/``_pad_rows`` to force each candidate.
 
 Run on TPU:  ``python benchmarks/sweep.py [--out benchmarks/times_tiles]``
 """
@@ -12,14 +15,20 @@ Run on TPU:  ``python benchmarks/sweep.py [--out benchmarks/times_tiles]``
 from __future__ import annotations
 
 import argparse
-import sys
 
 import os, sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
+# dense ladder: every power-of-two-ish step from one (8,128) vreg tile to
+# ~4 MB VMEM blocks; 24 points vs the reference's 217-row thread sweep
+CANDIDATES = [
+    8, 16, 24, 32, 40, 56, 72, 104, 120, 152, 200, 216, 248, 304, 360,
+    392, 448, 512, 608, 760, 1080, 1520, 1800, 2432,
+]
 
-def run(out_path: str | None = None, candidates=None):
+
+def run(out_path: str | None = None, candidates=None, emit: str = "flat"):
     import jax.numpy as jnp
 
     from cudavideostream_tpu.ops import logcompact
@@ -35,28 +44,30 @@ def run(out_path: str | None = None, candidates=None):
     cur, prev = jnp.asarray(cur_np), jnp.asarray(prev_np)
 
     if candidates is None:
-        candidates = [d for d in (216, 360, 600, 1080, 1800)
-                      if rows % d == 0]
+        candidates = CANDIDATES
 
-    orig = logcompact._pick_tile_rows
+    orig_pick, orig_pad = logcompact._pick_tile_rows, logcompact._pad_rows
     results = []
     try:
         for tr in candidates:
-            logcompact._pick_tile_rows = lambda r, target=608, _tr=tr: _tr
+            logcompact._pick_tile_rows = lambda r, target=400, _tr=tr: _tr
+            logcompact._pad_rows = lambda r, _tr=tr: -(-r // _tr) * _tr
             logcompact.fused_diff_compact.clear_cache()
             ms = timing.bench_op_amortized(
-                lambda a, b: logcompact.fused_diff_compact(a, b), cur, prev,
-                warmup=2, iters=10,
+                lambda a, b: logcompact.fused_diff_compact(a, b, emit=emit),
+                cur, prev, warmup=2, iters=10,
             )
-            grid = rows // tr
-            print(f"tile_rows={tr:4d} grid={grid:5d}  {ms:8.3f} ms", flush=True)
+            grid = -(-rows // tr)
+            print(f"tile_rows={tr:5d} grid={grid:5d}  {ms:8.3f} ms", flush=True)
             results.append((tr, grid, ms))
     finally:
-        logcompact._pick_tile_rows = orig
+        logcompact._pick_tile_rows = orig_pick
+        logcompact._pad_rows = orig_pad
         logcompact.fused_diff_compact.clear_cache()
 
     if out_path:
         with open(out_path, "w") as f:
+            f.write(f"# tile_rows\tgrid\tms ({emit} emit, 1080p, 6% changed)\n")
             for tr, grid, ms in results:
                 f.write(f"{tr}\t{grid}\t{ms:.4f}\n")
         print(f"wrote {out_path}", file=sys.stderr)
@@ -66,4 +77,6 @@ def run(out_path: str | None = None, candidates=None):
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--out", default=None)
-    run(p.parse_args().out)
+    p.add_argument("--emit", default="flat", choices=["flat", "tiled"])
+    args = p.parse_args()
+    run(args.out, emit=args.emit)

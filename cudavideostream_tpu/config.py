@@ -79,6 +79,12 @@ class StreamConfig:
     # Payload capacity in bytes; None means worst case (= frame_bytes),
     # matching the reference's atomicInc bound of 6220801 (kernels.cu:313).
     payload_capacity: int | None = None
+    # Hand the payload to the host as per-tile compacted blocks + counts
+    # instead of one device-merged flat array. Skips the pipeline's only
+    # dynamic-offset device stage; the host's scatter-gather sender
+    # (wire_send_segments) assembles identical wire bytes for free.
+    # PALLAS backend only; capacity is always worst-case in this mode.
+    tiled_payload: bool = False
 
     # Text overlay (kernel2_char, kernels.cu:351-375): glyph cell scale of
     # the builtin 6x8 bitmap font.
@@ -108,6 +114,11 @@ class StreamConfig:
             raise ValueError("threshold must be in [0, 255]")
         if self.conv_k < 1 or self.conv_k > 15:
             raise ValueError("conv_k out of supported range")
+        if self.tiled_payload:
+            if self.compaction is not CompactionBackend.PALLAS:
+                raise ValueError("tiled_payload requires the PALLAS backend")
+            if self.payload_capacity is not None:
+                raise ValueError("tiled_payload is always worst-case capacity")
 
 
 DEFAULT_CONFIG = StreamConfig()

@@ -114,17 +114,28 @@ class DeltaStreamPipeline:
                 "packed-index compaction range (2^23); shard rows across "
                 "chips with parallel.ShardedDeltaPipeline instead"
             )
-        pallas_ok = cfg.frame_bytes % 1024 == 0 and cfg.frame_bytes < (1 << 23)
-        if cfg.compaction.value == "pallas" and pallas_ok:
-            pos, xs, vals, new_prev = logcompact.fused_diff_compact(
-                cur,
-                prev,
-                threshold=cfg.threshold,
-                negative_feedback=cfg.negative_feedback,
-                interpret=self._interpret,
-            )
-            if cfg.capacity != cfg.frame_bytes:
-                xs, vals = xs[: cfg.capacity], vals[: cfg.capacity]
+        if cfg.compaction.value == "pallas":
+            if cfg.tiled_payload:
+                pos, counts, xs_t, vals_t, new_prev = logcompact.fused_diff_compact(
+                    cur,
+                    prev,
+                    threshold=cfg.threshold,
+                    negative_feedback=cfg.negative_feedback,
+                    interpret=self._interpret,
+                    emit="tiled",
+                )
+                payload = (pos, counts, xs_t, vals_t)
+            else:
+                pos, xs, vals, new_prev = logcompact.fused_diff_compact(
+                    cur,
+                    prev,
+                    threshold=cfg.threshold,
+                    negative_feedback=cfg.negative_feedback,
+                    interpret=self._interpret,
+                )
+                if cfg.capacity != cfg.frame_bytes:
+                    xs, vals = xs[: cfg.capacity], vals[: cfg.capacity]
+                payload = (pos, xs, vals)
             mask = None
             if needs_mask:
                 if cfg.negative_feedback and cfg.threshold > 0:
@@ -133,12 +144,23 @@ class DeltaStreamPipeline:
                     mask = new_prev != prev
                 else:
                     mask = diff_ops.diff_mask(cur, prev, cfg.threshold)[0]
+        elif cfg.compaction.value == "host":
+            # HOST backend: the device does only the O(n) elementwise work
+            # (dense delta + a packed bitmask, n/8 bytes); the C packer
+            # (cvstpu.c:compact_bitmask, ctz word scans) compacts on the
+            # host. See DeltaStreamPipeline.step for the host half.
+            mask, raw_vals, new_prev = diff_ops.diff_mask(
+                cur, prev, cfg.threshold, cfg.negative_feedback
+            )
+            payload = (diff_ops.pack_bitmask(mask), raw_vals)
         else:
             mask, raw_vals, new_prev = diff_ops.diff_mask(
                 cur, prev, cfg.threshold, cfg.negative_feedback
             )
-            backend = "sort"  # host packer consumes the same sorted payload
-            pos, xs, vals = compact_ops.compact(mask, raw_vals, cfg.capacity, backend)
+            pos, xs, vals = compact_ops.compact(
+                mask, raw_vals, cfg.capacity, cfg.compaction.value
+            )
+            payload = (pos, xs, vals)
 
         if cfg.visualizer == Visualizer.RED_BLACK:
             aux = filter_ops.red_black(mask)
@@ -146,25 +168,52 @@ class DeltaStreamPipeline:
             aux = filter_ops.red_overlap(prev, mask)
 
         if aux is None:
-            return new_prev, pos, xs, vals
-        return new_prev, pos, xs, vals, aux
+            return (new_prev, *payload)
+        return (new_prev, *payload, aux)
 
     # -- public API -------------------------------------------------------
     def step(
         self, prev: Array, frame, text: str = ""
-    ) -> Tuple[Array, Array, Array, Array, Optional[Array]]:
+    ) -> Tuple[Array, ...]:
         """Run one frame. ``frame`` may be a numpy or device array.
 
         Returns ``(new_prev, pos, xs, vals, aux)``; ``aux`` is None unless
         a visualizer is configured. Outputs are device arrays — callers on
         the hot path should fetch ``pos`` first and slice ``xs``/``vals``
-        host-side (see runtime.executor).
+        host-side (see runtime.executor) — except:
+
+        * HOST backend: ``xs``/``vals`` are host numpy arrays (exactly
+          ``pos`` long, capacity-capped), packed by the native C packer
+          from the device's (bitmask, dense delta) pair;
+        * tiled payload: returns ``(new_prev, pos, counts, xs_t, vals_t,
+          aux)`` with per-tile device blocks (see
+          ``logcompact.fused_diff_compact(emit="tiled")``).
         """
+        cfg = self.config
         ids = fonts.encode_text(text, MAX_OVERLAY_CHARS)
         char_ids = jnp.asarray(ids, dtype=jnp.int32)
         n_chars = jnp.int32(min(len(text), MAX_OVERLAY_CHARS))
         frame = jnp.asarray(np.asarray(frame, dtype=np.uint8).ravel())
         out = self._step(prev, frame, char_ids, n_chars)
+
+        if cfg.compaction.value == "host":
+            new_prev, bitmask, delta = out[:3]
+            aux = out[3] if len(out) > 3 else None
+            from cudavideostream_tpu import native
+
+            xs, vals = native.compact_bitmask_np(
+                np.asarray(delta), np.asarray(bitmask)
+            )
+            pos = xs.size
+            if cfg.capacity != cfg.frame_bytes:
+                xs, vals = xs[: cfg.capacity], vals[: cfg.capacity]
+            return new_prev, pos, xs, vals, aux
+
+        if cfg.tiled_payload:
+            if len(out) == 5:
+                return (*out, None)
+            return out
+
         if len(out) == 4:
             return (*out, None)
         return out

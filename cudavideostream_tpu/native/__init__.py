@@ -61,6 +61,11 @@ def load_native() -> Optional[ctypes.CDLL]:
         c.c_int, c.c_uint32, c.POINTER(c.c_int32), c.POINTER(c.c_uint8)
     ]
     lib.wire_send_payload.restype = c.c_int
+    lib.wire_send_segments.argtypes = [
+        c.c_int, c.c_uint32, c.POINTER(c.c_int32), c.POINTER(c.c_uint8),
+        c.POINTER(c.c_int32), c.c_int, c.c_int,
+    ]
+    lib.wire_send_segments.restype = c.c_int
     lib.compact_bitmask.argtypes = [
         c.POINTER(c.c_uint8), c.POINTER(c.c_uint8), c.c_int64,
         c.POINTER(c.c_int32), c.POINTER(c.c_uint8),
@@ -166,4 +171,29 @@ def wire_send_payload_fd(fd: int, pos: int, xs, vals) -> int:
         pos,
         xs.ctypes.data_as(c.POINTER(c.c_int32)),
         vals.ctypes.data_as(c.POINTER(c.c_uint8)),
+    )
+
+
+def wire_send_segments_fd(fd: int, pos: int, counts, xs_t, vals_t) -> int:
+    """Scatter-gather send of a tiled payload (per-tile prefixes) on a
+    raw fd; one writev assembles the flat wire bytes without any host
+    repacking. -1 if lib missing."""
+    import numpy as np
+
+    lib = load_native()
+    if lib is None:
+        return -1
+    c = ctypes
+    counts = np.ascontiguousarray(counts, dtype=np.int32)
+    xs_t = np.ascontiguousarray(xs_t, dtype=np.int32)
+    vals_t = np.ascontiguousarray(vals_t, dtype=np.uint8)
+    n_tiles, tile_cap = xs_t.shape
+    return lib.wire_send_segments(
+        fd,
+        pos,
+        xs_t.ctypes.data_as(c.POINTER(c.c_int32)),
+        vals_t.ctypes.data_as(c.POINTER(c.c_uint8)),
+        counts.ctypes.data_as(c.POINTER(c.c_int32)),
+        n_tiles,
+        tile_cap,
     )

@@ -26,6 +26,7 @@
 #include <fcntl.h>
 #include <linux/videodev2.h>
 #include <stdint.h>
+#include <stdlib.h>
 #include <string.h>
 #include <sys/ioctl.h>
 #include <sys/mman.h>
@@ -72,11 +73,14 @@ int wire_send_payload(int fd, uint32_t pos, const int32_t *xs,
 
 /* Tiled payload: n_tiles segments; tile t holds counts[t] valid entries
  * at xs + t*tile_cap / vals + t*tile_cap. Sends header, all xs prefixes,
- * then all vals prefixes — wire-identical to a flat payload. iov is a
- * caller-provided scratch of at least 2*n_tiles+1 entries. */
+ * then all vals prefixes — wire-identical to a flat payload. The ragged
+ * concat the device would otherwise pay a dynamic-offset merge pass for
+ * happens inside this iovec list, for free. */
 int wire_send_segments(int fd, uint32_t pos, const int32_t *xs,
                        const uint8_t *vals, const int32_t *counts,
-                       int n_tiles, int tile_cap, struct iovec *iov) {
+                       int n_tiles, int tile_cap) {
+    struct iovec *iov = malloc((2 * (size_t)n_tiles + 1) * sizeof *iov);
+    if (!iov) return -12;
     int k = 0;
     iov[k].iov_base = &pos;
     iov[k].iov_len = sizeof pos;
@@ -93,7 +97,9 @@ int wire_send_segments(int fd, uint32_t pos, const int32_t *xs,
         iov[k].iov_len = (size_t)counts[t];
         ++k;
     }
-    return send_iovs(fd, iov, k);
+    int rc = send_iovs(fd, iov, k);
+    free(iov);
+    return rc;
 }
 
 /* ------------------------------------------------------------------ */
@@ -145,7 +151,6 @@ void client_apply(uint8_t *frame, const int32_t *xs, const uint8_t *vals,
 #include <arpa/inet.h>
 #include <netinet/in.h>
 #include <netinet/tcp.h>
-#include <stdlib.h>
 
 static int read_exact(int fd, void *buf, size_t n) {
     size_t got = 0;

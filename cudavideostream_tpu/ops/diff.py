@@ -53,3 +53,18 @@ def diff_mask(
     else:
         new_prev = current
     return mask, vals, new_prev
+
+
+def pack_bitmask(mask: Array) -> Array:
+    """Pack a bool mask into LSB-first bitmask bytes: bit ``i % 8`` of
+    byte ``i // 8`` is ``mask[i]`` — exactly the layout the native host
+    packer consumes (``native/csrc/cvstpu.c:compact_bitmask``). This is
+    the device half of the HOST compaction backend: a cheap elementwise
+    reduction (n/8 output bytes), no compaction on device at all.
+    """
+    n = mask.shape[0]
+    pad = (-n) % 8
+    m = jnp.pad(mask, (0, pad)) if pad else mask
+    weights = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.int32)
+    packed = jnp.sum(m.reshape(-1, 8).astype(jnp.int32) * weights, axis=1)
+    return packed.astype(jnp.uint8)

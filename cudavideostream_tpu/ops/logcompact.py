@@ -4,7 +4,7 @@ The TPU-native ``kernel2`` (reference ``server/src/kernels.cu:289-334``),
 designed for how a TPU actually executes: zero scalar control flow, no
 atomics, no gathers.
 
-Two schemes, both byte-exact against the oracle and each other:
+Three schemes, all byte-exact against the oracle and each other:
 
 **element (default)** — per-element LSB-first bit-serial shifting. Every
 masked slot holds a packed payload ``idx*256 + delta`` (idx < 2^23 so it
@@ -25,14 +25,31 @@ sibling's holes, with spans computed in closed form from cumsum values at
 segment boundaries; ~sum-of-bits ≈ 136 passes. Kept as an independently
 derived cross-check.
 
+**register** — row-loop register staging (:mod:`.pallas_compact`): a
+one-hot reduction packs each 128-lane row, a carried (8,128) staging
+block absorbs rows and flushes at aligned boundaries. A third
+independently derived scheme; the three cross-check each other.
+
 Output order is ascending byte index (deterministic; the reference's
 ``atomicInc`` order is nondeterministic, and the client is a pure
 scatter-add so both decode identically — ``client/opencv.cpp:64-66``).
-Each grid tile emits a tile-locally compacted block plus a count; a cheap
-XLA epilogue (exclusive cumsum over tile counts + ascending
-``dynamic_update_slice``) concatenates tile prefixes into the flat
-``(pos, xs, vals)`` payload, preserving the zero-padding invariant past
-``pos``. Worst case (all 6.2M bytes changed) is fully supported.
+Each grid tile emits a tile-locally compacted ``(xs, vals)`` block plus a
+count. Two epilogues:
+
+* ``emit="flat"`` — XLA epilogue (exclusive cumsum over tile counts +
+  ascending ``dynamic_update_slice``) concatenates tile prefixes into the
+  flat ``(pos, xs, vals)`` payload, preserving the zero-padding invariant
+  past ``pos``.
+* ``emit="tiled"`` — no merge at all: the per-tile blocks and counts go
+  straight to the host, whose scatter-gather sender
+  (``native/csrc/cvstpu.c:wire_send_segments``) assembles the wire bytes
+  inside one ``writev`` iovec list for free. This skips the only
+  dynamic-offset stage in the whole pipeline.
+
+Frames of any byte length below 2^23 are supported: inputs are padded
+internally with ``cur == prev`` bytes (which can never ship) up to a
+lane-aligned size with a well-shaped tile divisor. Worst case (all 6.2M
+bytes changed) is fully supported.
 """
 
 from __future__ import annotations
@@ -56,6 +73,18 @@ def _pick_tile_rows(rows: int, target: int = 400) -> int:
         if rows % d == 0:
             best = d
     return best if best is not None else rows
+
+
+def _pad_rows(rows: int) -> int:
+    """Smallest padded row count >= ``rows`` that is a multiple of 8 and
+    admits a tile divisor of at least min(rows, 200) rows (so oddly-sized
+    inputs — e.g. per-shard slices of a 1080p frame — don't degenerate
+    into thousands of tiny grid steps). Terminates: every multiple of 320
+    has the divisor 320."""
+    pr = (rows + 7) // 8 * 8
+    while _pick_tile_rows(pr) < min(pr, 200):
+        pr += 8
+    return pr
 
 
 def _flat_roll_left(x, s: int, rows: int):
@@ -83,8 +112,8 @@ def _flat_roll_right(x, s: int, rows: int):
     return jnp.where(lane >= sl, same, prv)
 
 
-def _kernel_v2(cur_ref, prev_ref, thr_ref, new_prev_ref, out_ref, cnt_ref,
-               *, tile_rows: int, negfeed: bool):
+def _kernel_v2(cur_ref, prev_ref, thr_ref, new_prev_ref, xs_ref, vals_ref,
+               cnt_ref, *, tile_rows: int, negfeed: bool):
     """Per-element LSB-first shift compaction — ~16 dense passes.
 
     Each masked element must move left by its hole count
@@ -149,12 +178,15 @@ def _kernel_v2(cur_ref, prev_ref, thr_ref, new_prev_ref, out_ref, cnt_ref,
         holes = jnp.where(take, rh, jnp.where(stay, holes, 0))
         b *= 2
 
-    out_ref[:] = x
+    # unpack in-kernel (holes are 0 -> xs 0, vals 0): the caller never
+    # touches the packed form, so no unpack pass over HBM is needed
+    xs_ref[:] = x >> 8
+    vals_ref[:] = jnp.bitwise_and(x, 255).astype(jnp.uint8)
     cnt_ref[i, 0] = incl[R - 1, LANES - 1]
 
 
-def _kernel(cur_ref, prev_ref, thr_ref, new_prev_ref, out_ref, cnt_ref,
-            *, tile_rows: int, negfeed: bool):
+def _kernel(cur_ref, prev_ref, thr_ref, new_prev_ref, xs_ref, vals_ref,
+            cnt_ref, *, tile_rows: int, negfeed: bool):
     i = pl.program_id(0)
     thr = thr_ref[0]
     R = tile_rows
@@ -237,48 +269,26 @@ def _kernel(cur_ref, prev_ref, thr_ref, new_prev_ref, out_ref, cnt_ref,
 
     total = E  # uniform: count of the whole tile
     x = jnp.where(flat < total, x, 0)
-    out_ref[:] = x
+    xs_ref[:] = x >> 8
+    vals_ref[:] = jnp.bitwise_and(x, 255).astype(jnp.uint8)
     cnt_ref[i, 0] = incl[R - 1, LANES - 1]
 
 
-@functools.partial(
-    jax.jit, static_argnames=("threshold", "negative_feedback", "interpret", "scheme")
-)
-def fused_diff_compact(
-    current: Array,
-    previous: Array,
-    threshold: int = 20,
-    negative_feedback: bool = True,
-    interpret: bool = False,
-    scheme: str = "element",
-) -> Tuple[Array, Array, Array, Array]:
-    """Fused kernel2: ``(cur, prev) -> (pos, xs, vals, new_prev)``.
+def _run_kernel(cur2, prev2, thr, *, scheme, tile_rows, grid,
+                negfeed, interpret):
+    """Dispatch one pallas_call; returns ``(new_prev, xs_t, vals_t,
+    counts)`` with the tile blocks in ``(rows, LANES)`` layout."""
+    rows = cur2.shape[0]
+    if scheme == "register":
+        from cudavideostream_tpu.ops import pallas_compact
 
-    Flat uint8 frames; length must be a multiple of 1024 and below 2^23
-    (index packing), which covers 1080p BGR24 (6,220,800 B). Outputs:
-    ``pos`` int32; ``xs`` int32 (zero past pos); ``vals`` uint8 (zero past
-    pos); ``new_prev`` uint8.
-
-    ``scheme``: ``"element"`` (default) = per-element LSB-first shifts,
-    ~log2(tile) dense passes; ``"segment"`` = bit-serial segment merging,
-    ~sum-of-bits passes (kept as the independently-derived cross-check).
-    """
-    n = current.shape[0]
-    if n % (LANES * 8):
-        raise ValueError(f"frame bytes {n} must be a multiple of {LANES * 8}")
-    if n >= 1 << 23:
-        raise ValueError("frame too large for packed-index compaction")
-    rows = n // LANES
-    tile_rows = _pick_tile_rows(rows)
-    grid = rows // tile_rows
-
-    cur2 = current.reshape(rows, LANES)
-    prev2 = previous.reshape(rows, LANES)
-    thr = jnp.full((1,), threshold, jnp.int32)
-
+        return pallas_compact.run_register(
+            cur2, prev2, thr, tile_rows=tile_rows, grid=grid,
+            negfeed=negfeed, interpret=interpret,
+        )
     body = _kernel_v2 if scheme == "element" else _kernel
-    kernel = functools.partial(body, tile_rows=tile_rows, negfeed=negative_feedback)
-    new_prev, packed_t, counts = pl.pallas_call(
+    kernel = functools.partial(body, tile_rows=tile_rows, negfeed=negfeed)
+    new_prev, xs_t, vals_t, counts = pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=[
@@ -289,11 +299,13 @@ def fused_diff_compact(
         out_specs=[
             pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((grid, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((rows, LANES), jnp.uint8),
             jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((rows, LANES), jnp.uint8),
             jax.ShapeDtypeStruct((grid, 1), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -301,21 +313,87 @@ def fused_diff_compact(
         ),
         interpret=interpret,
     )(cur2, prev2, thr)
+    return new_prev, xs_t, vals_t, counts
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("threshold", "negative_feedback", "interpret", "scheme",
+                     "emit"),
+)
+def fused_diff_compact(
+    current: Array,
+    previous: Array,
+    threshold: int = 20,
+    negative_feedback: bool = True,
+    interpret: bool = False,
+    scheme: str = "element",
+    emit: str = "flat",
+):
+    """Fused kernel2: diff + negative feedback + stream compaction.
+
+    Flat uint8 frames of any length whose lane-padded size stays below
+    2^23 (index packing) — 1080p BGR24 (6,220,800 B) and any row-shard of
+    it qualify. Oddly-sized inputs are padded internally with
+    ``cur == prev`` bytes, which can never ship and never perturb the
+    negative-feedback state.
+
+    ``scheme``: ``"element"`` (default) = per-element LSB-first shifts,
+    ~log2(tile) dense passes; ``"segment"`` = bit-serial segment merging,
+    ~sum-of-bits passes; ``"register"`` = row-loop register staging. All
+    three are independently derived and byte-exact cross-checks.
+
+    ``emit="flat"`` returns ``(pos, xs, vals, new_prev)`` — ``xs`` int32
+    ascending (zero past pos), ``vals`` uint8 (zero past pos), ``new_prev``
+    uint8, all of the *input* length.
+
+    ``emit="tiled"`` returns ``(pos, counts, xs_t, vals_t, new_prev)`` —
+    per-tile compacted blocks ``(grid, tile_bytes)`` whose tile ``t``
+    holds ``counts[t]`` valid entries, skipping the merge epilogue; the
+    host's scatter-gather sender assembles the identical wire bytes for
+    free (``wire.tiled_to_flat`` / ``native wire_send_segments``).
+    """
+    n = current.shape[0]
+    rows = _pad_rows(-(-n // LANES))
+    n_pad = rows * LANES
+    if n_pad >= 1 << 23:
+        raise ValueError("frame too large for packed-index compaction")
+    if n_pad != n:
+        current = jnp.pad(current, (0, n_pad - n))
+        previous = jnp.pad(previous, (0, n_pad - n))
+    tile_rows = _pick_tile_rows(rows)
+    grid = rows // tile_rows
+
+    cur2 = current.reshape(rows, LANES)
+    prev2 = previous.reshape(rows, LANES)
+    thr = jnp.full((1,), threshold, jnp.int32)
+
+    new_prev, xs_t, vals_t, counts = _run_kernel(
+        cur2, prev2, thr, scheme=scheme, tile_rows=tile_rows, grid=grid,
+        negfeed=negative_feedback, interpret=interpret,
+    )
 
     counts = counts.reshape(grid)
     offsets = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)]
     )
     pos = offsets[grid]
-
+    new_prev = new_prev.reshape(n_pad)[:n]
     tile_bytes = tile_rows * LANES
-    packed_flat = packed_t.reshape(n)
 
-    def body(i, acc):
-        block = jax.lax.dynamic_slice(packed_flat, (i * tile_bytes,), (tile_bytes,))
-        return jax.lax.dynamic_update_slice(acc, block, (offsets[i],))
+    if emit == "tiled":
+        return (pos, counts, xs_t.reshape(grid, tile_bytes),
+                vals_t.reshape(grid, tile_bytes), new_prev)
 
-    merged = jax.lax.fori_loop(0, grid, body, jnp.zeros(n, jnp.int32))
-    xs = merged >> 8
-    vals = jnp.bitwise_and(merged, 255).astype(jnp.uint8)
-    return pos, xs, vals, new_prev.reshape(n)
+    def merge(src, dtype):
+        flat = src.reshape(n_pad)
+
+        def body(i, acc):
+            block = jax.lax.dynamic_slice(flat, (i * tile_bytes,), (tile_bytes,))
+            return jax.lax.dynamic_update_slice(acc, block, (offsets[i],))
+
+        return jax.lax.fori_loop(0, grid, body, jnp.zeros(n_pad, dtype))
+
+    xs = merge(xs_t, jnp.int32)[:n]
+    vals = merge(vals_t, jnp.uint8)[:n]
+    return pos, xs, vals, new_prev

@@ -51,8 +51,19 @@ def overlay_blit(
     img = frame.reshape(height, width * 3)
     cw3 = cell_w * 3
     strip_w3 = n_fit * cw3
-    cells = jnp.take(atlas.reshape(-1, cell_h, cw3), char_ids[:n_fit], axis=0)
-    strip = cells.transpose(1, 0, 2).reshape(cell_h, strip_w3)
+    # glyph select as a one-hot matmul, not a gather: TPU gathers lower
+    # to slow scalar loops, while (n_fit, n_glyphs) @ (n_glyphs, cell)
+    # rides the MXU. Exact: one term per row is nonzero and every byte
+    # value (<=255) is exactly representable in f32/bf16.
+    n_glyphs = atlas.shape[0]
+    onehot = (
+        char_ids[:n_fit, None] == jax.lax.broadcasted_iota(jnp.int32, (1, n_glyphs), 1)
+    ).astype(jnp.float32)
+    flat_cells = atlas.reshape(n_glyphs, cell_h * cw3).astype(jnp.float32)
+    cells = jnp.dot(onehot, flat_cells).astype(jnp.uint8)
+    strip = cells.reshape(n_fit, cell_h, cw3).transpose(1, 0, 2).reshape(
+        cell_h, strip_w3
+    )
     under = img[:cell_h, :strip_w3]
     col_char = jax.lax.broadcasted_iota(jnp.int32, (1, strip_w3), 1) // cw3
     merged = jnp.where(col_char < n_chars, strip, under)

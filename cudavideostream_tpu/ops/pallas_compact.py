@@ -1,7 +1,11 @@
-"""Fused Pallas TPU kernel: diff + negative feedback + stream compaction.
+"""The ``register`` compaction scheme: diff + negative feedback + stream
+compaction via row-loop register staging.
 
-This is the TPU-native ``kernel2`` (reference ``server/src/kernels.cu:
-289-334``). The CUDA design — 1024 threads, ``long4`` chunks, a global
+One of the three independently derived TPU compactions of ``kernel2``
+(reference ``server/src/kernels.cu:289-334``); dispatched through
+``logcompact.fused_diff_compact(scheme="register")`` and cross-checked
+byte-exactly against the ``element`` and ``segment`` schemes and the CPU
+oracle. The CUDA design — 1024 threads, ``long4`` chunks, a global
 ``atomicInc`` append — maps to TPU hardware as:
 
 * one grid pass over ``(tile_rows, 128)`` uint8 tiles of the frame (the
@@ -20,11 +24,8 @@ This is the TPU-native ``kernel2`` (reference ``server/src/kernels.cu:
   selects — never a dynamically-indexed store, which Mosaic only allows
   at sublane multiples of 8 — and flushed to the output block at aligned
   8-row boundaries;
-* each tile therefore emits a tile-locally compacted block plus a count;
-  a cheap XLA epilogue (exclusive cumsum over tile counts + ascending
-  ``dynamic_update_slice``) concatenates tile prefixes into the flat
-  ``(pos, xs, vals)`` payload. Ascending sequential updates preserve the
-  zero-padding invariant past ``pos``.
+* each tile therefore emits a tile-locally compacted block plus a count,
+  consumed by logcompact's shared flat/tiled epilogues.
 
 Worst case (all 6.2M bytes changed) is fully supported: every tile block
 can hold its entire tile.
@@ -33,27 +34,14 @@ can hold its entire tile.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-from jax import Array
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
 GROUP = 8  # staging rows; 8*128 = 1024 elements per flush
-
-
-def _pick_tile_rows(rows: int, target: int = 608) -> int:
-    """Largest divisor of ``rows`` that is <= target and a multiple of 8
-    (Mosaic requires sublane-dim blocks divisible by 8), falling back to
-    the whole array when no such divisor exists."""
-    best = None
-    for d in range(8, target + 1, 8):
-        if rows % d == 0:
-            best = d
-    return best if best is not None else rows
 
 
 def _cumsum_lanes(x, lane):
@@ -189,37 +177,18 @@ def _kernel(cur_ref, prev_ref, thr_ref, new_prev_ref, vals_ref, xs_ref, cnt_ref,
     cnt_ref[i, 0] = off
 
 
-@functools.partial(
-    jax.jit, static_argnames=("threshold", "negative_feedback", "interpret")
-)
-def fused_diff_compact(
-    current: Array,
-    previous: Array,
-    threshold: int = 20,
-    negative_feedback: bool = True,
-    interpret: bool = False,
-) -> Tuple[Array, Array, Array, Array]:
-    """Fused kernel2: ``(cur, prev) -> (pos, xs, vals, new_prev)``.
+def run_register(cur2, prev2, thr, *, tile_rows: int, grid: int,
+                 negfeed: bool, interpret: bool):
+    """Run the register-staging kernel over ``(rows, 128)`` inputs.
 
-    ``current``/``previous`` are flat uint8 frames whose length must be a
-    multiple of 1024 (1080p BGR24 = 6,220,800 bytes = 48,600 rows of 128;
-    other sizes can be padded by the caller with ``cur == prev`` bytes).
-    Outputs: ``pos`` int32 scalar; ``xs`` int32 ``(n,)`` ascending global
-    byte indices (zero past ``pos``); ``vals`` uint8 ``(n,)`` wrap deltas
-    (zero past ``pos``); ``new_prev`` uint8 ``(n,)``.
+    Returns ``(new_prev, xs_t, vals_t, counts)`` in the tile-block layout
+    shared with logcompact's other schemes. ``tile_rows`` must be a
+    multiple of :data:`GROUP` (logcompact's padding guarantees it).
     """
-    n = current.shape[0]
-    if n % (LANES * GROUP):
-        raise ValueError(f"frame bytes {n} must be a multiple of {LANES * GROUP}")
-    rows = n // LANES
-    tile_rows = _pick_tile_rows(rows)
-    grid = rows // tile_rows
-
-    cur2 = current.reshape(rows, LANES)
-    prev2 = previous.reshape(rows, LANES)
-    thr = jnp.full((1,), threshold, jnp.int32)
-
-    kernel = functools.partial(_kernel, tile_rows=tile_rows, negfeed=negative_feedback)
+    rows = cur2.shape[0]
+    if tile_rows % GROUP:
+        raise ValueError(f"tile_rows {tile_rows} must be a multiple of {GROUP}")
+    kernel = functools.partial(_kernel, tile_rows=tile_rows, negfeed=negfeed)
     new_prev, vals_t, xs_t, counts = pl.pallas_call(
         kernel,
         grid=(grid,),
@@ -245,25 +214,4 @@ def fused_diff_compact(
         ),
         interpret=interpret,
     )(cur2, prev2, thr)
-
-    counts = counts.reshape(grid)
-    offsets = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)]
-    )
-    pos = offsets[grid]
-
-    tile_bytes = tile_rows * LANES
-    vals_flat = vals_t.reshape(n)
-    xs_flat = xs_t.reshape(n)
-
-    def merge(dst, src):
-        def body(i, acc):
-            block = jax.lax.dynamic_slice(src, (i * tile_bytes,), (tile_bytes,))
-            return jax.lax.dynamic_update_slice(acc, block, (offsets[i],))
-
-        return jax.lax.fori_loop(0, grid, body, dst)
-
-    out_vals = merge(jnp.zeros(n, jnp.uint8), vals_flat)
-    out_xs = merge(jnp.zeros(n, jnp.int32), xs_flat)
-    new_prev = new_prev.reshape(n)
-    return pos, out_xs, out_vals, new_prev
+    return new_prev, xs_t, vals_t, counts

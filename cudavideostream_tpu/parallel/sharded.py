@@ -72,6 +72,9 @@ class ShardedDeltaPipeline:
         self._interpret = jax.default_backend() == "cpu"
         # payload capacity rounded so every shard block fits at any offset
         self.capacity = config.frame_bytes
+        # the flagship kernel runs per shard whenever the local slice fits
+        # its packed-index range (alignment is padded away internally)
+        self.uses_pallas = self.local_bytes < (1 << 23)
 
         self._sharding_state = NamedSharding(mesh, P("data", "space"))
         self._sharding_rep = NamedSharding(mesh, P("data"))
@@ -135,11 +138,14 @@ class ShardedDeltaPipeline:
 
         needs_mask = cfg.visualizer in (Visualizer.RED_BLACK, Visualizer.RED_OVERLAP)
         # local deterministic compaction (ascending local index): the
-        # flagship Pallas kernel per shard when the local frame fits its
-        # packed-index range — this is how >2^23-byte (4K+) frames scale:
-        # shard rows until each local slice fits
-        pallas_ok = Ln % 1024 == 0 and Ln < (1 << 23)
-        if pallas_ok:
+        # flagship Pallas kernel per shard whenever the local frame fits
+        # its packed-index range — this is how >2^23-byte (4K+) frames
+        # scale: shard rows until each local slice fits. Alignment is the
+        # kernel's problem now (it pads internally with cur==prev bytes),
+        # so every space factor of a 1080p frame takes this path — the
+        # per-thread arbitrary-extent handling of kernels.cu:404-427,
+        # done the TPU way.
+        if self.uses_pallas:
             lpos, lxs, lvals, new_prev = jax.vmap(
                 lambda c, p: logcompact.fused_diff_compact(
                     c, p,

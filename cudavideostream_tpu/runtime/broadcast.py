@@ -83,14 +83,22 @@ class BroadcastServer:
             except OSError:
                 conn.close()
 
-    def _fanout(self, pos: int, xs: np.ndarray, vals: np.ndarray) -> None:
+    def _fanout(self, pos: int, xs, vals) -> None:
         dead = []
         buf = None
+        tiled = isinstance(xs, wire.TiledPayload)
         for conn in self._clients:
-            rc = native.wire_send_payload_fd(conn.fileno(), pos, xs, vals)
+            if tiled:
+                rc = native.wire_send_segments_fd(
+                    conn.fileno(), pos, xs.counts, xs.xs, xs.vals
+                )
+            else:
+                rc = native.wire_send_payload_fd(conn.fileno(), pos, xs, vals)
             if rc == -1:
                 if buf is None:
-                    buf = wire.pack_payload(pos, xs, vals)
+                    buf = xs.to_wire_bytes() if tiled else wire.pack_payload(
+                        pos, xs, vals
+                    )
                 try:
                     conn.sendall(buf)
                 except OSError:
@@ -108,7 +116,9 @@ class BroadcastServer:
         if self._sock is None:
             self.listen()
         base = self.executor.start(self.source.base_frame())
-        state = base
+        # joiner reconstruction: a private buffer updated *in place* per
+        # frame — O(pos) host work, not an O(frame) copy+scatter
+        state = base.copy()
         if wait_first_client:
             while self._pending.empty() and not self._stop.is_set():
                 time.sleep(0.01)
@@ -125,8 +135,13 @@ class BroadcastServer:
             if result is None:
                 continue
             pos, xs, vals, _ = result
-            # track reconstruction for future joiners
-            state = native_apply_copy(state, xs, vals)
+            # track reconstruction for future joiners (in-place scatter)
+            if isinstance(xs, wire.TiledPayload):
+                fx, fv = xs.to_flat()
+                if fx.size:
+                    native.client_apply_np(state, fx, fv)
+            elif np.asarray(xs).size:
+                native.client_apply_np(state, xs, vals)
             self._fanout(pos, xs, vals)
             n += 1
             line = self.executor.metrics.status_line(time.perf_counter() - t0)
@@ -146,13 +161,6 @@ class BroadcastServer:
         for c in self._clients:
             c.close()
         self._clients.clear()
-
-
-def native_apply_copy(state: np.ndarray, xs: np.ndarray, vals: np.ndarray) -> np.ndarray:
-    out = state.copy()
-    if xs.size:
-        native.client_apply_np(out, xs, vals)
-    return out
 
 
 def main(argv=None) -> int:

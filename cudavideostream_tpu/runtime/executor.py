@@ -28,12 +28,16 @@ import numpy as np
 
 from cudavideostream_tpu.config import StreamConfig
 from cudavideostream_tpu.models import DeltaStreamPipeline
+from cudavideostream_tpu.runtime import wire
 
 
 class TieredFetcher:
     """Fetch ``arr[:pos]`` via the smallest power-of-two static slice.
 
     Static slice shapes keep jit cache hits; over-fetch is bounded 2x.
+    Slices along the leading axis (works for flat payloads and for
+    ``(n_tiles, tile_cap)`` tiled blocks alike); host numpy arrays pass
+    through with a plain slice.
     """
 
     def __init__(self, capacity: int, min_tier: int = 4096):
@@ -49,8 +53,10 @@ class TieredFetcher:
         self.tiers.append(capacity)
 
     def fetch(self, arr, pos: int) -> np.ndarray:
+        if isinstance(arr, np.ndarray):
+            return arr[:pos]
         if pos <= 0:
-            return np.empty(0, dtype=arr.dtype)
+            return np.empty((0,) + arr.shape[1:], dtype=arr.dtype)
         for t in self.tiers:
             if pos <= t:
                 return np.asarray(self._jax.device_get(arr[:t]))[:pos]
@@ -66,6 +72,7 @@ class StreamExecutor:
         self._state = None
         self._fetch_xs = TieredFetcher(config.capacity)
         self._fetch_vals = TieredFetcher(config.capacity)
+        self._fetch_tiles = None  # lazily sized from the first tiled step
         self.metrics = ExecMetrics()
 
     def start(self, base_frame: np.ndarray) -> np.ndarray:
@@ -77,13 +84,42 @@ class StreamExecutor:
     def process(
         self, frame: np.ndarray, text: str = ""
     ) -> Tuple[int, np.ndarray, np.ndarray, Optional[np.ndarray]]:
-        """Run one frame; returns host-side ``(pos, xs, vals, aux)``."""
+        """Run one frame; returns host-side ``(pos, xs, vals, aux)``.
+
+        With ``tiled_payload`` configured, ``xs`` is a
+        :class:`~cudavideostream_tpu.runtime.wire.TiledPayload` and
+        ``vals`` is None — senders pass it to the native scatter-gather
+        writer, library users call ``.to_flat()``.
+        """
         if self._state is None:
             raise RuntimeError("call start(base_frame) first")
         t0 = time.perf_counter()
-        self._state, pos_d, xs_d, vals_d, aux_d = self.pipe.step(
-            self._state, frame, text=text
-        )
+        out = self.pipe.step(self._state, frame, text=text)
+        self._state = out[0]
+        return self._land(t0, out[1:])
+
+    def _land(self, t0: float, rest) -> Tuple[int, np.ndarray, np.ndarray, Optional[np.ndarray]]:
+        if self.cfg.tiled_payload:
+            pos_d, counts_d, xs_t_d, vals_t_d, aux_d = rest
+            counts = np.asarray(counts_d)
+            pos = int(pos_d)
+            # fetch only up to the last non-empty tile: trailing static
+            # regions of the frame cost nothing on the host link
+            nz = np.nonzero(counts)[0]
+            t_hi = int(nz[-1]) + 1 if nz.size else 0
+            if self._fetch_tiles is None:
+                n_tiles = counts.shape[0]
+                self._fetch_tiles = (
+                    TieredFetcher(n_tiles, min_tier=1),
+                    TieredFetcher(n_tiles, min_tier=1),
+                )
+            xs_t = self._fetch_tiles[0].fetch(xs_t_d, t_hi)
+            vals_t = self._fetch_tiles[1].fetch(vals_t_d, t_hi)
+            payload = wire.TiledPayload(pos, counts[:t_hi], xs_t, vals_t)
+            aux = np.asarray(aux_d) if aux_d is not None else None
+            self.metrics.record(time.perf_counter() - t0, pos)
+            return pos, payload, None, aux
+        pos_d, xs_d, vals_d, aux_d = rest
         pos = int(pos_d)
         xs = self._fetch_xs.fetch(xs_d, pos)
         vals = self._fetch_vals.fetch(vals_d, pos)
@@ -127,32 +163,22 @@ class PipelinedExecutor(StreamExecutor):
 
     def __init__(self, *args, **kwargs):
         super().__init__(*args, **kwargs)
-        self._pending = None  # (t0, pos_d, xs_d, vals_d, aux_d)
+        self._pending = None  # (t0, step outputs past new_prev)
 
     def process(self, frame, text: str = ""):
         if self._state is None:
             raise RuntimeError("call start(base_frame) first")
         t0 = time.perf_counter()
-        self._state, pos_d, xs_d, vals_d, aux_d = self.pipe.step(
-            self._state, frame, text=text
-        )
-        prev, self._pending = self._pending, (t0, pos_d, xs_d, vals_d, aux_d)
+        out = self.pipe.step(self._state, frame, text=text)
+        self._state = out[0]
+        prev, self._pending = self._pending, (t0, out[1:])
         if prev is None:
             return None
-        return self._land(prev)
+        return self._land(*prev)
 
     def flush(self):
         prev, self._pending = self._pending, None
-        return self._land(prev) if prev is not None else None
-
-    def _land(self, entry):
-        t0, pos_d, xs_d, vals_d, aux_d = entry
-        pos = int(pos_d)
-        xs = self._fetch_xs.fetch(xs_d, pos)
-        vals = self._fetch_vals.fetch(vals_d, pos)
-        aux = np.asarray(aux_d) if aux_d is not None else None
-        self.metrics.record(time.perf_counter() - t0, pos)
-        return pos, xs, vals, aux
+        return self._land(*prev) if prev is not None else None
 
 
 class ExecMetrics:

@@ -129,6 +129,17 @@ class DeltaStreamServer:
     @staticmethod
     def _send_payload(conn: socket.socket, result) -> None:
         pos, xs, vals, aux = result
+        if isinstance(xs, wire.TiledPayload):
+            # scatter-gather: the ragged tile concat happens inside one
+            # writev's iovec list — wire bytes identical to the flat path
+            rc = native.wire_send_segments_fd(
+                conn.fileno(), pos, xs.counts, xs.xs, xs.vals
+            )
+            if rc == -1:  # native helper unavailable: pure-python path
+                conn.sendall(xs.to_wire_bytes())
+            elif rc < 0:
+                raise BrokenPipeError(f"writev failed: {rc}")
+            return
         rc = native.wire_send_payload_fd(conn.fileno(), pos, xs, vals)
         if rc == -1:  # native helper unavailable: pure-python path
             conn.sendall(wire.pack_payload(pos, xs, vals))
@@ -153,6 +164,11 @@ def main(argv=None) -> int:
     p.add_argument("--conv-k", type=int, default=3)
     p.add_argument("--compaction", default="pallas",
                    choices=[b.value for b in CompactionBackend])
+    p.add_argument("--tiled", action="store_true",
+                   help="ship per-tile payload blocks straight from the "
+                        "kernel through the scatter-gather sender "
+                        "(skips the device merge epilogue; wire bytes "
+                        "identical)")
     p.add_argument("--backend", default="device", choices=["device", "oracle"],
                    help="device = JAX/Pallas pipeline; oracle = pure-NumPy "
                         "CPU reference (the #ifdef CPU path, but complete)")
@@ -175,6 +191,7 @@ def main(argv=None) -> int:
         noise_filter=args.noise_filter,
         conv_k=args.conv_k,
         compaction=CompactionBackend(args.compaction),
+        tiled_payload=args.tiled,
         host=args.host,
         port=args.port,
     )

@@ -13,6 +13,7 @@ is insensitive to payload order.
 
 from __future__ import annotations
 
+import dataclasses
 import socket
 import struct
 from typing import Tuple
@@ -27,6 +28,40 @@ def pack_payload(pos: int, xs: np.ndarray, vals: np.ndarray) -> bytes:
     xs = np.ascontiguousarray(np.asarray(xs, dtype="<i4")[:pos])
     vals = np.ascontiguousarray(np.asarray(vals, dtype=np.uint8)[:pos])
     return _U32.pack(pos) + xs.tobytes() + vals.tobytes()
+
+
+@dataclasses.dataclass
+class TiledPayload:
+    """One frame delta as the kernel's per-tile compacted blocks.
+
+    Tile ``t`` holds ``counts[t]`` valid entries at ``xs[t, :counts[t]]``
+    / ``vals[t, :counts[t]]``; global ascending order is tile order. The
+    wire bytes are identical to the flat payload's — the concat happens
+    in the sender's iovec list (``cvstpu.c:wire_send_segments``) instead
+    of on the device, which is the whole point of this layout.
+
+    ``xs``/``vals`` may hold fewer tiles than ``counts`` describes only
+    if the extra counts are zero (executors drop all-empty tail tiles).
+    """
+
+    pos: int
+    counts: np.ndarray  # (n_tiles,) int32
+    xs: np.ndarray      # (n_tiles, tile_cap) int32
+    vals: np.ndarray    # (n_tiles, tile_cap) uint8
+
+    def to_flat(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Concatenate tile prefixes into flat (xs, vals) host arrays."""
+        nz = [t for t in range(self.xs.shape[0]) if self.counts[t] > 0]
+        if not nz:
+            return (np.empty(0, np.int32), np.empty(0, np.uint8))
+        xs = np.concatenate([self.xs[t, : self.counts[t]] for t in nz])
+        vals = np.concatenate([self.vals[t, : self.counts[t]] for t in nz])
+        return xs, vals
+
+    def to_wire_bytes(self) -> bytes:
+        """Python fallback for the native scatter-gather sender."""
+        xs, vals = self.to_flat()
+        return pack_payload(self.pos, xs, vals)
 
 
 def unpack_payload(buf: bytes) -> Tuple[int, np.ndarray, np.ndarray, int]:

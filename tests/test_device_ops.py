@@ -229,11 +229,31 @@ class TestOverlay:
         np.testing.assert_array_equal(np.asarray(out), cur)
 
 
+SCHEMES = ["element", "segment", "register"]
+
+
 class TestCompactionSchemesAgree:
-    def test_element_vs_segment_cross_check(self, pair):
-        """Two independently-derived Pallas compaction schemes must
-        produce identical outputs (mutual cross-check, plus both are
-        tested against the oracle elsewhere)."""
+    @pytest.mark.parametrize("scheme", SCHEMES)
+    def test_scheme_matches_oracle(self, pair, scheme):
+        """Each independently-derived Pallas compaction scheme is
+        byte-exact against the golden CPU oracle."""
+        from cudavideostream_tpu.ops import logcompact
+
+        prev, cur = pair
+        epos, exs, evals, eprev = ref.diff_encode(cur, prev)
+        pos, xs, vals, new_prev = logcompact.fused_diff_compact(
+            jnp.asarray(cur), jnp.asarray(prev), interpret=True, scheme=scheme
+        )
+        pos = int(pos)
+        assert pos == epos
+        np.testing.assert_array_equal(np.asarray(xs)[:pos], exs)
+        np.testing.assert_array_equal(np.asarray(vals)[:pos], evals)
+        np.testing.assert_array_equal(np.asarray(new_prev), eprev)
+        assert int(np.asarray(xs)[pos:].sum()) == 0
+
+    @pytest.mark.parametrize("scheme", SCHEMES[1:])
+    def test_cross_check_vs_element(self, pair, scheme):
+        """The three schemes must produce identical outputs pairwise."""
         from cudavideostream_tpu.ops import logcompact
 
         prev, cur = pair
@@ -241,8 +261,52 @@ class TestCompactionSchemesAgree:
             jnp.asarray(cur), jnp.asarray(prev), interpret=True, scheme="element"
         )
         b = logcompact.fused_diff_compact(
-            jnp.asarray(cur), jnp.asarray(prev), interpret=True, scheme="segment"
+            jnp.asarray(cur), jnp.asarray(prev), interpret=True, scheme=scheme
         )
         assert int(a[0]) == int(b[0])
         for x, y in zip(a[1:], b[1:]):
             np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    @pytest.mark.parametrize("n", [9088, 9000, 5184, 129])
+    def test_unaligned_lengths_padded_internally(self, rng, n):
+        """Arbitrary frame sizes (per-shard slices of 1080p, tiny
+        buffers) are padded inside the kernel wrapper with cur == prev
+        bytes; the payload and state are those of the unpadded frame."""
+        from cudavideostream_tpu.ops import logcompact
+
+        prev, cur = make_frame_pair(rng, n)
+        epos, exs, evals, eprev = ref.diff_encode(cur, prev)
+        pos, xs, vals, new_prev = logcompact.fused_diff_compact(
+            jnp.asarray(cur), jnp.asarray(prev), interpret=True
+        )
+        assert xs.shape == (n,) and new_prev.shape == (n,)
+        assert int(pos) == epos
+        np.testing.assert_array_equal(np.asarray(xs)[:epos], exs)
+        np.testing.assert_array_equal(np.asarray(vals)[:epos], evals)
+        np.testing.assert_array_equal(np.asarray(new_prev), eprev)
+
+    @pytest.mark.parametrize("scheme", SCHEMES)
+    def test_tiled_emit_matches_flat(self, pair, scheme):
+        """emit='tiled' skips the merge epilogue; concatenating the tile
+        prefixes host-side must reproduce the flat payload exactly."""
+        from cudavideostream_tpu.ops import logcompact
+
+        prev, cur = pair
+        epos, exs, evals, eprev = ref.diff_encode(cur, prev)
+        pos, counts, xs_t, vals_t, new_prev = logcompact.fused_diff_compact(
+            jnp.asarray(cur), jnp.asarray(prev), interpret=True,
+            scheme=scheme, emit="tiled",
+        )
+        assert int(pos) == epos
+        counts = np.asarray(counts)
+        xs_t, vals_t = np.asarray(xs_t), np.asarray(vals_t)
+        assert int(counts.sum()) == epos
+        xs = np.concatenate([xs_t[t, : counts[t]] for t in range(len(counts))])
+        vals = np.concatenate([vals_t[t, : counts[t]] for t in range(len(counts))])
+        np.testing.assert_array_equal(xs, exs)
+        np.testing.assert_array_equal(vals, evals)
+        np.testing.assert_array_equal(np.asarray(new_prev), eprev)
+        # zero-padding invariant inside every tile block
+        for t in range(len(counts)):
+            assert int(xs_t[t, counts[t]:].sum()) == 0
+            assert int(vals_t[t, counts[t]:].sum()) == 0

@@ -87,23 +87,30 @@ class TestNondeterministicOrderRejected:
 
 
 class TestFloatConvRejected:
-    def test_float32_accumulation_is_order_sensitive(self):
+    def test_float32_accumulation_flips_the_truncated_byte(self):
         """Why conv weights are Q16 fixed-point: float32 accumulation
-        order changes the truncated byte on real inputs, so a float spec
-        cannot be bit-stable across compilers that reassociate or fuse."""
+        order changes the *truncated output byte* on real inputs, so a
+        float spec cannot be bit-stable across compilers that reassociate
+        or fuse. The pixel window below is a concrete 3x3 neighborhood
+        (found by search over uint8 windows) where forward and reverse
+        summation of the very same Gaussian-weighted terms straddle an
+        integer boundary: 137.99998 vs 138.0."""
         w = ref.gaussian_kernel(3).astype(np.float32).ravel()
-        px = np.full(9, 201, np.float32)
+        px = np.array(
+            [182, 91, 145, 10, 179, 222, 59, 181, 162], np.float32
+        )
+        terms = w * px
         fwd = np.float32(0)
-        for a in w * px:
-            fwd += a
+        for a in terms:
+            fwd = np.float32(fwd + a)
         rev = np.float32(0)
-        for a in (w * px)[::-1]:
-            rev += a
-        # orders differ in the last ulp often enough that *some* input
-        # crosses an integer boundary; assert the mechanism, not luck:
-        # fixed-point is exactly associative.
+        for a in terms[::-1]:
+            rev = np.float32(rev + a)
+        assert int(fwd) != int(rev), (fwd, rev)  # different output BYTES
+
+        # the shipped Q16 path is exactly associative on the same window
         q = ref.quantize_kernel_q16(ref.gaussian_kernel(3)).ravel()
-        acc1 = int(np.sum(q * 201))
-        acc2 = int(np.sum((q * 201)[::-1]))
+        ipx = px.astype(np.int64)
+        acc1 = int(np.sum(q * ipx))
+        acc2 = int(np.sum((q * ipx)[::-1]))
         assert acc1 == acc2  # integer math: any order, same bytes
-        assert isinstance(float(fwd - rev), float)  # float orders may differ

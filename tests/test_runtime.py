@@ -122,6 +122,61 @@ class TestLoopback:
         t.join(timeout=30)
         assert positions[0] > 0
 
+    @staticmethod
+    def _capture_stream(cfg, n_frames=3, seed=3):
+        """Raw byte capture of a full served session."""
+        import dataclasses
+        import socket
+
+        cfg = dataclasses.replace(cfg, port=0)
+        server = DeltaStreamServer(
+            cfg, SyntheticSource(cfg, seed=seed), verbose=False,
+            overlay_status=False,
+        )
+        server.listen()
+        t = threading.Thread(
+            target=server.serve, kwargs={"max_frames": n_frames}, daemon=True
+        )
+        t.start()
+        sock = socket.create_connection(("127.0.0.1", server.port))
+        chunks = []
+        while True:
+            b = sock.recv(1 << 16)
+            if not b:
+                break
+            chunks.append(b)
+        sock.close()
+        t.join(timeout=30)
+        return b"".join(chunks)
+
+    def test_tiled_wire_bytes_identical(self, small_config):
+        """The tiled payload path (per-tile blocks + scatter-gather
+        sender, no device merge) must produce byte-identical wire output
+        to the flat path — the whole point of wire_send_segments."""
+        import dataclasses
+
+        flat = self._capture_stream(small_config)
+        tiled = self._capture_stream(
+            dataclasses.replace(small_config, tiled_payload=True)
+        )
+        assert flat == tiled
+        assert len(flat) > small_config.frame_bytes  # base + payloads
+
+    def test_host_backend_wire_bytes_identical(self, small_config):
+        """--compaction host (device bitmask + C ctz packer) produces
+        byte-identical wire output to the device Pallas path."""
+        import dataclasses
+
+        from cudavideostream_tpu.config import CompactionBackend
+
+        flat = self._capture_stream(small_config)
+        host = self._capture_stream(
+            dataclasses.replace(
+                small_config, compaction=CompactionBackend.HOST
+            )
+        )
+        assert flat == host
+
     def test_reconnect_gets_fresh_base(self, small_config):
         import dataclasses
 
@@ -162,3 +217,32 @@ class TestExecutor:
         np.testing.assert_array_equal(vals, vr)
         assert aux is None
         assert ex.metrics.total_frames == 1
+
+    def test_tiled_payload_flattens_to_oracle(self, small_config, rng):
+        import dataclasses
+
+        cfg = dataclasses.replace(small_config, tiled_payload=True)
+        ex = StreamExecutor(cfg)
+        base = rng.integers(0, 255, cfg.frame_bytes, endpoint=True, dtype=np.uint8)
+        ex.start(base)
+        frame = rng.integers(0, 255, cfg.frame_bytes, endpoint=True, dtype=np.uint8)
+        pos, payload, vals, aux = ex.process(frame)
+        from cudavideostream_tpu.runtime import wire
+
+        assert isinstance(payload, wire.TiledPayload) and vals is None
+        pr, xr, vr, _ = ref.diff_encode(frame, base)
+        assert pos == pr == payload.pos
+        fx, fv = payload.to_flat()
+        np.testing.assert_array_equal(fx, xr)
+        np.testing.assert_array_equal(fv, vr)
+
+    def test_tiled_static_frame_sends_header_only(self, small_config, rng):
+        import dataclasses
+
+        cfg = dataclasses.replace(small_config, tiled_payload=True)
+        ex = StreamExecutor(cfg)
+        base = rng.integers(0, 255, cfg.frame_bytes, endpoint=True, dtype=np.uint8)
+        ex.start(base)
+        pos, payload, _, _ = ex.process(base)
+        assert pos == 0
+        assert payload.to_wire_bytes() == b"\x00\x00\x00\x00"
