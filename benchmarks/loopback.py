@@ -81,17 +81,33 @@ def main():
     p.add_argument("--height", type=int, default=1080)
     p.add_argument("--width", type=int, default=1920)
     p.add_argument("--frames", type=int, default=10)
+    p.add_argument("--out", default=None)
     args = p.parse_args()
 
+    rows = []
     ms = cpu_oracle_rate(args.height, args.width)
+    rows.append(("cpu_oracle_diff_encode", ms))
     print(f"CPU oracle diff-encode: {ms:8.2f} ms/frame ({1e3/ms:6.1f} fps) "
           f"[reference CPU: 140 ms / 7 fps]")
     ms = loopback_rate(args.height, args.width, args.frames, "oracle")
+    rows.append(("loop_oracle_backend", ms))
     print(f"full loop (oracle backend, TCP loopback): {ms:8.2f} ms/frame "
           f"({1e3/ms:6.1f} fps)")
     ms = loopback_rate(args.height, args.width, args.frames, "device")
+    rows.append(("loop_device_backend", ms))
     print(f"full loop (device backend, TCP loopback): {ms:8.2f} ms/frame "
           f"({1e3/ms:6.1f} fps) [reference: ~38 ms / 26 fps]")
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(
+                f"# leg\tms_per_frame ({args.height}x{args.width}; device "
+                f"leg is transport-bound over the ~16 MB/s axon tunnel — "
+                f"chip-rate is bench.py's headline; reference end-to-end: "
+                f"38 ms / 26 fps, report.tex:914)\n"
+            )
+            for name, ms in rows:
+                f.write(f"{name}\t{ms:.2f}\n")
+        print(f"wrote {args.out}", file=sys.stderr)
 
 
 if __name__ == "__main__":

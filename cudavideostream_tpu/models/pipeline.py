@@ -41,6 +41,11 @@ from cudavideostream_tpu.utils import fonts
 MAX_OVERLAY_CHARS = 28
 
 
+def _apply_region(cur, region):
+    """Materialize the overlaid frame from (frame, blended prefix)."""
+    return jnp.concatenate([region, cur[region.shape[0]:]])
+
+
 class DeltaStreamPipeline:
     """Configured, compiled pipeline over device-resident state.
 
@@ -92,9 +97,33 @@ class DeltaStreamPipeline:
             cur = conv_ops.convolve_q16(
                 cur, self.conv_weights_q16, cfg.height, cfg.width
             )
-        cur = overlay_ops.overlay_blit(
-            cur, self.atlas, char_ids, n_chars, cfg.height, cfg.width
+
+        # Overlay placement: visualizers that read the overlaid current
+        # frame (heatmap/grayscale/binarize) need it materialized across
+        # the whole frame; otherwise the text strip is blended over a
+        # tiny prefix and folded into the Pallas kernel's frame read —
+        # zero extra full-frame passes (the XLA strip update costs a
+        # whole HBM pass because the fused DUS lowers to a full-buffer
+        # select; see benchmarks/stage_breakdown.py).
+        cell_h = self.atlas.shape[1]
+        overlay_in_kernel = (
+            cfg.compaction.value == "pallas"
+            and cfg.visualizer in (
+                Visualizer.NONE, Visualizer.RED_BLACK, Visualizer.RED_OVERLAP
+            )
+            and cell_h <= cfg.height
         )
+        overlay_region = None
+        if overlay_in_kernel:
+            strip_bytes = cell_h * cfg.width * 3
+            overlay_region = overlay_ops.overlay_blit(
+                cur[:strip_bytes], self.atlas, char_ids, n_chars,
+                cell_h, cfg.width,
+            )
+        else:
+            cur = overlay_ops.overlay_blit(
+                cur, self.atlas, char_ids, n_chars, cfg.height, cfg.width
+            )
 
         aux = None
         if cfg.visualizer == Visualizer.HEATMAP:
@@ -123,6 +152,7 @@ class DeltaStreamPipeline:
                     negative_feedback=cfg.negative_feedback,
                     interpret=self._interpret,
                     emit="tiled",
+                    overlay_region=overlay_region,
                 )
                 payload = (pos, counts, xs_t, vals_t)
             else:
@@ -132,6 +162,7 @@ class DeltaStreamPipeline:
                     threshold=cfg.threshold,
                     negative_feedback=cfg.negative_feedback,
                     interpret=self._interpret,
+                    overlay_region=overlay_region,
                 )
                 if cfg.capacity != cfg.frame_bytes:
                     xs, vals = xs[: cfg.capacity], vals[: cfg.capacity]
@@ -143,6 +174,8 @@ class DeltaStreamPipeline:
                     # update encodes the mask exactly — no second diff pass
                     mask = new_prev != prev
                 else:
+                    if overlay_region is not None:
+                        cur = _apply_region(cur, overlay_region)
                     mask = diff_ops.diff_mask(cur, prev, cfg.threshold)[0]
         elif cfg.compaction.value == "host":
             # HOST backend: the device does only the O(n) elementwise work

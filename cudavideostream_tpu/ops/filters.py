@@ -75,16 +75,32 @@ def _rows(frame: Array) -> Array:
 
 
 def _per_pixel(frame: Array, weights: Tuple[int, int, int]) -> Array:
-    """(M, 128) f32 of per-pixel weighted channel sums (exact ints)."""
+    """(M, 128) f32 of per-pixel weighted channel sums (exact ints).
+
+    Precision must be HIGHEST: TPU matmuls at DEFAULT precision truncate
+    f32 inputs to bf16 (8 significand bits), and weights like 587 are not
+    bf16-representable — the weighted grayscale then drifts ±1 on real
+    hardware while CPU tests stay green. Caught by bench.py's per-variant
+    byte-exact gate on TPU; HIGHEST restores true-f32 products, which are
+    exact here (inputs <= 255, sums < 2^24).
+    """
     e = jnp.asarray(_extract_matrix(weights))
     return jnp.dot(
-        _rows(frame).astype(jnp.float32), e, preferred_element_type=jnp.float32
+        _rows(frame).astype(jnp.float32), e,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 
 def _replicate(vals_f32: Array, channels=(0, 1, 2)) -> Array:
+    # 0/1 matrix and values <= 255: bf16-exact either way, but keep the
+    # whole exact-integer path pinned to HIGHEST for uniformity
     r = jnp.asarray(_replicate_matrix(tuple(channels)))
-    return jnp.dot(vals_f32, r, preferred_element_type=jnp.float32)
+    return jnp.dot(
+        vals_f32, r,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 def _layout_ok(frame: Array) -> bool:

@@ -112,8 +112,8 @@ def _flat_roll_right(x, s: int, rows: int):
     return jnp.where(lane >= sl, same, prv)
 
 
-def _kernel_v2(cur_ref, prev_ref, thr_ref, new_prev_ref, xs_ref, vals_ref,
-               cnt_ref, *, tile_rows: int, negfeed: bool):
+def _kernel_v2(cur_ref, prev_ref, thr_ref, *rest,
+               tile_rows: int, negfeed: bool, region_tiles: int = 0):
     """Per-element LSB-first shift compaction — ~16 dense passes.
 
     Each masked element must move left by its hole count
@@ -128,20 +128,34 @@ def _kernel_v2(cur_ref, prev_ref, thr_ref, new_prev_ref, xs_ref, vals_ref,
 
     Empty lanes hold 0, which is unambiguous because a valid packed
     payload ``idx*256 + delta`` is never 0 (delta 0 never ships).
+
+    When ``region_tiles > 0``, an extra overlay-region input follows the
+    threshold ref: tiles below ``region_tiles`` read the current frame
+    from it instead (the text strip pre-blended by XLA over a tiny
+    prefix), folding the overlay into this kernel's existing frame read
+    at zero marginal HBM cost — the reference pays one kernel2_char
+    launch per character (``kernels.cu:466-476``).
     """
+    if region_tiles:
+        reg_ref, new_prev_ref, xs_ref, vals_ref, cnt_ref = rest
+    else:
+        new_prev_ref, xs_ref, vals_ref, cnt_ref = rest
     i = pl.program_id(0)
     thr = thr_ref[0]
     R = tile_rows
     n_flat = R * LANES
 
-    cur = cur_ref[:].astype(jnp.int32)
+    cur_u8 = cur_ref[:]
+    if region_tiles:
+        cur_u8 = jnp.where(i < region_tiles, reg_ref[:], cur_u8)
+    cur = cur_u8.astype(jnp.int32)
     prev = prev_ref[:].astype(jnp.int32)
     df = cur - prev
     m = jnp.abs(df) > thr
     if negfeed:
-        new_prev_ref[:] = jnp.where(m, cur_ref[:], prev_ref[:])
+        new_prev_ref[:] = jnp.where(m, cur_u8, prev_ref[:])
     else:
-        new_prev_ref[:] = cur_ref[:]
+        new_prev_ref[:] = cur_u8
 
     mi = m.astype(jnp.int32)
     sub = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 0)
@@ -185,21 +199,28 @@ def _kernel_v2(cur_ref, prev_ref, thr_ref, new_prev_ref, xs_ref, vals_ref,
     cnt_ref[i, 0] = incl[R - 1, LANES - 1]
 
 
-def _kernel(cur_ref, prev_ref, thr_ref, new_prev_ref, xs_ref, vals_ref,
-            cnt_ref, *, tile_rows: int, negfeed: bool):
+def _kernel(cur_ref, prev_ref, thr_ref, *rest,
+            tile_rows: int, negfeed: bool, region_tiles: int = 0):
+    if region_tiles:
+        reg_ref, new_prev_ref, xs_ref, vals_ref, cnt_ref = rest
+    else:
+        new_prev_ref, xs_ref, vals_ref, cnt_ref = rest
     i = pl.program_id(0)
     thr = thr_ref[0]
     R = tile_rows
     n_flat = R * LANES
 
-    cur = cur_ref[:].astype(jnp.int32)
+    cur_u8 = cur_ref[:]
+    if region_tiles:
+        cur_u8 = jnp.where(i < region_tiles, reg_ref[:], cur_u8)
+    cur = cur_u8.astype(jnp.int32)
     prev = prev_ref[:].astype(jnp.int32)
     df = cur - prev
     m = jnp.abs(df) > thr
     if negfeed:
-        new_prev_ref[:] = jnp.where(m, cur_ref[:], prev_ref[:])
+        new_prev_ref[:] = jnp.where(m, cur_u8, prev_ref[:])
     else:
-        new_prev_ref[:] = cur_ref[:]
+        new_prev_ref[:] = cur_u8
 
     mi = m.astype(jnp.int32)
     sub = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 0)
@@ -275,27 +296,47 @@ def _kernel(cur_ref, prev_ref, thr_ref, new_prev_ref, xs_ref, vals_ref,
 
 
 def _run_kernel(cur2, prev2, thr, *, scheme, tile_rows, grid,
-                negfeed, interpret):
+                negfeed, interpret, region2=None):
     """Dispatch one pallas_call; returns ``(new_prev, xs_t, vals_t,
-    counts)`` with the tile blocks in ``(rows, LANES)`` layout."""
+    counts)`` with the tile blocks in ``(rows, LANES)`` layout.
+    ``region2`` is an optional overlay-region prefix (a multiple of
+    ``tile_rows`` rows) blended over the leading tiles in-kernel."""
     rows = cur2.shape[0]
     if scheme == "register":
         from cudavideostream_tpu.ops import pallas_compact
 
+        if region2 is not None:
+            raise ValueError("overlay fusion: element/segment schemes only")
         return pallas_compact.run_register(
             cur2, prev2, thr, tile_rows=tile_rows, grid=grid,
             negfeed=negfeed, interpret=interpret,
         )
+    region_tiles = 0 if region2 is None else region2.shape[0] // tile_rows
     body = _kernel_v2 if scheme == "element" else _kernel
-    kernel = functools.partial(body, tile_rows=tile_rows, negfeed=negfeed)
+    kernel = functools.partial(
+        body, tile_rows=tile_rows, negfeed=negfeed, region_tiles=region_tiles
+    )
+    in_specs = [
+        pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    ]
+    inputs = [cur2, prev2, thr]
+    if region_tiles:
+        # leading tiles read the pre-blended block; later grid steps pin
+        # the index map to the last region block (fetched once, unused)
+        in_specs.append(
+            pl.BlockSpec(
+                (tile_rows, LANES),
+                lambda i, _rt=region_tiles: (jnp.minimum(i, _rt - 1), 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        inputs.append(region2)
     new_prev, xs_t, vals_t, counts = pl.pallas_call(
         kernel,
         grid=(grid,),
-        in_specs=[
-            pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -312,7 +353,7 @@ def _run_kernel(cur2, prev2, thr, *, scheme, tile_rows, grid,
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(cur2, prev2, thr)
+    )(*inputs)
     return new_prev, xs_t, vals_t, counts
 
 
@@ -329,6 +370,7 @@ def fused_diff_compact(
     interpret: bool = False,
     scheme: str = "element",
     emit: str = "flat",
+    overlay_region: Array | None = None,
 ):
     """Fused kernel2: diff + negative feedback + stream compaction.
 
@@ -352,6 +394,13 @@ def fused_diff_compact(
     holds ``counts[t]`` valid entries, skipping the merge epilogue; the
     host's scatter-gather sender assembles the identical wire bytes for
     free (``wire.tiled_to_flat`` / ``native wire_send_segments``).
+
+    ``overlay_region`` (element/segment schemes): a prefix of the frame
+    with the text strip already blended (tiny — the strip's image rows).
+    The kernel substitutes it for ``current`` on the leading tiles, so
+    the overlay costs no extra pass over the frame; diff, negative
+    feedback, and the payload all see the overlaid bytes, exactly as if
+    the caller had overlaid the whole frame first.
     """
     n = current.shape[0]
     rows = _pad_rows(-(-n // LANES))
@@ -364,13 +413,24 @@ def fused_diff_compact(
     tile_rows = _pick_tile_rows(rows)
     grid = rows // tile_rows
 
+    region2 = None
+    if overlay_region is not None and overlay_region.shape[0] > 0:
+        # pad the region to whole tiles with the frame's own bytes (a
+        # no-op blend), so covered tiles can substitute it wholesale
+        r_len = overlay_region.shape[0]
+        r_rows = -(-r_len // LANES)
+        r_tiles = -(-r_rows // tile_rows)
+        r_bytes = r_tiles * tile_rows * LANES  # <= n_pad since r_len <= n
+        region = jnp.concatenate([overlay_region, current[r_len:r_bytes]])
+        region2 = region.reshape(-1, LANES)
+
     cur2 = current.reshape(rows, LANES)
     prev2 = previous.reshape(rows, LANES)
     thr = jnp.full((1,), threshold, jnp.int32)
 
     new_prev, xs_t, vals_t, counts = _run_kernel(
         cur2, prev2, thr, scheme=scheme, tile_rows=tile_rows, grid=grid,
-        negfeed=negative_feedback, interpret=interpret,
+        negfeed=negative_feedback, interpret=interpret, region2=region2,
     )
 
     counts = counts.reshape(grid)

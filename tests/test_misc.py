@@ -155,3 +155,42 @@ class TestLargeFrameGuard:
         prev = pipe.init_state(np.zeros(cfg.frame_bytes, np.uint8))
         with pytest.raises(Exception, match="Sharded"):
             pipe.step(prev, np.zeros(cfg.frame_bytes, np.uint8))
+
+
+class TestPngWriter:
+    def test_roundtrip_decodable(self, tmp_path, rng):
+        """Decode our own PNG (unfiltered scanlines) back to pixels."""
+        import struct
+        import zlib
+
+        from cudavideostream_tpu.utils.png import write_png
+
+        img = rng.integers(0, 255, (5, 7, 3), endpoint=True, dtype=np.uint8)
+        path = str(tmp_path / "t.png")
+        write_png(path, img)
+        data = open(path, "rb").read()
+        assert data[:8] == b"\x89PNG\r\n\x1a\n"
+        # walk chunks
+        off = 8
+        idat = b""
+        while off < len(data):
+            (ln,) = struct.unpack_from(">I", data, off)
+            tag = data[off + 4 : off + 8]
+            body = data[off + 8 : off + 8 + ln]
+            if tag == b"IHDR":
+                w, h, depth, ctype = struct.unpack_from(">IIBB", body)
+                assert (w, h, depth, ctype) == (7, 5, 8, 2)
+            elif tag == b"IDAT":
+                idat += body
+            off += 12 + ln
+        raw = np.frombuffer(zlib.decompress(idat), np.uint8).reshape(5, 1 + 21)
+        assert (raw[:, 0] == 0).all()  # filter None
+        np.testing.assert_array_equal(raw[:, 1:].reshape(5, 7, 3), img)
+
+    def test_bgr_to_rgb(self):
+        from cudavideostream_tpu.utils.png import bgr_frame_to_rgb
+
+        frame = np.array([10, 20, 30, 40, 50, 60], np.uint8)  # 1x2 BGR
+        rgb = bgr_frame_to_rgb(frame, 1, 2)
+        np.testing.assert_array_equal(rgb[0, 0], [30, 20, 10])
+        np.testing.assert_array_equal(rgb[0, 1], [60, 50, 40])

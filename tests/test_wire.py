@@ -44,3 +44,54 @@ def test_short_buffer_raises():
         wire.unpack_payload(b"\x01\x00")
     with pytest.raises(ValueError):
         wire.unpack_payload(b"\x02\x00\x00\x00" + b"\x00" * 5)
+
+
+def test_tiled_payload_wire_bytes_equal_flat():
+    counts = np.array([2, 0, 3], np.int32)
+    xs_t = np.zeros((3, 4), np.int32)
+    vals_t = np.zeros((3, 4), np.uint8)
+    xs_t[0, :2] = [5, 9]
+    vals_t[0, :2] = [1, 2]
+    xs_t[2, :3] = [100, 200, 300]
+    vals_t[2, :3] = [3, 4, 5]
+    tp = wire.TiledPayload(5, counts, xs_t, vals_t)
+    fx, fv = tp.to_flat()
+    np.testing.assert_array_equal(fx, [5, 9, 100, 200, 300])
+    np.testing.assert_array_equal(fv, [1, 2, 3, 4, 5])
+    assert tp.to_wire_bytes() == wire.pack_payload(5, fx, fv)
+
+
+def test_tiled_payload_empty():
+    tp = wire.TiledPayload(
+        0, np.empty(0, np.int32), np.empty((0, 4), np.int32),
+        np.empty((0, 4), np.uint8),
+    )
+    assert tp.to_wire_bytes() == b"\x00\x00\x00\x00"
+
+
+def test_native_send_segments_matches_python(tmp_path):
+    """The C scatter-gather sender writes the identical bytes through a
+    real socketpair."""
+    import socket
+
+    from cudavideostream_tpu import native
+
+    if native.load_native() is None:
+        import pytest
+
+        pytest.skip("native helper unavailable")
+    counts = np.array([1, 0, 2], np.int32)
+    xs_t = np.zeros((3, 4), np.int32)
+    vals_t = np.zeros((3, 4), np.uint8)
+    xs_t[0, 0] = 7
+    vals_t[0, 0] = 9
+    xs_t[2, :2] = [11, 12]
+    vals_t[2, :2] = [13, 14]
+    tp = wire.TiledPayload(3, counts, xs_t, vals_t)
+    a, b = socket.socketpair()
+    rc = native.wire_send_segments_fd(a.fileno(), 3, counts, xs_t, vals_t)
+    a.close()
+    assert rc == 0
+    got = b.recv(1 << 16)
+    b.close()
+    assert got == tp.to_wire_bytes()
