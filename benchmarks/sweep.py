@@ -20,19 +20,41 @@ import os, sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
-# dense ladder: every power-of-two-ish step from one (8,128) vreg tile to
-# ~4 MB VMEM blocks; 24 points vs the reference's 217-row thread sweep
+# dense ladder from small vreg tiles to ~4 MB VMEM blocks; 21 points vs
+# the reference's 217-row thread sweep. Lower bound: the per-tile counts
+# output lives in SMEM as a (grid, 1) window padded to 512 B/row, so
+# grid must stay under ~2000 (tile_rows >= 32 at 1080p).
 CANDIDATES = [
-    8, 16, 24, 32, 40, 56, 72, 104, 120, 152, 200, 216, 248, 304, 360,
+    32, 40, 56, 72, 104, 120, 152, 200, 216, 248, 304, 360,
     392, 448, 512, 608, 760, 1080, 1520, 1800, 2432,
 ]
 
 
-def run(out_path: str | None = None, candidates=None, emit: str = "flat"):
+def _bench_scan(fn, init_carry, k=24, iters=4):
+    """ms per step, scan-chained (same methodology as kernels.py — the
+    per-dispatch amortized harness is swamped by tunnel jitter)."""
+    import time
+
+    import jax
+
+    @jax.jit
+    def run_(c):
+        return jax.lax.scan(lambda c, _: (fn(c), None), c, None, length=k)[0]
+
+    c = run_(init_carry)
+    jax.device_get(jax.tree_util.tree_leaves(c)[0].ravel()[0])
+    t0 = time.perf_counter()
+    c = init_carry
+    for _ in range(iters):
+        c = run_(c)
+    jax.device_get(jax.tree_util.tree_leaves(c)[0].ravel()[0])
+    return 1e3 * (time.perf_counter() - t0) / (k * iters)
+
+
+def run(out_path: str | None = None, candidates=None, emit: str = "tiled"):
     import jax.numpy as jnp
 
     from cudavideostream_tpu.ops import logcompact
-    from cudavideostream_tpu.utils import timing
 
     n = 6220800
     rows = n // 128
@@ -46,6 +68,15 @@ def run(out_path: str | None = None, candidates=None, emit: str = "flat"):
     if candidates is None:
         candidates = CANDIDATES
 
+    def chain(c):
+        a, b = c
+        out = logcompact.fused_diff_compact(a, b, emit=emit)
+        if emit == "tiled":
+            _, counts, xs_t, vals_t, new_prev = out
+            return b, new_prev ^ vals_t[0, 0] ^ xs_t[0, 0].astype(jnp.uint8)
+        _, xs, vals, new_prev = out
+        return b, new_prev ^ vals[:1]
+
     orig_pick, orig_pad = logcompact._pick_tile_rows, logcompact._pad_rows
     results = []
     try:
@@ -53,10 +84,7 @@ def run(out_path: str | None = None, candidates=None, emit: str = "flat"):
             logcompact._pick_tile_rows = lambda r, target=400, _tr=tr: _tr
             logcompact._pad_rows = lambda r, _tr=tr: -(-r // _tr) * _tr
             logcompact.fused_diff_compact.clear_cache()
-            ms = timing.bench_op_amortized(
-                lambda a, b: logcompact.fused_diff_compact(a, b, emit=emit),
-                cur, prev, warmup=2, iters=10,
-            )
+            ms = _bench_scan(chain, (cur, prev))
             grid = -(-rows // tr)
             print(f"tile_rows={tr:5d} grid={grid:5d}  {ms:8.3f} ms", flush=True)
             results.append((tr, grid, ms))
@@ -67,7 +95,8 @@ def run(out_path: str | None = None, candidates=None, emit: str = "flat"):
 
     if out_path:
         with open(out_path, "w") as f:
-            f.write(f"# tile_rows\tgrid\tms ({emit} emit, 1080p, 6% changed)\n")
+            f.write(f"# tile_rows\tgrid\tms ({emit} emit, 1080p, 6% changed, "
+                    f"scan-chained)\n")
             for tr, grid, ms in results:
                 f.write(f"{tr}\t{grid}\t{ms:.4f}\n")
         print(f"wrote {out_path}", file=sys.stderr)
@@ -77,6 +106,6 @@ def run(out_path: str | None = None, candidates=None, emit: str = "flat"):
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--out", default=None)
-    p.add_argument("--emit", default="flat", choices=["flat", "tiled"])
+    p.add_argument("--emit", default="tiled", choices=["flat", "tiled"])
     args = p.parse_args()
     run(args.out, emit=args.emit)
