@@ -121,8 +121,24 @@ class ShardedDeltaPipeline:
             cur = jax.vmap(conv)(cur)
 
         # overlay lands in the top image rows; the glyph band may span
-        # multiple row-shards, so each shard blits its intersection
-        cur = self._overlay_local(cur, char_ids, n_chars, sidx)
+        # multiple row-shards, so each shard blits its intersection.
+        # Same fusion split as the single-chip pipeline: visualizers that
+        # read the overlaid frame need it materialized; otherwise only a
+        # row prefix is blended and the per-shard Pallas kernel
+        # substitutes it on its leading tiles (zero extra frame pass).
+        needs_full_overlay = cfg.visualizer in (
+            Visualizer.HEATMAP, Visualizer.GRAYSCALE, Visualizer.BINARIZE
+        )
+        cell_h = self.atlas.shape[1]
+        region = None
+        if needs_full_overlay or not self.uses_pallas or cell_h > cfg.height:
+            cur = self._overlay_local(cur, char_ids, n_chars, sidx)
+        else:
+            pref_rows = min(Lr, cell_h)
+            pref_bytes = pref_rows * W * 3
+            region = self._overlay_local(
+                cur[:, :pref_bytes], char_ids, n_chars, sidx, rows=pref_rows
+            )
 
         aux = jnp.zeros((Bl, Ln), jnp.uint8)
         if cfg.visualizer == Visualizer.HEATMAP:
@@ -146,14 +162,25 @@ class ShardedDeltaPipeline:
         # per-thread arbitrary-extent handling of kernels.cu:404-427,
         # done the TPU way.
         if self.uses_pallas:
-            lpos, lxs, lvals, new_prev = jax.vmap(
-                lambda c, p: logcompact.fused_diff_compact(
-                    c, p,
-                    threshold=cfg.threshold,
-                    negative_feedback=cfg.negative_feedback,
-                    interpret=self._interpret,
-                )
-            )(cur, prev)
+            if region is not None:
+                lpos, lxs, lvals, new_prev = jax.vmap(
+                    lambda c, p, r: logcompact.fused_diff_compact(
+                        c, p,
+                        threshold=cfg.threshold,
+                        negative_feedback=cfg.negative_feedback,
+                        interpret=self._interpret,
+                        overlay_region=r,
+                    )
+                )(cur, prev, region)
+            else:
+                lpos, lxs, lvals, new_prev = jax.vmap(
+                    lambda c, p: logcompact.fused_diff_compact(
+                        c, p,
+                        threshold=cfg.threshold,
+                        negative_feedback=cfg.negative_feedback,
+                        interpret=self._interpret,
+                    )
+                )(cur, prev)
             mask = None
             if needs_mask:
                 if cfg.negative_feedback and cfg.threshold > 0:
@@ -161,6 +188,10 @@ class ShardedDeltaPipeline:
                     # update encodes the mask, saving a second diff pass
                     mask = new_prev != prev
                 else:
+                    if region is not None:
+                        cur = jnp.concatenate(
+                            [region, cur[:, region.shape[1]:]], axis=1
+                        )
                     mask = jax.vmap(
                         lambda c, p: diff_ops.diff_mask(c, p, cfg.threshold)[0]
                     )(cur, prev)
@@ -207,19 +238,23 @@ class ShardedDeltaPipeline:
         out_vals = out_vals[:, : self.capacity].astype(jnp.uint8)
         return new_prev, pos, out_xs, out_vals, aux
 
-    def _overlay_local(self, cur, char_ids, n_chars, sidx):
+    def _overlay_local(self, cur, char_ids, n_chars, sidx, rows=None):
         """Batched glyph blit of this shard's slice of the text band.
 
         Shard ``s`` owns global rows ``[s*Lr, (s+1)*Lr)``; it copies atlas
-        rows ``[s*Lr, s*Lr+Lr)`` (zero-padded past the cell) and masks to
-        global rows inside the band — shards below the band are no-ops.
+        rows ``[s*Lr, s*Lr+rows)`` (zero-padded past the cell) and masks
+        to global rows inside the band — shards below the band are
+        no-ops. ``rows`` (default: the whole shard) lets the caller blit
+        only a row prefix, which the per-shard Pallas kernel then fuses
+        as its ``overlay_region``.
         """
         cfg = self.cfg
         Bl = cur.shape[0]
         Lr = self.local_rows
-        img = cur.reshape(Bl, Lr, cfg.width, 3)
+        R = Lr if rows is None else rows
+        img = cur.reshape(Bl, R, cfg.width, 3)
         cell_h, cell_w = self.atlas.shape[1], self.atlas.shape[2]
-        grow = sidx * Lr + jax.lax.broadcasted_iota(jnp.int32, (Lr,), 0)
+        grow = sidx * Lr + jax.lax.broadcasted_iota(jnp.int32, (R,), 0)
         in_band = (grow < cell_h)[None, :, None, None]
         row_off = jnp.clip(sidx * Lr, 0, cell_h)
         for j in range(min(MAX_OVERLAY_CHARS, char_ids.shape[0])):
@@ -227,11 +262,11 @@ class ShardedDeltaPipeline:
             if x0 + cell_w > cfg.width:
                 break
             cell = jax.lax.dynamic_index_in_dim(self.atlas, char_ids[j], 0, False)
-            cell = jnp.pad(cell, ((0, Lr), (0, 0), (0, 0)))
-            sub = jax.lax.dynamic_slice(cell, (row_off, 0, 0), (Lr, cell_w, 3))
-            sub = jnp.broadcast_to(sub[None], (Bl, Lr, cell_w, 3))
+            cell = jnp.pad(cell, ((0, R), (0, 0), (0, 0)))
+            sub = jax.lax.dynamic_slice(cell, (row_off, 0, 0), (R, cell_w, 3))
+            sub = jnp.broadcast_to(sub[None], (Bl, R, cell_w, 3))
             curslice = jax.lax.dynamic_slice(
-                img, (0, 0, x0, 0), (Bl, Lr, cell_w, 3)
+                img, (0, 0, x0, 0), (Bl, R, cell_w, 3)
             )
             new = jnp.where(in_band & (j < n_chars), sub, curslice)
             img = jax.lax.dynamic_update_slice(img, new, (0, 0, x0, 0))
