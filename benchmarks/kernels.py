@@ -67,29 +67,38 @@ def run(out_path: str | None = None):
         np.asarray(prev),
     ).astype(np.uint8)
     cur = jnp.asarray(cur_np)
+    # clustered variant: the same ~6% changed bytes, but concentrated in
+    # one band (a moving object), leaving ~94% of tiles static —
+    # exercises the kernel's static-region fast path
+    clus_np = np.asarray(prev).copy()
+    band = slice(0, int(0.06 * n))
+    clus_np[band] = ((clus_np[band].astype(np.int32) + 100) % 256).astype(np.uint8)
+    clus = jnp.asarray(clus_np)
     sine_ok = filters.heatmap_sine_is_exact()
 
+    # Payload digests accumulate into a scalar carry slot rather than
+    # xoring into the state: perturbing new_prev would make every later
+    # chain iteration a ~100%-changed frame, hiding density-dependent
+    # behavior (e.g. the static-tile fast path).
     def chain_diff_compact(c):
-        a, b = c
+        a, b, acc = c
         _, xs, vals, new_prev = logcompact.fused_diff_compact(a, b)
-        # fold a payload byte back in so nothing is dead code
-        return b, new_prev ^ vals[:1].astype(jnp.uint8)
+        return b, new_prev, acc + jnp.sum(xs[:1]) + vals[0].astype(jnp.int32)
 
     def chain_diff_compact_tiled(c):
-        a, b = c
+        a, b, acc = c
         _, counts, xs_t, vals_t, new_prev = logcompact.fused_diff_compact(
             a, b, emit="tiled"
         )
-        # fold payload bytes back in: the tiled blocks must materialize
-        return b, new_prev ^ vals_t[0, 0] ^ xs_t[0, 0].astype(jnp.uint8)
+        return b, new_prev, acc + xs_t[0, 0] + vals_t[0, 0].astype(jnp.int32)
 
     def make_chain_scheme(scheme):
         def chain(c):
-            a, b = c
+            a, b, acc = c
             _, xs, vals, new_prev = logcompact.fused_diff_compact(
                 a, b, scheme=scheme
             )
-            return b, new_prev ^ vals[:1].astype(jnp.uint8)
+            return b, new_prev, acc + xs[0] + vals[0].astype(jnp.int32)
 
         return chain
 
@@ -114,11 +123,16 @@ def run(out_path: str | None = None):
     atlas = jnp.asarray(fonts.make_atlas(cfg.overlay_scale))
     ids = jnp.asarray(fonts.encode_text("FPS: 30 BW: 5 kbps", 28), jnp.int32)
 
+    acc0 = jnp.int32(0)
     entries = [
-        ("diff+compact_tiled", 3.42, chain_diff_compact_tiled, (cur, prev)),
-        ("diff+compact_pallas", 3.42, chain_diff_compact, (cur, prev)),
-        ("diff+compact_register", 3.42, make_chain_scheme("register"), (cur, prev)),
-        ("diff+compact_segment", 3.42, make_chain_scheme("segment"), (cur, prev)),
+        ("diff+compact_tiled", 3.42, chain_diff_compact_tiled, (cur, prev, acc0)),
+        ("diff+compact_tiled_clustered", 3.42, chain_diff_compact_tiled,
+         (clus, prev, acc0)),
+        ("diff+compact_pallas", 3.42, chain_diff_compact, (cur, prev, acc0)),
+        ("diff+compact_register", 3.42, make_chain_scheme("register"),
+         (cur, prev, acc0)),
+        ("diff+compact_segment", 3.42, make_chain_scheme("segment"),
+         (cur, prev, acc0)),
         ("diff_mask_only", 3.42, chain_diff_mask, (cur, prev)),
         ("grayscale_avg", None, filters.grayscale_average, cur),
         ("grayscale_weighted", None, filters.grayscale_weighted, cur),

@@ -69,13 +69,13 @@ def run(out_path: str | None = None, candidates=None, emit: str = "tiled"):
         candidates = CANDIDATES
 
     def chain(c):
-        a, b = c
+        a, b, acc = c
         out = logcompact.fused_diff_compact(a, b, emit=emit)
         if emit == "tiled":
             _, counts, xs_t, vals_t, new_prev = out
-            return b, new_prev ^ vals_t[0, 0] ^ xs_t[0, 0].astype(jnp.uint8)
+            return b, new_prev, acc + xs_t[0, 0] + vals_t[0, 0].astype(jnp.int32)
         _, xs, vals, new_prev = out
-        return b, new_prev ^ vals[:1]
+        return b, new_prev, acc + xs[0] + vals[0].astype(jnp.int32)
 
     orig_pick, orig_pad = logcompact._pick_tile_rows, logcompact._pad_rows
     results = []
@@ -84,7 +84,7 @@ def run(out_path: str | None = None, candidates=None, emit: str = "tiled"):
             logcompact._pick_tile_rows = lambda r, target=400, _tr=tr: _tr
             logcompact._pad_rows = lambda r, _tr=tr: -(-r // _tr) * _tr
             logcompact.fused_diff_compact.clear_cache()
-            ms = _bench_scan(chain, (cur, prev))
+            ms = _bench_scan(chain, (cur, prev, jnp.int32(0)))
             grid = -(-rows // tr)
             print(f"tile_rows={tr:5d} grid={grid:5d}  {ms:8.3f} ms", flush=True)
             results.append((tr, grid, ms))

@@ -56,7 +56,8 @@ class DeltaStreamPipeline:
         prev, pos, xs, vals, aux = pipe.step(prev, frame, text="FPS: 30")
     """
 
-    def __init__(self, config: StreamConfig, conv_weights: Optional[np.ndarray] = None):
+    def __init__(self, config: StreamConfig, conv_weights: Optional[np.ndarray] = None,
+                 threshold_map: Optional[np.ndarray] = None):
         self.config = config
         self.atlas_np = fonts.make_atlas(config.overlay_scale)
         self.atlas = jnp.asarray(self.atlas_np)
@@ -64,6 +65,21 @@ class DeltaStreamPipeline:
             conv_weights = reference_cpu.gaussian_kernel(config.conv_k)
         self.conv_weights = np.asarray(conv_weights, dtype=np.float64)
         self.conv_weights_q16 = reference_cpu.quantize_kernel_q16(self.conv_weights)
+        # optional per-byte sensitivity map (beyond the reference's
+        # global threshold): byte i ships iff |df_i| > threshold_map[i]
+        self.threshold_map_np = None
+        self._thr_map = None
+        self._thr_map_min = None
+        if threshold_map is not None:
+            tm = np.asarray(threshold_map, dtype=np.uint8).ravel()
+            if tm.size != config.frame_bytes:
+                raise ValueError(
+                    f"threshold_map has {tm.size} bytes, frame has "
+                    f"{config.frame_bytes}"
+                )
+            self.threshold_map_np = tm
+            self._thr_map = jnp.asarray(tm)
+            self._thr_map_min = int(tm.min())
         # Mosaic kernels need the interpreter off-TPU (tests run on CPU)
         self._interpret = jax.default_backend() == "cpu"
         # use the fast VPU sine colormap only when this backend provably
@@ -143,6 +159,10 @@ class DeltaStreamPipeline:
                 "packed-index compaction range (2^23); shard rows across "
                 "chips with parallel.ShardedDeltaPipeline instead"
             )
+        thr = cfg.threshold if self._thr_map is None else self._thr_map
+        thr_positive = (
+            cfg.threshold > 0 if self._thr_map is None else self._thr_map_min > 0
+        )
         if cfg.compaction.value == "pallas":
             if cfg.tiled_payload:
                 pos, counts, xs_t, vals_t, new_prev = logcompact.fused_diff_compact(
@@ -153,6 +173,7 @@ class DeltaStreamPipeline:
                     interpret=self._interpret,
                     emit="tiled",
                     overlay_region=overlay_region,
+                    threshold_map=self._thr_map,
                 )
                 payload = (pos, counts, xs_t, vals_t)
             else:
@@ -163,32 +184,33 @@ class DeltaStreamPipeline:
                     negative_feedback=cfg.negative_feedback,
                     interpret=self._interpret,
                     overlay_region=overlay_region,
+                    threshold_map=self._thr_map,
                 )
                 if cfg.capacity != cfg.frame_bytes:
                     xs, vals = xs[: cfg.capacity], vals[: cfg.capacity]
                 payload = (pos, xs, vals)
             mask = None
             if needs_mask:
-                if cfg.negative_feedback and cfg.threshold > 0:
+                if cfg.negative_feedback and thr_positive:
                     # |df| > thr > 0 implies cur != prev, so the negfeed
                     # update encodes the mask exactly — no second diff pass
                     mask = new_prev != prev
                 else:
                     if overlay_region is not None:
                         cur = _apply_region(cur, overlay_region)
-                    mask = diff_ops.diff_mask(cur, prev, cfg.threshold)[0]
+                    mask = diff_ops.diff_mask(cur, prev, thr)[0]
         elif cfg.compaction.value == "host":
             # HOST backend: the device does only the O(n) elementwise work
             # (dense delta + a packed bitmask, n/8 bytes); the C packer
             # (cvstpu.c:compact_bitmask, ctz word scans) compacts on the
             # host. See DeltaStreamPipeline.step for the host half.
             mask, raw_vals, new_prev = diff_ops.diff_mask(
-                cur, prev, cfg.threshold, cfg.negative_feedback
+                cur, prev, thr, cfg.negative_feedback
             )
             payload = (diff_ops.pack_bitmask(mask), raw_vals)
         else:
             mask, raw_vals, new_prev = diff_ops.diff_mask(
-                cur, prev, cfg.threshold, cfg.negative_feedback
+                cur, prev, thr, cfg.negative_feedback
             )
             pos, xs, vals = compact_ops.compact(
                 mask, raw_vals, cfg.capacity, cfg.compaction.value

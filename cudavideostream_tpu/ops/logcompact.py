@@ -113,7 +113,8 @@ def _flat_roll_right(x, s: int, rows: int):
 
 
 def _kernel_v2(cur_ref, prev_ref, thr_ref, *rest,
-               tile_rows: int, negfeed: bool, region_tiles: int = 0):
+               tile_rows: int, negfeed: bool, region_tiles: int = 0,
+               thr_is_map: bool = False, skip_static: bool = True):
     """Per-element LSB-first shift compaction — ~16 dense passes.
 
     Each masked element must move left by its hole count
@@ -141,7 +142,9 @@ def _kernel_v2(cur_ref, prev_ref, thr_ref, *rest,
     else:
         new_prev_ref, xs_ref, vals_ref, cnt_ref = rest
     i = pl.program_id(0)
-    thr = thr_ref[0]
+    # per-region sensitivity: thr is a per-byte uint8 map block when the
+    # caller configured one (beyond the reference's global #define)
+    thr = thr_ref[:].astype(jnp.int32) if thr_is_map else thr_ref[0]
     R = tile_rows
     n_flat = R * LANES
 
@@ -157,56 +160,74 @@ def _kernel_v2(cur_ref, prev_ref, thr_ref, *rest,
     else:
         new_prev_ref[:] = cur_u8
 
-    mi = m.astype(jnp.int32)
-    sub = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 0)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
-    flat = sub * LANES + lane
-    gidx = i * n_flat + flat
+    # Static-region fast path: a tile with no changed byte skips the
+    # cumsum and every shift pass — real scenes concentrate change, so
+    # most tiles of a mostly-static frame cost one elementwise pass.
+    # (The reference's kernel2 always runs its full body.)
+    def _compact():
+        mi = m.astype(jnp.int32)
+        sub = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
+        flat = sub * LANES + lane
+        gidx = i * n_flat + flat
 
-    x = jnp.where(m, gidx * 256 + jnp.bitwise_and(df, 255), 0)
+        x = jnp.where(m, gidx * 256 + jnp.bitwise_and(df, 255), 0)
 
-    # flat inclusive cumsum: lane-phase Hillis-Steele + row-prefix add
-    incl = mi
-    s = 1
-    while s < LANES:
-        incl = incl + jnp.where(lane >= s, pltpu.roll(incl, s, 1), 0)
-        s *= 2
-    rowtot = jnp.broadcast_to(incl[:, LANES - 1 : LANES], (R, LANES))
-    rowpre = rowtot
-    s = 1
-    while s < R:
-        rowpre = rowpre + jnp.where(sub >= s, pltpu.roll(rowpre, s, 0), 0)
-        s *= 2
-    incl = incl + (rowpre - rowtot)
+        # flat inclusive cumsum: lane-phase Hillis-Steele + row-prefix add
+        incl = mi
+        s = 1
+        while s < LANES:
+            incl = incl + jnp.where(lane >= s, pltpu.roll(incl, s, 1), 0)
+            s *= 2
+        rowtot = jnp.broadcast_to(incl[:, LANES - 1 : LANES], (R, LANES))
+        rowpre = rowtot
+        s = 1
+        while s < R:
+            rowpre = rowpre + jnp.where(sub >= s, pltpu.roll(rowpre, s, 0), 0)
+            s *= 2
+        incl = incl + (rowpre - rowtot)
 
-    holes = jnp.where(m, flat - (incl - 1), 0)
+        holes = jnp.where(m, flat - (incl - 1), 0)
 
-    b = 1
-    while b < n_flat:
-        rx = _flat_roll_left(x, b, R)
-        rh = _flat_roll_left(holes, b, R)
-        src_ok = flat + b < n_flat  # static pattern: no wrap-in
-        take = src_ok & (rx != 0) & (jnp.bitwise_and(rh, b) != 0)
-        stay = (x != 0) & (jnp.bitwise_and(holes, b) == 0)
-        x = jnp.where(take, rx, jnp.where(stay, x, 0))
-        holes = jnp.where(take, rh, jnp.where(stay, holes, 0))
-        b *= 2
+        b = 1
+        while b < n_flat:
+            rx = _flat_roll_left(x, b, R)
+            rh = _flat_roll_left(holes, b, R)
+            src_ok = flat + b < n_flat  # static pattern: no wrap-in
+            take = src_ok & (rx != 0) & (jnp.bitwise_and(rh, b) != 0)
+            stay = (x != 0) & (jnp.bitwise_and(holes, b) == 0)
+            x = jnp.where(take, rx, jnp.where(stay, x, 0))
+            holes = jnp.where(take, rh, jnp.where(stay, holes, 0))
+            b *= 2
 
-    # unpack in-kernel (holes are 0 -> xs 0, vals 0): the caller never
-    # touches the packed form, so no unpack pass over HBM is needed
-    xs_ref[:] = x >> 8
-    vals_ref[:] = jnp.bitwise_and(x, 255).astype(jnp.uint8)
-    cnt_ref[i, 0] = incl[R - 1, LANES - 1]
+        # unpack in-kernel (holes are 0 -> xs 0, vals 0): the caller
+        # never touches the packed form, so no unpack pass is needed
+        xs_ref[:] = x >> 8
+        vals_ref[:] = jnp.bitwise_and(x, 255).astype(jnp.uint8)
+        cnt_ref[i, 0] = incl[R - 1, LANES - 1]
+
+    if not skip_static:
+        _compact()
+    else:
+        any_change = jnp.any(m)
+        pl.when(any_change)(_compact)
+
+        @pl.when(jnp.logical_not(any_change))
+        def _static():
+            xs_ref[:] = jnp.zeros((R, LANES), jnp.int32)
+            vals_ref[:] = jnp.zeros((R, LANES), jnp.uint8)
+            cnt_ref[i, 0] = 0
 
 
 def _kernel(cur_ref, prev_ref, thr_ref, *rest,
-            tile_rows: int, negfeed: bool, region_tiles: int = 0):
+            tile_rows: int, negfeed: bool, region_tiles: int = 0,
+            thr_is_map: bool = False):
     if region_tiles:
         reg_ref, new_prev_ref, xs_ref, vals_ref, cnt_ref = rest
     else:
         new_prev_ref, xs_ref, vals_ref, cnt_ref = rest
     i = pl.program_id(0)
-    thr = thr_ref[0]
+    thr = thr_ref[:].astype(jnp.int32) if thr_is_map else thr_ref[0]
     R = tile_rows
     n_flat = R * LANES
 
@@ -296,30 +317,47 @@ def _kernel(cur_ref, prev_ref, thr_ref, *rest,
 
 
 def _run_kernel(cur2, prev2, thr, *, scheme, tile_rows, grid,
-                negfeed, interpret, region2=None):
+                negfeed, interpret, region2=None, thr_is_map=False,
+                skip_static=True):
     """Dispatch one pallas_call; returns ``(new_prev, xs_t, vals_t,
     counts)`` with the tile blocks in ``(rows, LANES)`` layout.
     ``region2`` is an optional overlay-region prefix (a multiple of
-    ``tile_rows`` rows) blended over the leading tiles in-kernel."""
+    ``tile_rows`` rows) blended over the leading tiles in-kernel.
+    ``thr`` is an SMEM scalar, or a per-byte ``(rows, LANES)`` uint8 map
+    when ``thr_is_map``."""
     rows = cur2.shape[0]
     if scheme == "register":
         from cudavideostream_tpu.ops import pallas_compact
 
-        if region2 is not None:
-            raise ValueError("overlay fusion: element/segment schemes only")
+        if region2 is not None or thr_is_map:
+            raise ValueError(
+                "overlay fusion / threshold maps: element/segment schemes only"
+            )
         return pallas_compact.run_register(
             cur2, prev2, thr, tile_rows=tile_rows, grid=grid,
             negfeed=negfeed, interpret=interpret,
         )
     region_tiles = 0 if region2 is None else region2.shape[0] // tile_rows
-    body = _kernel_v2 if scheme == "element" else _kernel
-    kernel = functools.partial(
-        body, tile_rows=tile_rows, negfeed=negfeed, region_tiles=region_tiles
+    if scheme == "element":
+        kernel = functools.partial(
+            _kernel_v2, tile_rows=tile_rows, negfeed=negfeed,
+            region_tiles=region_tiles, thr_is_map=thr_is_map,
+            skip_static=skip_static,
+        )
+    else:
+        kernel = functools.partial(
+            _kernel, tile_rows=tile_rows, negfeed=negfeed,
+            region_tiles=region_tiles, thr_is_map=thr_is_map,
+        )
+    thr_spec = (
+        pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        if thr_is_map
+        else pl.BlockSpec(memory_space=pltpu.SMEM)
     )
     in_specs = [
         pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pltpu.SMEM),
+        thr_spec,
     ]
     inputs = [cur2, prev2, thr]
     if region_tiles:
@@ -360,7 +398,7 @@ def _run_kernel(cur2, prev2, thr, *, scheme, tile_rows, grid,
 @functools.partial(
     jax.jit,
     static_argnames=("threshold", "negative_feedback", "interpret", "scheme",
-                     "emit"),
+                     "emit", "skip_static"),
 )
 def fused_diff_compact(
     current: Array,
@@ -371,6 +409,8 @@ def fused_diff_compact(
     scheme: str = "element",
     emit: str = "flat",
     overlay_region: Array | None = None,
+    threshold_map: Array | None = None,
+    skip_static: bool = True,
 ):
     """Fused kernel2: diff + negative feedback + stream compaction.
 
@@ -401,6 +441,12 @@ def fused_diff_compact(
     the overlay costs no extra pass over the frame; diff, negative
     feedback, and the payload all see the overlaid bytes, exactly as if
     the caller had overlaid the whole frame first.
+
+    ``threshold_map`` (element/segment schemes): a per-byte uint8
+    sensitivity map of the input length; byte ``i`` ships iff
+    ``|df_i| > threshold_map[i]`` — per-region sensitivity the
+    reference's global ``#define`` cannot express. Overrides
+    ``threshold``.
     """
     n = current.shape[0]
     rows = _pad_rows(-(-n // LANES))
@@ -426,11 +472,20 @@ def fused_diff_compact(
 
     cur2 = current.reshape(rows, LANES)
     prev2 = previous.reshape(rows, LANES)
-    thr = jnp.full((1,), threshold, jnp.int32)
+    thr_is_map = threshold_map is not None
+    if thr_is_map:
+        # pad value is irrelevant: padded bytes have cur == prev, and
+        # |0| > t is false for every uint8 t
+        if threshold_map.shape[0] != n:
+            raise ValueError("threshold_map length must equal the frame's")
+        thr = jnp.pad(threshold_map, (0, n_pad - n)).reshape(rows, LANES)
+    else:
+        thr = jnp.full((1,), threshold, jnp.int32)
 
     new_prev, xs_t, vals_t, counts = _run_kernel(
         cur2, prev2, thr, scheme=scheme, tile_rows=tile_rows, grid=grid,
         negfeed=negative_feedback, interpret=interpret, region2=region2,
+        thr_is_map=thr_is_map, skip_static=skip_static,
     )
 
     counts = counts.reshape(grid)

@@ -45,10 +45,13 @@ import numpy as np
 def diff_encode(
     current: np.ndarray,
     previous: np.ndarray,
-    threshold: int = 20,
+    threshold=20,
     negative_feedback: bool = True,
 ) -> Tuple[int, np.ndarray, np.ndarray, np.ndarray]:
     """Threshold delta encoding of ``current`` against ``previous``.
+
+    ``threshold`` may be a scalar or a per-byte uint8 sensitivity map of
+    the frame length (broadcast: byte i ships iff ``|df_i| > thr_i``).
 
     Returns ``(pos, xs, vals, new_previous)``:
 
@@ -344,10 +347,12 @@ def step_oracle(
     atlas: np.ndarray | None = None,
     char_ids: List[int] | None = None,
     conv_weights: np.ndarray | None = None,
+    threshold_map: np.ndarray | None = None,
 ):
     """Golden full pipeline step. Returns
     ``(new_prev, pos, xs, vals, aux or None)`` in exec_core order:
-    conv -> overlay -> visualizer -> diff."""
+    conv -> overlay -> visualizer -> diff. ``threshold_map`` (per-byte
+    uint8) overrides ``config.threshold`` when given."""
     from cudavideostream_tpu.config import Visualizer
 
     h, w = config.height, config.width
@@ -367,8 +372,9 @@ def step_oracle(
     elif config.visualizer == Visualizer.BINARIZE:
         aux = binarize_pipeline(cur)
 
+    thr = config.threshold if threshold_map is None else threshold_map
     pos, xs, vals, new_prev = diff_encode(
-        cur, prev_recon, config.threshold, config.negative_feedback
+        cur, prev_recon, thr, config.negative_feedback
     )
 
     if config.visualizer == Visualizer.RED_BLACK:

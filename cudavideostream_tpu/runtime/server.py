@@ -157,6 +157,10 @@ def main(argv=None) -> int:
     p.add_argument("--height", type=int, default=1080)
     p.add_argument("--width", type=int, default=1920)
     p.add_argument("--threshold", type=int, default=20)
+    p.add_argument("--threshold-map", default=None,
+                   help=".npy per-pixel or per-byte uint8 sensitivity map "
+                        "(H,W) / (H,W,3) / flat — per-region thresholds "
+                        "instead of the global one")
     p.add_argument("--visualizer", type=int, default=0,
                    help="0 none, 1 heatmap, 2 red-black, 3 red-overlap, "
                         "4 grayscale, 5 binarize")
@@ -196,6 +200,12 @@ def main(argv=None) -> int:
         port=args.port,
     )
     source = make_source(args.source, cfg, path=args.path, seed=args.seed)
+    thr_map = None
+    if args.threshold_map:
+        tm = np.load(args.threshold_map)
+        if tm.ndim == 2:  # per-pixel (H, W) -> per-byte
+            tm = np.repeat(tm.ravel(), 3)
+        thr_map = np.asarray(tm, dtype=np.uint8).ravel()
     executor = None
     if args.backend == "oracle":
         from cudavideostream_tpu.runtime.oracle_executor import OracleExecutor
@@ -205,6 +215,12 @@ def main(argv=None) -> int:
         from cudavideostream_tpu.runtime.executor import PipelinedExecutor
 
         executor = PipelinedExecutor(cfg)
+    if thr_map is not None and executor is None:
+        from cudavideostream_tpu.models import DeltaStreamPipeline
+
+        executor = StreamExecutor(
+            cfg, pipeline=DeltaStreamPipeline(cfg, threshold_map=thr_map)
+        )
     import os as _os
     if args.aux_dir:
         _os.makedirs(args.aux_dir, exist_ok=True)

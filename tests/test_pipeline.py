@@ -110,6 +110,81 @@ class TestStreaming:
         assert first > 0
 
 
+class TestThresholdMap:
+    """Per-region sensitivity maps (beyond the reference's global
+    #define): byte i ships iff |df_i| > map[i]."""
+
+    @staticmethod
+    def make_map(n, rng):
+        # insensitive first half (thr 80), hair-trigger second half (thr 2)
+        tm = np.full(n, 80, np.uint8)
+        tm[n // 2 :] = 2
+        return tm
+
+    @pytest.mark.parametrize("backend", list(CompactionBackend))
+    def test_matches_oracle_all_backends(self, small_config, backend, rng):
+        cfg = dataclasses.replace(small_config, compaction=backend)
+        tm = self.make_map(cfg.frame_bytes, rng)
+        pipe = DeltaStreamPipeline(cfg, threshold_map=tm)
+        base = rng.integers(0, 255, cfg.frame_bytes, endpoint=True, dtype=np.uint8)
+        prev_dev = pipe.init_state(base)
+        prev_ref = base.copy()
+        for t in range(2):
+            _, cur = make_frame_pair(rng, cfg.frame_bytes)
+            exp_prev, exp_pos, exp_xs, exp_vals, _ = ref.step_oracle(
+                prev_ref, cur, cfg, atlas=pipe.atlas_np,
+                char_ids=fonts.encode_text("FPS: 1"), threshold_map=tm,
+            )
+            prev_dev, pos, xs, vals, _ = pipe.step(prev_dev, cur, text="FPS: 1")
+            pos = int(pos)
+            assert pos == exp_pos
+            np.testing.assert_array_equal(np.asarray(prev_dev), exp_prev)
+            np.testing.assert_array_equal(np.asarray(xs)[:pos], exp_xs)
+            np.testing.assert_array_equal(np.asarray(vals)[:pos], exp_vals)
+            prev_ref = exp_prev
+
+    def test_tiled_emit_with_map(self, small_config, rng):
+        from cudavideostream_tpu.runtime import wire
+        from cudavideostream_tpu.runtime.executor import StreamExecutor
+
+        cfg = dataclasses.replace(small_config, tiled_payload=True)
+        tm = self.make_map(cfg.frame_bytes, rng)
+        ex = StreamExecutor(cfg, pipeline=DeltaStreamPipeline(cfg, threshold_map=tm))
+        base = rng.integers(0, 255, cfg.frame_bytes, endpoint=True, dtype=np.uint8)
+        ex.start(base)
+        _, cur = make_frame_pair(rng, cfg.frame_bytes)
+        pos, payload, _, _ = ex.process(cur)
+        assert isinstance(payload, wire.TiledPayload)
+        exp_pos, exp_xs, exp_vals, _ = ref.diff_encode(cur, base, tm)
+        assert pos == exp_pos
+        fx, fv = payload.to_flat()
+        np.testing.assert_array_equal(fx, exp_xs)
+        np.testing.assert_array_equal(fv, exp_vals)
+
+    def test_red_mode_with_zero_threshold_region(self, small_config, rng):
+        """A map containing zeros defeats the negfeed mask shortcut; the
+        explicit diff branch must engage and stay byte-exact."""
+        cfg = dataclasses.replace(
+            small_config, visualizer=Visualizer.RED_BLACK
+        )
+        tm = self.make_map(cfg.frame_bytes, rng)
+        tm[:100] = 0
+        pipe = DeltaStreamPipeline(cfg, threshold_map=tm)
+        base = rng.integers(0, 255, cfg.frame_bytes, endpoint=True, dtype=np.uint8)
+        prev_dev = pipe.init_state(base)
+        _, cur = make_frame_pair(rng, cfg.frame_bytes)
+        exp_prev, exp_pos, exp_xs, exp_vals, exp_aux = ref.step_oracle(
+            base, cur, cfg, threshold_map=tm,
+        )
+        prev_dev, pos, xs, vals, aux = pipe.step(prev_dev, cur, text="")
+        assert int(pos) == exp_pos
+        np.testing.assert_array_equal(np.asarray(aux), exp_aux)
+
+    def test_bad_map_size_rejected(self, small_config):
+        with pytest.raises(ValueError):
+            DeltaStreamPipeline(small_config, threshold_map=np.zeros(7, np.uint8))
+
+
 def test_red_mode_without_negative_feedback(small_config):
     """The mask cannot be derived from the state update when negative
     feedback is off (new_prev == cur); the explicit diff branch must
