@@ -86,9 +86,12 @@ class StreamConfig:
     # PALLAS backend only; capacity is always worst-case in this mode.
     tiled_payload: bool = False
 
-    # Text overlay (kernel2_char, kernels.cu:351-375): glyph cell scale of
-    # the builtin 6x8 bitmap font.
+    # Text overlay (kernel2_char, kernels.cu:351-375): glyph cell scale,
+    # and font style — "stroke" is a thin vector font in the visual
+    # family of the reference's FONT_HERSHEY_PLAIN (threads.cpp:47);
+    # "bitmap" is the embedded 5x7 pixel font.
     overlay_scale: int = 5
+    overlay_font: str = "stroke"
 
     # TCP endpoint (threads.cpp:187).
     host: str = "127.0.0.1"

@@ -59,7 +59,7 @@ class DeltaStreamPipeline:
     def __init__(self, config: StreamConfig, conv_weights: Optional[np.ndarray] = None,
                  threshold_map: Optional[np.ndarray] = None):
         self.config = config
-        self.atlas_np = fonts.make_atlas(config.overlay_scale)
+        self.atlas_np = fonts.make_atlas(config.overlay_scale, config.overlay_font)
         self.atlas = jnp.asarray(self.atlas_np)
         if conv_weights is None:
             conv_weights = reference_cpu.gaussian_kernel(config.conv_k)

@@ -67,7 +67,7 @@ class ShardedDeltaPipeline:
         if conv_weights is None:
             conv_weights = reference_cpu.gaussian_kernel(config.conv_k)
         self.conv_q16 = reference_cpu.quantize_kernel_q16(conv_weights)
-        self.atlas_np = fonts.make_atlas(config.overlay_scale)
+        self.atlas_np = fonts.make_atlas(config.overlay_scale, config.overlay_font)
         self.atlas = jnp.asarray(self.atlas_np)
         self._interpret = jax.default_backend() == "cpu"
         # payload capacity rounded so every shard block fits at any offset

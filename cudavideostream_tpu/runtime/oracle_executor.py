@@ -28,7 +28,7 @@ class OracleExecutor:
 
     def __init__(self, config: StreamConfig):
         self.cfg = config
-        self.atlas = fonts.make_atlas(config.overlay_scale)
+        self.atlas = fonts.make_atlas(config.overlay_scale, config.overlay_font)
         self.conv_weights = ref.gaussian_kernel(config.conv_k)
         self._state: Optional[np.ndarray] = None
         self.metrics = ExecMetrics()

@@ -39,10 +39,11 @@ def rng():
 @pytest.fixture
 def small_config():
     """A small frame config so tests stay fast; geometry divisible by the
-    tiling the kernels use."""
+    tiling the kernels use. overlay_scale=4 keeps the (taller) stroke
+    font's cells inside the 48-row frame so overlay paths stay covered."""
     from cudavideostream_tpu.config import StreamConfig
 
-    return StreamConfig(height=48, width=64)
+    return StreamConfig(height=48, width=64, overlay_scale=4)
 
 
 def make_frame_pair(rng, n_bytes, change_frac=0.06, lo=0, hi=255):

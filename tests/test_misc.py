@@ -194,3 +194,38 @@ class TestPngWriter:
         rgb = bgr_frame_to_rgb(frame, 1, 2)
         np.testing.assert_array_equal(rgb[0, 0], [30, 20, 10])
         np.testing.assert_array_equal(rgb[0, 1], [60, 50, 40])
+
+
+class TestFonts:
+    def test_both_styles_render_all_chars(self):
+        from cudavideostream_tpu.utils import fonts
+
+        for style, cell_h in (("stroke", 20), ("bitmap", 16)):
+            atlas = fonts.make_atlas(scale=2, style=style)
+            assert atlas.shape == (len(fonts.CHARS), cell_h, 12, 3)
+            assert atlas.dtype == np.uint8
+            # green-on-black only (cv::Scalar(0,255,0))
+            assert atlas[:, :, :, 0].sum() == 0
+            assert atlas[:, :, :, 2].sum() == 0
+            for i, ch in enumerate(fonts.CHARS):
+                if ch != " ":
+                    assert atlas[i].sum() > 0, (style, ch)
+                else:
+                    assert atlas[i].sum() == 0
+
+    def test_unknown_style_rejected(self):
+        from cudavideostream_tpu.utils import fonts
+
+        with pytest.raises(ValueError):
+            fonts.make_atlas(scale=1, style="comic-sans")
+
+    def test_config_font_reaches_pipeline(self, small_config):
+        import dataclasses
+
+        from cudavideostream_tpu.models import DeltaStreamPipeline
+
+        a = DeltaStreamPipeline(small_config).atlas_np
+        b = DeltaStreamPipeline(
+            dataclasses.replace(small_config, overlay_font="bitmap")
+        ).atlas_np
+        assert a.shape != b.shape  # stroke cells are taller
