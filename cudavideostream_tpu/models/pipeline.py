@@ -150,15 +150,6 @@ class DeltaStreamPipeline:
             aux = filter_ops.binarize_pipeline(cur)
 
         needs_mask = cfg.visualizer in (Visualizer.RED_BLACK, Visualizer.RED_OVERLAP)
-        if cfg.frame_bytes >= (1 << 23) and cfg.compaction.value == "pallas":
-            # 4K+ single-chip exceeds the packed-index range; the sort
-            # fallback compiles pathologically at that size. Row-sharding
-            # keeps each shard's local frame within range.
-            raise NotImplementedError(
-                f"frames of {cfg.frame_bytes} bytes exceed the single-chip "
-                "packed-index compaction range (2^23); shard rows across "
-                "chips with parallel.ShardedDeltaPipeline instead"
-            )
         thr = cfg.threshold if self._thr_map is None else self._thr_map
         thr_positive = (
             cfg.threshold > 0 if self._thr_map is None else self._thr_map_min > 0

@@ -7,8 +7,9 @@ atomics, no gathers.
 Three schemes, all byte-exact against the oracle and each other:
 
 **element (default)** — per-element LSB-first bit-serial shifting. Every
-masked slot holds a packed payload ``idx*256 + delta`` (idx < 2^23 so it
-fits int32; holes hold 0, which no valid payload equals) and must move
+masked slot holds a packed payload ``idx*256 + delta`` (idx is the
+TILE-local index, far below 2^23, so it fits int32 at any frame size;
+holes hold 0, which no valid payload equals) and must move
 left by its hole count ``holes_i = flat_i - (incl_i - 1)``. Holes are
 nondecreasing along the frame, so shifting one gap-bit at a time,
 LSB-first, can never land an element on a staying one: a collision at
@@ -169,9 +170,12 @@ def _kernel_v2(cur_ref, prev_ref, thr_ref, *rest,
         sub = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 0)
         lane = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
         flat = sub * LANES + lane
-        gidx = i * n_flat + flat
 
-        x = jnp.where(m, gidx * 256 + jnp.bitwise_and(df, 255), 0)
+        # pack TILE-LOCAL indices (< 2^23 for any sane tile), so the
+        # frame size is bounded only by int32 byte indices (2 GB), not
+        # by the packed representation — 4K+ single-chip works; the
+        # unpack below re-globalizes with the tile base
+        x = jnp.where(m, flat * 256 + jnp.bitwise_and(df, 255), 0)
 
         # flat inclusive cumsum: lane-phase Hillis-Steele + row-prefix add
         incl = mi
@@ -200,9 +204,11 @@ def _kernel_v2(cur_ref, prev_ref, thr_ref, *rest,
             holes = jnp.where(take, rh, jnp.where(stay, holes, 0))
             b *= 2
 
-        # unpack in-kernel (holes are 0 -> xs 0, vals 0): the caller
-        # never touches the packed form, so no unpack pass is needed
-        xs_ref[:] = x >> 8
+        # unpack in-kernel, re-globalizing indices (a hole is exactly
+        # x == 0 — a valid element at local index 0 still has a nonzero
+        # delta byte — so padding lanes stay 0): the caller never
+        # touches the packed form, no unpack pass over HBM is needed
+        xs_ref[:] = jnp.where(x != 0, (x >> 8) + i * n_flat, 0)
         vals_ref[:] = jnp.bitwise_and(x, 255).astype(jnp.uint8)
         cnt_ref[i, 0] = incl[R - 1, LANES - 1]
 
@@ -247,10 +253,9 @@ def _kernel(cur_ref, prev_ref, thr_ref, *rest,
     sub = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
     flat = sub * LANES + lane
-    gidx = i * n_flat + flat
 
-    # packed payload; holes are 0 and stay 0
-    x = jnp.where(m, gidx * 256 + jnp.bitwise_and(df, 255), 0)
+    # packed TILE-LOCAL payload (see _kernel_v2); holes are 0 and stay 0
+    x = jnp.where(m, flat * 256 + jnp.bitwise_and(df, 255), 0)
 
     # flat inclusive cumsum: lane-phase Hillis-Steele + row-prefix add
     incl = mi
@@ -311,7 +316,7 @@ def _kernel(cur_ref, prev_ref, thr_ref, *rest,
 
     total = E  # uniform: count of the whole tile
     x = jnp.where(flat < total, x, 0)
-    xs_ref[:] = x >> 8
+    xs_ref[:] = jnp.where(x != 0, (x >> 8) + i * n_flat, 0)
     vals_ref[:] = jnp.bitwise_and(x, 255).astype(jnp.uint8)
     cnt_ref[i, 0] = incl[R - 1, LANES - 1]
 
@@ -414,9 +419,10 @@ def fused_diff_compact(
 ):
     """Fused kernel2: diff + negative feedback + stream compaction.
 
-    Flat uint8 frames of any length whose lane-padded size stays below
-    2^23 (index packing) — 1080p BGR24 (6,220,800 B) and any row-shard of
-    it qualify. Oddly-sized inputs are padded internally with
+    Flat uint8 frames of any length with int32 byte indices (< 2 GB) —
+    1080p, 4K, 8K and any row-shard of them qualify: the shift passes
+    pack tile-LOCAL indices, so the packed int32 representation never
+    bounds the frame. Oddly-sized inputs are padded internally with
     ``cur == prev`` bytes, which can never ship and never perturb the
     negative-feedback state.
 
@@ -451,8 +457,10 @@ def fused_diff_compact(
     n = current.shape[0]
     rows = _pad_rows(-(-n // LANES))
     n_pad = rows * LANES
-    if n_pad >= 1 << 23:
-        raise ValueError("frame too large for packed-index compaction")
+    # tile-LOCAL packing bounds the packed rep by the tile size, so the
+    # frame itself is limited only by int32 byte indices
+    if n_pad >= 1 << 31:
+        raise ValueError("frame byte indices exceed int32")
     if n_pad != n:
         current = jnp.pad(current, (0, n_pad - n))
         previous = jnp.pad(previous, (0, n_pad - n))

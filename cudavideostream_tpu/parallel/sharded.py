@@ -72,9 +72,9 @@ class ShardedDeltaPipeline:
         self._interpret = jax.default_backend() == "cpu"
         # payload capacity rounded so every shard block fits at any offset
         self.capacity = config.frame_bytes
-        # the flagship kernel runs per shard whenever the local slice fits
-        # its packed-index range (alignment is padded away internally)
-        self.uses_pallas = self.local_bytes < (1 << 23)
+        # the flagship kernel runs per shard at any practical size
+        # (tile-local index packing; alignment padded away internally)
+        self.uses_pallas = self.local_bytes < (1 << 31)
 
         self._sharding_state = NamedSharding(mesh, P("data", "space"))
         self._sharding_rep = NamedSharding(mesh, P("data"))

@@ -145,16 +145,42 @@ class TestServerCLIPlumbing:
         t.join(timeout=20)
 
 
-class TestLargeFrameGuard:
-    def test_4k_single_chip_guides_to_sharding(self):
-        from cudavideostream_tpu.config import StreamConfig
-        from cudavideostream_tpu.models import DeltaStreamPipeline
+class TestBeyondPackedIndexRange:
+    def test_kernel_handles_frames_past_2_23(self, rng):
+        """Tile-local index packing removed the old 2^23-byte ceiling:
+        a frame just past it compacts byte-exactly single-chip (4K+ is
+        the same code path; this size keeps interpret mode fast)."""
+        import jax.numpy as jnp
 
-        cfg = StreamConfig(height=2160, width=3840)  # 24.8 MB > 2^23
-        pipe = DeltaStreamPipeline(cfg)
-        prev = pipe.init_state(np.zeros(cfg.frame_bytes, np.uint8))
-        with pytest.raises(Exception, match="Sharded"):
-            pipe.step(prev, np.zeros(cfg.frame_bytes, np.uint8))
+        from cudavideostream_tpu.ops import logcompact
+
+        n = (1 << 23) + 4096
+        prev = rng.integers(0, 255, n, endpoint=True, dtype=np.uint8)
+        cur = prev.copy()
+        # sparse changes incl. the very last byte (index > 2^23)
+        idxs = np.concatenate(
+            [rng.integers(0, n, 200), [0, n - 1, (1 << 23) + 7]]
+        ).astype(np.int64)
+        cur[idxs] = ((cur[idxs].astype(np.int32) + 100) % 256).astype(np.uint8)
+        epos, exs, evals, eprev = ref.diff_encode(cur, prev)
+        pos, xs, vals, new_prev = logcompact.fused_diff_compact(
+            jnp.asarray(cur), jnp.asarray(prev), interpret=True
+        )
+        assert int(pos) == epos
+        np.testing.assert_array_equal(np.asarray(xs)[:epos], exs)
+        np.testing.assert_array_equal(np.asarray(vals)[:epos], evals)
+        np.testing.assert_array_equal(np.asarray(new_prev), eprev)
+
+    def test_sort_backend_keeps_its_limit(self):
+        from cudavideostream_tpu.ops import compact
+
+        import jax.numpy as jnp
+
+        n = (1 << 23) + 1024
+        with pytest.raises(ValueError, match="packed-key"):
+            compact.compact_sort(
+                jnp.zeros(n, bool), jnp.zeros(n, jnp.uint8), n
+            )
 
 
 class TestPngWriter:
