@@ -96,6 +96,10 @@ class StreamConfig:
     # TCP endpoint (threads.cpp:187).
     host: str = "127.0.0.1"
     port: int = 2734
+    # Wire format: "v1" is the reference-compatible contract (default);
+    # "v2" delta-encodes the ascending index stream (u16 gaps + escape
+    # absolutes), ~40% fewer wire bytes — both ends must opt in.
+    wire_format: str = "v1"
 
     @property
     def frame_shape(self) -> Tuple[int, int, int]:
@@ -122,6 +126,8 @@ class StreamConfig:
                 raise ValueError("tiled_payload requires the PALLAS backend")
             if self.payload_capacity is not None:
                 raise ValueError("tiled_payload is always worst-case capacity")
+        if self.wire_format not in ("v1", "v2"):
+            raise ValueError(f"unknown wire_format {self.wire_format!r}")
 
 
 DEFAULT_CONFIG = StreamConfig()

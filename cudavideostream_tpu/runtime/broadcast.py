@@ -76,6 +76,8 @@ class BroadcastServer:
             except queue.Empty:
                 return
             try:
+                if self.cfg.wire_format == "v2":
+                    conn.sendall(wire.MAGIC_V2)
                 conn.sendall(state_bytes.tobytes())
                 self._clients.append(conn)
                 if self.verbose:
@@ -87,6 +89,21 @@ class BroadcastServer:
         dead = []
         buf = None
         tiled = isinstance(xs, wire.TiledPayload)
+        if self.cfg.wire_format == "v2":
+            fx, fv = xs.to_flat() if tiled else (xs, vals)
+            buf = wire.pack_payload_v2(pos, fx, fv)
+            for conn in self._clients:
+                try:
+                    conn.sendall(buf)
+                except OSError:
+                    dead.append(conn)
+            for conn in dead:
+                self._clients.remove(conn)
+                conn.close()
+                if self.verbose:
+                    print(f"\nclient dropped ({len(self._clients)} left)",
+                          flush=True)
+            return
         for conn in self._clients:
             if tiled:
                 rc = native.wire_send_segments_fd(

@@ -25,11 +25,13 @@ from cudavideostream_tpu.runtime import wire
 class DeltaStreamClient:
     def __init__(self, host: str = "127.0.0.1", port: int = 2734,
                  height: int = 1080, width: int = 1920,
-                 record: str | None = None):
+                 record: str | None = None, wire_format: str = "auto"):
         self.host, self.port = host, port
         self.n_bytes = height * width * 3
         self.frame: np.ndarray | None = None
         self.sock: socket.socket | None = None
+        # "auto" sniffs the 16-byte v2 magic; "v1"/"v2" pin the format
+        self.wire_format = wire_format
         # tee every received byte to a session journal replayable with
         # runtime.replay (the wire stream is self-contained)
         self._rec = open(record, "wb") if record else None
@@ -42,16 +44,38 @@ class DeltaStreamClient:
 
     def connect(self) -> None:
         self.sock = socket.create_connection((self.host, self.port))
+        if self.wire_format == "v2":
+            magic = self._read_exact(len(wire.MAGIC_V2))
+            if magic != wire.MAGIC_V2:
+                raise ValueError("server did not send the v2 wire magic")
+        elif self.wire_format == "auto":
+            head = self._read_exact(len(wire.MAGIC_V2))
+            if head == wire.MAGIC_V2:
+                self.wire_format = "v2"
+                head = b""
+            else:
+                self.wire_format = "v1"
+            rest = self._read_exact(self.n_bytes - len(head))
+            self.frame = np.frombuffer(head + rest, dtype=np.uint8).copy()
+            return
         self.frame = np.frombuffer(
             self._read_exact(self.n_bytes), dtype=np.uint8
         ).copy()
 
     def read_frame(self) -> tuple[int, np.ndarray]:
         """Read and apply one delta; returns (pos, reconstructed frame)."""
-        (pos,) = np.frombuffer(self._read_exact(4), dtype="<u4")
-        pos = int(pos)
-        xs = np.frombuffer(self._read_exact(pos * 4), dtype="<i4")
-        vals = np.frombuffer(self._read_exact(pos), dtype=np.uint8)
+        if self.wire_format == "v2":
+            pos, n_exc = np.frombuffer(self._read_exact(8), dtype="<u4")
+            pos, n_exc = int(pos), int(n_exc)
+            gaps = np.frombuffer(self._read_exact(2 * pos), dtype="<u2")
+            exc = np.frombuffer(self._read_exact(4 * n_exc), dtype="<u4")
+            vals = np.frombuffer(self._read_exact(pos), dtype=np.uint8)
+            xs = wire.decode_gaps(gaps, exc)
+        else:
+            (pos,) = np.frombuffer(self._read_exact(4), dtype="<u4")
+            pos = int(pos)
+            xs = np.frombuffer(self._read_exact(pos * 4), dtype="<i4")
+            vals = np.frombuffer(self._read_exact(pos), dtype=np.uint8)
         if pos:
             if xs.min() < 0 or xs.max() >= self.n_bytes:
                 raise ValueError("payload index out of range")
@@ -89,10 +113,12 @@ def main(argv=None) -> int:
     p.add_argument("--ppm-every", type=int, default=30)
     p.add_argument("--record", help="tee the raw wire stream to this file "
                                     "(replay with runtime.replay)")
+    p.add_argument("--wire", default="auto", choices=["auto", "v1", "v2"],
+                   help="auto sniffs the v2 magic; v1 = reference wire")
     args = p.parse_args(argv)
 
     cli = DeltaStreamClient(args.host, args.port, args.height, args.width,
-                            record=args.record)
+                            record=args.record, wire_format=args.wire)
     cli.connect()
     print(f"base frame received ({cli.n_bytes} bytes)", flush=True)
     saved = []

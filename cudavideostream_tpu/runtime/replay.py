@@ -36,14 +36,25 @@ class ReplayServer:
         self._sock: socket.socket | None = None
         with open(path, "rb") as f:
             self.data = f.read()
-        if len(self.data) < frame_bytes:
+        from cudavideostream_tpu.runtime import wire
+
+        # v2 sessions (delta16) start with the wire magic; frame framing
+        # differs, but replay just forwards the captured bytes either way
+        self.v2 = self.data.startswith(wire.MAGIC_V2)
+        hdr = len(wire.MAGIC_V2) if self.v2 else 0
+        if len(self.data) < hdr + frame_bytes:
             raise ValueError(f"{path}: shorter than one base frame")
+        self.base_end = hdr + frame_bytes
         # pre-scan payload boundaries
         self.marks = []
-        off = frame_bytes
-        while off + 4 <= len(self.data):
-            (pos,) = struct.unpack_from("<I", self.data, off)
-            end = off + 4 + pos * 5
+        off = self.base_end
+        while off + (8 if self.v2 else 4) <= len(self.data):
+            if self.v2:
+                pos, n_exc = struct.unpack_from("<II", self.data, off)
+                end = off + 8 + 2 * pos + 4 * n_exc + pos
+            else:
+                (pos,) = struct.unpack_from("<I", self.data, off)
+                end = off + 4 + pos * 5
             if end > len(self.data):
                 break  # truncated tail: ignore
             self.marks.append((off, end))
@@ -73,7 +84,7 @@ class ReplayServer:
         for _ in range(max_clients):
             conn, _ = self._sock.accept()
             try:
-                conn.sendall(self.data[: self.frame_bytes])
+                conn.sendall(self.data[: self.base_end])
                 delay = 1.0 / self.fps if self.fps else 0.0
                 for off, end in self.marks:
                     conn.sendall(self.data[off:end])

@@ -91,6 +91,8 @@ class DeltaStreamServer:
     def _stream_to(self, conn: socket.socket, max_frames: int | None) -> int:
         conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
         base = self.executor.start(self.source.base_frame())
+        if self.cfg.wire_format == "v2":
+            conn.sendall(wire.MAGIC_V2)
         conn.sendall(base.tobytes())
         text = ""
         n = 0
@@ -103,7 +105,7 @@ class DeltaStreamServer:
             read_s = time.perf_counter() - t0
             result = self.executor.process(frame, text=text)
             if result is not None:  # pipelined executors lag one frame
-                self._send_payload(conn, result)
+                self._send_payload(conn, result, self.cfg.wire_format)
                 aux = result[3]
                 if self.aux_dir and aux is not None and n % self.aux_every == 0:
                     from cudavideostream_tpu.runtime.client import write_ppm
@@ -121,14 +123,24 @@ class DeltaStreamServer:
                     print("\r" + line, end="", flush=True)
         tail = self.executor.flush()
         if tail is not None:
-            self._send_payload(conn, tail)
+            self._send_payload(conn, tail, self.cfg.wire_format)
         if self.verbose:
             print()
         return n
 
     @staticmethod
-    def _send_payload(conn: socket.socket, result) -> None:
+    def _send_payload(conn: socket.socket, result, wire_format: str = "v1") -> None:
         pos, xs, vals, aux = result
+        if wire_format == "v2":
+            # delta16: host-side encode (one tiny numpy pass over the
+            # payload); the scatter-gather zero-copy path is a v1-only
+            # trick — v2 trades host CPU for ~40% of the wire bytes
+            if isinstance(xs, wire.TiledPayload):
+                fx, fv = xs.to_flat()
+            else:
+                fx, fv = xs, vals
+            conn.sendall(wire.pack_payload_v2(pos, fx, fv))
+            return
         if isinstance(xs, wire.TiledPayload):
             # scatter-gather: the ragged tile concat happens inside one
             # writev's iovec list — wire bytes identical to the flat path
@@ -168,6 +180,10 @@ def main(argv=None) -> int:
     p.add_argument("--conv-k", type=int, default=3)
     p.add_argument("--compaction", default="pallas",
                    choices=[b.value for b in CompactionBackend])
+    p.add_argument("--wire", default="v1", choices=["v1", "v2"],
+                   help="v1 = reference-compatible wire (default); "
+                        "v2 = delta16 index compression (~40% fewer "
+                        "bytes; client must also use --wire v2/auto)")
     p.add_argument("--tiled", action="store_true",
                    help="ship per-tile payload blocks straight from the "
                         "kernel through the scatter-gather sender "
@@ -196,6 +212,7 @@ def main(argv=None) -> int:
         conv_k=args.conv_k,
         compaction=CompactionBackend(args.compaction),
         tiled_payload=args.tiled,
+        wire_format=args.wire,
         host=args.host,
         port=args.port,
     )

@@ -95,3 +95,41 @@ def test_native_send_segments_matches_python(tmp_path):
     got = b.recv(1 << 16)
     b.close()
     assert got == tp.to_wire_bytes()
+
+
+class TestWireV2:
+    def test_gap_codec_roundtrip(self, rng):
+        for trial in range(20):
+            n = int(rng.integers(0, 400))
+            xs = np.sort(rng.choice(1 << 24, size=n, replace=False)).astype(np.int32)
+            vals = rng.integers(0, 255, n, endpoint=True, dtype=np.uint8)
+            buf = wire.pack_payload_v2(n, xs, vals)
+            pos, xs2, vals2, used = wire.unpack_payload_v2(buf)
+            assert pos == n and used == len(buf)
+            np.testing.assert_array_equal(xs2, xs)
+            np.testing.assert_array_equal(vals2, vals)
+
+    def test_gap_codec_adversarial(self):
+        # first index forces an escape; a 65534 gap does not; 65535 does
+        xs = np.array([70000, 70001, 70001 + 65534, 70001 + 65534 + 65535],
+                      np.int64)
+        vals = np.array([1, 2, 3, 4], np.uint8)
+        buf = wire.pack_payload_v2(4, xs, vals)
+        pos, xs2, vals2, _ = wire.unpack_payload_v2(buf)
+        np.testing.assert_array_equal(xs2, xs)
+        # two escapes: the first index and the 65535 gap
+        n_exc = np.frombuffer(buf, "<u4", 2)[1]
+        assert n_exc == 2
+
+    def test_v2_smaller_than_v1(self, rng):
+        n = 1000
+        xs = np.sort(rng.choice(200_000, size=n, replace=False)).astype(np.int32)
+        vals = rng.integers(0, 255, n, endpoint=True, dtype=np.uint8)
+        v1 = wire.pack_payload(n, xs, vals)
+        v2 = wire.pack_payload_v2(n, xs, vals)
+        assert len(v2) < 0.7 * len(v1)  # 3B+eps vs 5B per entry
+
+    def test_empty_payload_v2(self):
+        buf = wire.pack_payload_v2(0, np.empty(0, np.int32), np.empty(0, np.uint8))
+        pos, xs, vals, used = wire.unpack_payload_v2(buf)
+        assert pos == 0 and xs.size == 0 and used == 8
