@@ -508,15 +508,23 @@ def fused_diff_compact(
         return (pos, counts, xs_t.reshape(grid, tile_bytes),
                 vals_t.reshape(grid, tile_bytes), new_prev)
 
-    def merge(src, dtype):
-        flat = src.reshape(n_pad)
+    xs_flat = xs_t.reshape(n_pad)
+    vals_flat = vals_t.reshape(n_pad)
 
-        def body(i, acc):
-            block = jax.lax.dynamic_slice(flat, (i * tile_bytes,), (tile_bytes,))
-            return jax.lax.dynamic_update_slice(acc, block, (offsets[i],))
+    def body(i, accs):
+        ax, av = accs
+        off = (offsets[i],)
+        bx = jax.lax.dynamic_slice(xs_flat, (i * tile_bytes,), (tile_bytes,))
+        bv = jax.lax.dynamic_slice(vals_flat, (i * tile_bytes,), (tile_bytes,))
+        # one loop, two independent updates per step: half the serial
+        # dynamic-op chain of two separate merge loops
+        return (
+            jax.lax.dynamic_update_slice(ax, bx, off),
+            jax.lax.dynamic_update_slice(av, bv, off),
+        )
 
-        return jax.lax.fori_loop(0, grid, body, jnp.zeros(n_pad, dtype))
-
-    xs = merge(xs_t, jnp.int32)[:n]
-    vals = merge(vals_t, jnp.uint8)[:n]
-    return pos, xs, vals, new_prev
+    xs, vals = jax.lax.fori_loop(
+        0, grid, body,
+        (jnp.zeros(n_pad, jnp.int32), jnp.zeros(n_pad, jnp.uint8)),
+    )
+    return pos, xs[:n], vals[:n], new_prev
