@@ -1,0 +1,202 @@
+"""Multi-stream server: B cameras, B ports, ONE chip, one jitted step.
+
+The reference binds one capture device to one socket
+(``threads.cpp:166-237``). A chip that encodes a 1080p delta in ~1 ms
+can carry many streams; this server drives a
+:class:`~cudavideostream_tpu.models.batched.BatchedDeltaPipeline` over B
+independent sources and serves stream ``b`` on ``port + b``. Clients
+are per-stream and may join mid-stream: like the broadcast server, a
+joiner's base frame is the stream's *current* reconstruction (tracked
+host-side with O(pos) in-place scatters), so no stream ever restarts.
+
+Run:  ``python -m cudavideostream_tpu.runtime.multiserve --streams 4``
+"""
+
+from __future__ import annotations
+
+import queue
+import socket
+import threading
+import time
+from typing import List, Optional
+
+import numpy as np
+
+from cudavideostream_tpu import native
+from cudavideostream_tpu.config import StreamConfig
+from cudavideostream_tpu.models import BatchedDeltaPipeline
+from cudavideostream_tpu.runtime import wire
+from cudavideostream_tpu.runtime.executor import ExecMetrics, TieredFetcher
+from cudavideostream_tpu.runtime.sources import FrameSource
+
+
+class MultiStreamServer:
+    def __init__(self, config: StreamConfig, sources: List[FrameSource],
+                 verbose: bool = True, overlay_status: bool = True):
+        self.cfg = config
+        self.sources = sources
+        self.B = len(sources)
+        self.pipe = BatchedDeltaPipeline(config, self.B)
+        self.verbose = verbose
+        self.overlay_status = overlay_status
+        self._socks: List[socket.socket] = []
+        self._pending: List["queue.Queue[socket.socket]"] = [
+            queue.Queue() for _ in range(self.B)
+        ]
+        self._clients: List[Optional[socket.socket]] = [None] * self.B
+        self._stop = threading.Event()
+        self._fetch_xs = TieredFetcher(config.capacity)
+        self._fetch_vals = TieredFetcher(config.capacity)
+        self.metrics = ExecMetrics()
+
+    def listen(self) -> None:
+        for b in range(self.B):
+            srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+            srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+            srv.bind((self.cfg.host, self.cfg.port + b if self.cfg.port else 0))
+            srv.listen(4)
+            self._socks.append(srv)
+            threading.Thread(
+                target=self._accept_loop, args=(b,), daemon=True
+            ).start()
+        if self.verbose:
+            print(f"multi-stream server: {self.B} streams on ports "
+                  f"{[s.getsockname()[1] for s in self._socks]}", flush=True)
+
+    @property
+    def ports(self) -> List[int]:
+        return [s.getsockname()[1] for s in self._socks]
+
+    def _accept_loop(self, b: int) -> None:
+        while not self._stop.is_set():
+            try:
+                conn, _ = self._socks[b].accept()
+            except OSError:
+                return
+            conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+            self._pending[b].put(conn)
+
+    def _admit(self, b: int, recon: np.ndarray) -> None:
+        while True:
+            try:
+                conn = self._pending[b].get_nowait()
+            except queue.Empty:
+                return
+            try:
+                if self._clients[b] is not None:
+                    self._clients[b].close()  # latest client wins
+                if self.cfg.wire_format == "v2":
+                    conn.sendall(wire.MAGIC_V2)
+                conn.sendall(recon.tobytes())
+                self._clients[b] = conn
+                if self.verbose:
+                    print(f"\nstream {b}: client joined", flush=True)
+            except OSError:
+                conn.close()
+
+    def serve(self, max_frames: Optional[int] = None,
+              wait_first_client: bool = True) -> int:
+        if not self._socks:
+            self.listen()
+        bases = np.stack([src.base_frame() for src in self.sources])
+        state = self.pipe.init_state(bases)
+        recon = bases.copy()  # per-stream host mirror for joiners
+        if wait_first_client:
+            while all(q.empty() for q in self._pending) and not self._stop.is_set():
+                time.sleep(0.01)
+        texts = [""] * self.B
+        n = 0
+        while max_frames is None or n < max_frames:
+            for b in range(self.B):
+                self._admit(b, recon[b])
+            try:
+                frames = np.stack([next(src) for src in self.sources])
+            except StopIteration:
+                break
+            t0 = time.perf_counter()
+            state, pos_d, xs_d, vals_d, _ = self.pipe.step(
+                state, frames, texts
+            )
+            pos = np.asarray(pos_d)
+            total = int(pos.sum())
+            for b in range(self.B):
+                p = int(pos[b])
+                xs = self._fetch_xs.fetch(xs_d[b], p)
+                vals = self._fetch_vals.fetch(vals_d[b], p)
+                if p:
+                    native.client_apply_np(recon[b], xs, vals)
+                conn = self._clients[b]
+                if conn is None:
+                    continue
+                try:
+                    if self.cfg.wire_format == "v2":
+                        conn.sendall(wire.pack_payload_v2(p, xs, vals))
+                    else:
+                        rc = native.wire_send_payload_fd(
+                            conn.fileno(), p, xs, vals
+                        )
+                        if rc == -1:
+                            conn.sendall(wire.pack_payload(p, xs, vals))
+                        elif rc < 0:
+                            raise OSError(rc, "writev")
+                except OSError:
+                    conn.close()
+                    self._clients[b] = None
+                    if self.verbose:
+                        print(f"\nstream {b}: client dropped", flush=True)
+            n += 1
+            self.metrics.record(time.perf_counter() - t0, total)
+            line = self.metrics.status_line()
+            if line:
+                if self.overlay_status:
+                    texts = [self.metrics.overlay_text()] * self.B
+                if self.verbose:
+                    print(f"\r{line}  STREAMS: {self.B}", end="", flush=True)
+        self.close()
+        return n
+
+    def close(self) -> None:
+        self._stop.set()
+        for s in self._socks:
+            s.close()
+        for c in self._clients:
+            if c is not None:
+                c.close()
+
+
+def main(argv=None) -> int:
+    import argparse
+    import sys
+
+    from cudavideostream_tpu.runtime.sources import make_source
+
+    p = argparse.ArgumentParser(description="multi-stream (B cameras) server")
+    p.add_argument("--streams", type=int, default=2)
+    p.add_argument("--source", default="synthetic",
+                   choices=["synthetic", "file"])
+    p.add_argument("--path", help="file source path (shared by streams)")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=2734,
+                   help="stream b listens on port+b")
+    p.add_argument("--height", type=int, default=1080)
+    p.add_argument("--width", type=int, default=1920)
+    p.add_argument("--wire", default="v1", choices=["v1", "v2"])
+    p.add_argument("--frames", type=int, default=None)
+    args = p.parse_args(argv)
+    cfg = StreamConfig(height=args.height, width=args.width, host=args.host,
+                       port=args.port, wire_format=args.wire)
+    sources = [
+        make_source(args.source, cfg, path=args.path, seed=b)
+        for b in range(args.streams)
+    ]
+    server = MultiStreamServer(cfg, sources)
+    n = server.serve(max_frames=args.frames)
+    print(f"served {n} batched frames over {args.streams} streams",
+          file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())

@@ -197,3 +197,90 @@ def test_red_mode_without_negative_feedback(small_config):
         negative_feedback=False,
     )
     run_match(cfg, n_frames=2)
+
+
+class TestBatchedPipeline:
+    """B independent streams in one jitted step must equal B solo
+    pipelines byte-for-byte (it's the same step under vmap)."""
+
+    def run_both(self, cfg, B=3, n_frames=2, tiled=False):
+        from cudavideostream_tpu.models import BatchedDeltaPipeline
+        from cudavideostream_tpu.runtime import wire as wire_mod
+
+        rng = np.random.default_rng(17)
+        bases = rng.integers(
+            0, 255, (B, cfg.frame_bytes), endpoint=True, dtype=np.uint8
+        )
+        texts = [f"FPS: {10 * b}" for b in range(B)]
+        batched = BatchedDeltaPipeline(cfg, B)
+        state = batched.init_state(bases)
+        solos = [DeltaStreamPipeline(cfg) for _ in range(B)]
+        solo_states = [solos[b].init_state(bases[b]) for b in range(B)]
+        for t in range(n_frames):
+            frames = np.stack(
+                [make_frame_pair(rng, cfg.frame_bytes)[1] for _ in range(B)]
+            )
+            out = batched.step(state, frames, texts)
+            state = out[0]
+            for b in range(B):
+                solo = solos[b].step(solo_states[b], frames[b], text=texts[b])
+                solo_states[b] = solo[0]
+                np.testing.assert_array_equal(
+                    np.asarray(state)[b], np.asarray(solo_states[b])
+                )
+                if tiled:
+                    _, pos, counts, xs_t, vals_t, _ = out
+                    _, spos, scounts, sxs_t, svals_t, _ = solo
+                    assert int(pos[b]) == int(spos)
+                    np.testing.assert_array_equal(
+                        np.asarray(xs_t)[b], np.asarray(sxs_t)
+                    )
+                    np.testing.assert_array_equal(
+                        np.asarray(vals_t)[b], np.asarray(svals_t)
+                    )
+                else:
+                    _, pos, xs, vals, _ = out
+                    _, spos, sxs, svals, _ = solo
+                    assert int(pos[b]) == int(spos)
+                    np.testing.assert_array_equal(
+                        np.asarray(xs)[b], np.asarray(sxs)
+                    )
+                    np.testing.assert_array_equal(
+                        np.asarray(vals)[b], np.asarray(svals)
+                    )
+
+    def test_flat_matches_solo(self, small_config):
+        self.run_both(small_config)
+
+    def test_tiled_matches_solo(self, small_config):
+        self.run_both(
+            dataclasses.replace(small_config, tiled_payload=True), tiled=True
+        )
+
+    def test_visualizer_aux_batched(self, small_config):
+        from cudavideostream_tpu.models import BatchedDeltaPipeline
+
+        cfg = dataclasses.replace(small_config, visualizer=Visualizer.HEATMAP)
+        rng = np.random.default_rng(2)
+        B = 2
+        bases = rng.integers(0, 255, (B, cfg.frame_bytes), endpoint=True, dtype=np.uint8)
+        pipe = BatchedDeltaPipeline(cfg, B)
+        state = pipe.init_state(bases)
+        frames = np.stack(
+            [make_frame_pair(rng, cfg.frame_bytes)[1] for _ in range(B)]
+        )
+        state, pos, xs, vals, aux = pipe.step(state, frames)
+        assert aux.shape == (B, cfg.frame_bytes)
+        for b in range(B):
+            _, _, _, _, exp_aux = ref.step_oracle(bases[b], frames[b], cfg)
+            np.testing.assert_array_equal(np.asarray(aux)[b], exp_aux)
+
+    def test_host_backend_rejected(self, small_config):
+        from cudavideostream_tpu.config import CompactionBackend
+        from cudavideostream_tpu.models import BatchedDeltaPipeline
+
+        cfg = dataclasses.replace(
+            small_config, compaction=CompactionBackend.HOST
+        )
+        with pytest.raises(ValueError):
+            BatchedDeltaPipeline(cfg, 2)

@@ -113,3 +113,50 @@ def test_top2_matches_c_scan_semantics(hist):
     assert (int(di), int(ds)) == (imax, isec)
     t = ref.binarize_threshold(hist)
     assert 50 <= t <= 200
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.integers(0, (1 << 25) - 1), unique=True, max_size=300),
+    st.data(),
+)
+def test_wire_v2_codec_roundtrip(idxs, data):
+    """ANY ascending index set (arbitrary gaps, huge first index) must
+    survive the delta16 encode/decode byte-exactly."""
+    xs = np.sort(np.asarray(idxs, np.int64)).astype(np.int32)
+    vals = np.asarray(
+        data.draw(
+            st.lists(
+                st.integers(0, 255), min_size=xs.size, max_size=xs.size
+            )
+        ),
+        np.uint8,
+    )
+    buf = wire.pack_payload_v2(xs.size, xs, vals)
+    pos, xs2, vals2, used = wire.unpack_payload_v2(buf)
+    assert pos == xs.size and used == len(buf)
+    np.testing.assert_array_equal(xs2, xs)
+    np.testing.assert_array_equal(vals2, vals)
+
+
+@settings(max_examples=100, deadline=None)
+@given(frame_pairs(), st.data())
+def test_threshold_map_oracle_semantics(pair, data):
+    """Per-byte threshold maps: byte i ships iff |df_i| > map[i], and the
+    negative-feedback reconstruction stays within map[i] everywhere."""
+    prev, cur = pair
+    tm = np.asarray(
+        data.draw(
+            st.lists(
+                st.integers(0, 255), min_size=prev.size, max_size=prev.size
+            )
+        ),
+        np.uint8,
+    )
+    pos, xs, vals, new_prev = ref.diff_encode(cur, prev, tm)
+    recon = ref.client_apply(prev, xs, vals)
+    np.testing.assert_array_equal(recon, new_prev)
+    err = np.abs(new_prev.astype(np.int32) - cur.astype(np.int32))
+    assert (err <= tm.astype(np.int32)).all()
+    df = np.abs(cur.astype(np.int32) - prev.astype(np.int32))
+    assert pos == int((df > tm).sum())
