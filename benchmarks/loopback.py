@@ -42,7 +42,7 @@ def cpu_oracle_rate(height, width, frames=5):
     return 1e3 * dt
 
 
-def loopback_rate(height, width, frames, backend):
+def loopback_rate(height, width, frames, backend, wire="v1"):
     import dataclasses
 
     from cudavideostream_tpu.config import StreamConfig
@@ -50,7 +50,7 @@ def loopback_rate(height, width, frames, backend):
     from cudavideostream_tpu.runtime.server import DeltaStreamServer
     from cudavideostream_tpu.runtime.sources import SyntheticSource
 
-    cfg = StreamConfig(height=height, width=width, port=0)
+    cfg = StreamConfig(height=height, width=width, port=0, wire_format=wire)
     executor = None
     if backend == "oracle":
         from cudavideostream_tpu.runtime.oracle_executor import OracleExecutor
@@ -97,6 +97,10 @@ def main():
     rows.append(("loop_device_backend", ms))
     print(f"full loop (device backend, TCP loopback): {ms:8.2f} ms/frame "
           f"({1e3/ms:6.1f} fps) [reference: ~38 ms / 26 fps]")
+    ms = loopback_rate(args.height, args.width, args.frames, "device", wire="v2")
+    rows.append(("loop_device_backend_wire_v2", ms))
+    print(f"full loop (device backend, wire v2): {ms:8.2f} ms/frame "
+          f"({1e3/ms:6.1f} fps) [~40% fewer payload bytes]")
     if args.out:
         with open(args.out, "w") as f:
             f.write(

@@ -193,12 +193,14 @@ class ExecMetrics:
         self.total_frames = 0
         self.wire_bytes = 0
 
-    def record(self, frame_s: float, pos: int) -> None:
+    def record(self, frame_s: float, pos: int,
+               wire_bytes: Optional[int] = None) -> None:
         self.frame_time = frame_s
         self.pos = pos
         self.frames += 1
         self.total_frames += 1
-        self.wire_bytes += 4 + 5 * pos
+        # default: the v1 framing cost; v2 senders pass actual bytes
+        self.wire_bytes += 4 + 5 * pos if wire_bytes is None else wire_bytes
 
     def status_line(self, read_s: float = 0.0) -> Optional[str]:
         """Returns the status string once per second, else None."""

@@ -119,6 +119,7 @@ class MultiStreamServer:
             )
             pos = np.asarray(pos_d)
             total = int(pos.sum())
+            wire_total = 0
             for b in range(self.B):
                 p = int(pos[b])
                 xs = self._fetch_xs.fetch(xs_d[b], p)
@@ -130,8 +131,11 @@ class MultiStreamServer:
                     continue
                 try:
                     if self.cfg.wire_format == "v2":
-                        conn.sendall(wire.pack_payload_v2(p, xs, vals))
+                        buf = wire.pack_payload_v2(p, xs, vals)
+                        wire_total += len(buf)
+                        conn.sendall(buf)
                     else:
+                        wire_total += 4 + 5 * p
                         rc = native.wire_send_payload_fd(
                             conn.fileno(), p, xs, vals
                         )
@@ -145,7 +149,8 @@ class MultiStreamServer:
                     if self.verbose:
                         print(f"\nstream {b}: client dropped", flush=True)
             n += 1
-            self.metrics.record(time.perf_counter() - t0, total)
+            self.metrics.record(time.perf_counter() - t0, total,
+                                wire_bytes=wire_total)
             line = self.metrics.status_line()
             if line:
                 if self.overlay_status:

@@ -105,7 +105,9 @@ class DeltaStreamServer:
             read_s = time.perf_counter() - t0
             result = self.executor.process(frame, text=text)
             if result is not None:  # pipelined executors lag one frame
-                self._send_payload(conn, result, self.cfg.wire_format)
+                sent = self._send_payload(conn, result, self.cfg.wire_format)
+                if sent is not None:  # v2: correct the wire-bytes stat
+                    self.executor.metrics.wire_bytes += sent - (4 + 5 * result[0])
                 aux = result[3]
                 if self.aux_dir and aux is not None and n % self.aux_every == 0:
                     from cudavideostream_tpu.runtime.client import write_ppm
@@ -139,8 +141,9 @@ class DeltaStreamServer:
                 fx, fv = xs.to_flat()
             else:
                 fx, fv = xs, vals
-            conn.sendall(wire.pack_payload_v2(pos, fx, fv))
-            return
+            buf = wire.pack_payload_v2(pos, fx, fv)
+            conn.sendall(buf)
+            return len(buf)
         if isinstance(xs, wire.TiledPayload):
             # scatter-gather: the ragged tile concat happens inside one
             # writev's iovec list — wire bytes identical to the flat path
