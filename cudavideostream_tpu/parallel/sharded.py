@@ -53,7 +53,27 @@ class ShardedDeltaPipeline:
     """
 
     def __init__(self, config: StreamConfig, mesh: Mesh,
-                 conv_weights: Optional[np.ndarray] = None):
+                 conv_weights: Optional[np.ndarray] = None,
+                 payload_layout: str = "replicated"):
+        """``payload_layout``:
+
+        * ``"replicated"`` (default) — the wire payload is assembled on
+          device with collectives (all_gather counts + psum of disjoint
+          scattered blocks) and comes out replicated, so any host can
+          ship it.
+        * ``"sharded"`` — zero payload collectives: each shard keeps its
+          locally-compacted block in place, and the outputs are
+          ``(counts (B, n_space), xs (B, n_space, Ln), vals ...)`` — the
+          shard-granular analogue of the single-chip tiled emit. The
+          serving host assembles the identical wire bytes through the
+          scatter-gather sender (``wire.TiledPayload``), and the only
+          remaining collectives are the conv halo and the binarization
+          histogram. This is the layout that scales: payload ICI traffic
+          drops from O(frame) per frame to zero.
+        """
+        if payload_layout not in ("replicated", "sharded"):
+            raise ValueError(f"unknown payload_layout {payload_layout!r}")
+        self.payload_layout = payload_layout
         self.cfg = config
         self.mesh = mesh
         self.n_space = mesh.shape["space"]
@@ -78,6 +98,22 @@ class ShardedDeltaPipeline:
 
         self._sharding_state = NamedSharding(mesh, P("data", "space"))
         self._sharding_rep = NamedSharding(mesh, P("data"))
+        if payload_layout == "sharded":
+            out_specs = (
+                P("data", "space"),          # new_prev
+                P("data", "space"),          # counts (Bl, 1) per shard
+                P("data", "space"),          # xs blocks (Bl, Ln)
+                P("data", "space"),          # vals blocks (Bl, Ln)
+                P("data", "space"),          # aux
+            )
+        else:
+            out_specs = (
+                P("data", "space"),  # new_prev
+                P("data"),           # pos
+                P("data"),           # xs
+                P("data"),           # vals
+                P("data", "space"),  # aux (zeros when disabled)
+            )
         self._step = jax.jit(
             jax.shard_map(
                 self._body,
@@ -88,13 +124,7 @@ class ShardedDeltaPipeline:
                     P(),                 # char_ids
                     P(),                 # n_chars
                 ),
-                out_specs=(
-                    P("data", "space"),  # new_prev
-                    P("data"),           # pos
-                    P("data"),           # xs
-                    P("data"),           # vals
-                    P("data", "space"),  # aux (zeros when disabled)
-                ),
+                out_specs=out_specs,
                 check_vma=False,
             ),
             donate_argnums=(0,),
@@ -215,6 +245,13 @@ class ShardedDeltaPipeline:
         gxs = jnp.where(valid, lxs + sidx * Ln, 0)
         gvals = jnp.where(valid, lvals.astype(jnp.int32), 0)
 
+        if self.payload_layout == "sharded":
+            # zero payload collectives: each shard's compacted block and
+            # count stay in place — the shard axis IS the tile axis of a
+            # wire.TiledPayload, assembled host-side for free
+            return (new_prev, lpos[:, None], gxs,
+                    gvals.astype(jnp.uint8), aux)
+
         # ragged concat across shards: all_gather counts -> offsets,
         # scatter local block at my offset, psum the disjoint blocks
         counts = jax.lax.all_gather(lpos, "space", axis=1)  # (Bl, n_space)
@@ -280,8 +317,24 @@ class ShardedDeltaPipeline:
             base = base[None]
         return jax.device_put(base, self._sharding_state)
 
+    def payload_tiles(self, counts, xs, vals, b: int):
+        """Assemble stream ``b``'s wire payload from ``"sharded"``-layout
+        outputs: the shard axis is the tile axis of a
+        :class:`~cudavideostream_tpu.runtime.wire.TiledPayload` (shard
+        order = ascending row order), so the scatter-gather sender ships
+        identical bytes with zero device-side concat."""
+        from cudavideostream_tpu.runtime import wire
+
+        c = np.asarray(counts)[b].astype(np.int32)
+        xs_t = np.asarray(xs)[b].reshape(self.n_space, self.local_bytes)
+        vals_t = np.asarray(vals)[b].reshape(self.n_space, self.local_bytes)
+        return wire.TiledPayload(int(c.sum()), c, xs_t, vals_t)
+
     def step(self, prev: Array, frames, text: str = ""):
-        """Returns ``(new_prev, pos(B,), xs(B,cap), vals(B,cap), aux)``."""
+        """Returns ``(new_prev, pos(B,), xs(B,cap), vals(B,cap), aux)``
+        for the ``"replicated"`` payload layout, or ``(new_prev,
+        counts(B, n_space), xs(B, n_space*Ln), vals(B, n_space*Ln), aux)``
+        for ``"sharded"`` (see :meth:`payload_tiles`)."""
         ids = fonts.encode_text(text, MAX_OVERLAY_CHARS)
         char_ids = jnp.asarray(ids, dtype=jnp.int32)
         n_chars = jnp.int32(min(len(text), MAX_OVERLAY_CHARS))

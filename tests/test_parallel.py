@@ -137,3 +137,38 @@ def test_1080p_takes_pallas_path_at_any_space_factor(space):
     assert pipe.uses_pallas
     assert pipe.local_bytes == 6_220_800 // space
     assert pipe.local_bytes % 1024 != 0 or space == 1
+
+
+@pytest.mark.parametrize("viz", [0, 3])
+def test_sharded_payload_layout_zero_collectives(mesh8, viz):
+    """payload_layout='sharded' keeps each shard's compacted block in
+    place (no payload psum/all_gather); host assembly through
+    TiledPayload must reproduce the oracle payload byte-exactly."""
+    cfg = StreamConfig(height=48, width=64, overlay_scale=1,
+                       visualizer=Visualizer(viz))
+    pipe = ShardedDeltaPipeline(cfg, mesh8, payload_layout="sharded")
+    rng = np.random.default_rng(5)
+    batch, text = 2, "FPS: 9"
+    base = rng.integers(0, 255, (batch, cfg.frame_bytes), endpoint=True, dtype=np.uint8)
+    state = pipe.init_state(base)
+    prev_ref = [base[b].copy() for b in range(batch)]
+    ids = fonts.encode_text(text)
+    for t in range(2):
+        frames = np.stack(
+            [make_frame_pair(rng, cfg.frame_bytes)[1] for _ in range(batch)]
+        )
+        state, counts, xs, vals, aux = pipe.step(state, frames, text=text)
+        assert np.asarray(counts).shape == (batch, pipe.n_space)
+        for b in range(batch):
+            exp_prev, exp_pos, exp_xs, exp_vals, exp_aux = ref.step_oracle(
+                prev_ref[b], frames[b], cfg, atlas=pipe.atlas_np, char_ids=ids,
+            )
+            tp = pipe.payload_tiles(counts, xs, vals, b)
+            assert tp.pos == exp_pos
+            fx, fv = tp.to_flat()
+            np.testing.assert_array_equal(fx, exp_xs)
+            np.testing.assert_array_equal(fv, exp_vals)
+            np.testing.assert_array_equal(np.asarray(state)[b], exp_prev)
+            if exp_aux is not None:
+                np.testing.assert_array_equal(np.asarray(aux)[b], exp_aux)
+            prev_ref[b] = exp_prev
