@@ -118,25 +118,35 @@ def _bench_config(cfg, atlas_text, frames, iters, skip_check, label=""):
             np.testing.assert_array_equal(np.asarray(out[-1]), exp_aux)
         print(f"[{label}] byte-exact vs oracle: OK (pos={pos})", file=sys.stderr)
 
-    # timed region: iters scans, one sync at the end (minus measured rtt)
+    # timed region: per-scan timings, median reported — the shared chip
+    # suffers transient multi-x contention from other tenants, and the
+    # median of T-frame scans is robust to spikes while still honest
+    # about sustained load (all samples go to stderr)
     out = run_scan(prev0, key0)
     _ = jax.device_get(out[1][0].ravel()[0])
-    t0 = time.perf_counter()
-    _ = jax.device_get(out[1][0].ravel()[0])
-    rtt = time.perf_counter() - t0
+    rtts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        _ = jax.device_get(out[1][0].ravel()[0])
+        rtts.append(time.perf_counter() - t0)
+    rtt = min(rtts)
 
-    t0 = time.perf_counter()
+    times = []
     for _ in range(iters):
+        t0 = time.perf_counter()
         (prev0, key0), out = run_scan(prev0, key0)
-    _ = jax.device_get(out[0].ravel()[0])
-    total = time.perf_counter() - t0 - rtt
-    return iters * T / total
+        _ = jax.device_get(out[0].ravel()[0])
+        times.append(time.perf_counter() - t0 - rtt)
+    fps_samples = sorted(T / t for t in times)
+    print(f"[{label}] per-scan fps samples: "
+          + " ".join(f"{f:.0f}" for f in fps_samples), file=sys.stderr)
+    return fps_samples[len(fps_samples) // 2]
 
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
-    p.add_argument("--frames", type=int, default=24, help="scan length")
-    p.add_argument("--iters", type=int, default=8, help="scan invocations")
+    p.add_argument("--frames", type=int, default=48, help="scan length")
+    p.add_argument("--iters", type=int, default=9, help="scan invocations")
     p.add_argument("--full", action="store_true", help="per-kernel table")
     p.add_argument("--skip-check", action="store_true")
     p.add_argument("--emit", default="tiled", choices=["tiled", "flat"],
