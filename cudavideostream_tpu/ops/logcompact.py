@@ -7,10 +7,11 @@ atomics, no gathers.
 Three schemes, all byte-exact against the oracle and each other:
 
 **element (default)** — per-element LSB-first bit-serial shifting. Every
-masked slot holds a packed payload ``idx*256 + delta`` (idx is the
-TILE-local index, far below 2^23, so it fits int32 at any frame size;
-holes hold 0, which no valid payload equals) and must move
-left by its hole count ``holes_i = flat_i - (incl_i - 1)``. Holes are
+masked slot holds a packed payload ``holes*256 + delta`` in one int32
+(holes < tile bytes, so it fits; empty slots hold 0, which no valid
+payload equals because delta 0 never ships) and must move
+left by its hole count ``holes_i = flat_i - (incl_i - 1)``; the original
+index is recovered at the end as ``final_position + holes``. Holes are
 nondecreasing along the frame, so shifting one gap-bit at a time,
 LSB-first, can never land an element on a staying one: a collision at
 bit b would need ``holes_j < holes_i`` for ``j > i`` (write out
@@ -47,7 +48,7 @@ count. Two epilogues:
   inside one ``writev`` iovec list for free. This skips the only
   dynamic-offset stage in the whole pipeline.
 
-Frames of any byte length below 2^23 are supported: inputs are padded
+Frames of any byte length below 2^31 are supported: inputs are padded
 internally with ``cur == prev`` bytes (which can never ship) up to a
 lane-aligned size with a well-shaped tile divisor. Worst case (all 6.2M
 bytes changed) is fully supported.
@@ -129,7 +130,10 @@ def _kernel_v2(cur_ref, prev_ref, thr_ref, *rest,
     tests at all densities pin the result).
 
     Empty lanes hold 0, which is unambiguous because a valid packed
-    payload ``idx*256 + delta`` is never 0 (delta 0 never ships).
+    payload ``holes*256 + delta`` is never 0 (delta 0 never ships).
+    Packing the shift distance WITH the value means each pass rolls a
+    single int32 array; the element's index costs no bits (it is
+    ``final_position + holes``).
 
     When ``region_tiles > 0``, an extra overlay-region input follows the
     threshold ref: tiles below ``region_tiles`` read the current frame
@@ -171,12 +175,6 @@ def _kernel_v2(cur_ref, prev_ref, thr_ref, *rest,
         lane = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
         flat = sub * LANES + lane
 
-        # pack TILE-LOCAL indices (< 2^23 for any sane tile), so the
-        # frame size is bounded only by int32 byte indices (2 GB), not
-        # by the packed representation — 4K+ single-chip works; the
-        # unpack below re-globalizes with the tile base
-        x = jnp.where(m, flat * 256 + jnp.bitwise_and(df, 255), 0)
-
         # flat inclusive cumsum: lane-phase Hillis-Steele + row-prefix add
         incl = mi
         s = 1
@@ -191,24 +189,35 @@ def _kernel_v2(cur_ref, prev_ref, thr_ref, *rest,
             s *= 2
         incl = incl + (rowpre - rowtot)
 
+        # Pack ``holes*256 + delta`` into ONE int32 (holes < tile bytes
+        # <= 51200, so the product is < 2^24): the shift distance rides
+        # with the value, so each pass rolls a single array — half the
+        # vector work of carrying (payload, holes) side by side. The
+        # original index needs no bits at all: an element that started
+        # at flat index f lands at f - holes, so at the end
+        # ``orig = final_position + holes`` recovers it exactly.
         holes = jnp.where(m, flat - (incl - 1), 0)
+        x = jnp.where(m, holes * 256 + jnp.bitwise_and(df, 255), 0)
 
+        # (A rejected variant gated each pass on ``max(holes) >= b`` via
+        # a VMEM scratch + pl.when so dense-prefix tiles skip passes; the
+        # measured A/B — benchmarks/pass_gate_ab — shows it costs the
+        # adversarial uniform scene ~30% and buys realistic scenes ~1%,
+        # because the tile-level static skip already covers them.)
         b = 1
         while b < n_flat:
             rx = _flat_roll_left(x, b, R)
-            rh = _flat_roll_left(holes, b, R)
             src_ok = flat + b < n_flat  # static pattern: no wrap-in
-            take = src_ok & (rx != 0) & (jnp.bitwise_and(rh, b) != 0)
-            stay = (x != 0) & (jnp.bitwise_and(holes, b) == 0)
+            take = src_ok & (rx != 0) & (jnp.bitwise_and(rx, b * 256) != 0)
+            stay = (x != 0) & (jnp.bitwise_and(x, b * 256) == 0)
             x = jnp.where(take, rx, jnp.where(stay, x, 0))
-            holes = jnp.where(take, rh, jnp.where(stay, holes, 0))
             b *= 2
 
         # unpack in-kernel, re-globalizing indices (a hole is exactly
-        # x == 0 — a valid element at local index 0 still has a nonzero
+        # x == 0 — a valid element with holes == 0 still has a nonzero
         # delta byte — so padding lanes stay 0): the caller never
         # touches the packed form, no unpack pass over HBM is needed
-        xs_ref[:] = jnp.where(x != 0, (x >> 8) + i * n_flat, 0)
+        xs_ref[:] = jnp.where(x != 0, flat + (x >> 8) + i * n_flat, 0)
         vals_ref[:] = jnp.bitwise_and(x, 255).astype(jnp.uint8)
         cnt_ref[i, 0] = incl[R - 1, LANES - 1]
 

@@ -185,7 +185,7 @@ def main(argv=None) -> int:
                    choices=[b.value for b in CompactionBackend])
     p.add_argument("--wire", default="v1", choices=["v1", "v2"],
                    help="v1 = reference-compatible wire (default); "
-                        "v2 = delta16 index compression (~40% fewer "
+                        "v2 = delta16 index compression (~40%% fewer "
                         "bytes; client must also use --wire v2/auto)")
     p.add_argument("--tiled", action="store_true",
                    help="ship per-tile payload blocks straight from the "
