@@ -42,7 +42,8 @@ def cpu_oracle_rate(height, width, frames=5):
     return 1e3 * dt
 
 
-def loopback_rate(height, width, frames, backend, wire="v1"):
+def loopback_rate(height, width, frames, backend, wire="v1",
+                  tiled=False, fetch="auto"):
     import dataclasses
 
     from cudavideostream_tpu.config import StreamConfig
@@ -50,7 +51,8 @@ def loopback_rate(height, width, frames, backend, wire="v1"):
     from cudavideostream_tpu.runtime.server import DeltaStreamServer
     from cudavideostream_tpu.runtime.sources import SyntheticSource
 
-    cfg = StreamConfig(height=height, width=width, port=0, wire_format=wire)
+    cfg = StreamConfig(height=height, width=width, port=0, wire_format=wire,
+                       tiled_payload=tiled, fetch_mode=fetch)
     executor = None
     if backend == "oracle":
         from cudavideostream_tpu.runtime.oracle_executor import OracleExecutor
@@ -101,6 +103,17 @@ def main():
     rows.append(("loop_device_backend_wire_v2", ms))
     print(f"full loop (device backend, wire v2): {ms:8.2f} ms/frame "
           f"({1e3/ms:6.1f} fps) [~40% fewer payload bytes]")
+    # tiled payload landing strategies (the density-adaptive fetch):
+    # the synthetic scene's change is scattered, so per-tile block fetch
+    # moves ~whole-frame bytes over the link while the device-merged
+    # flat prefix moves only ~5*pos — "auto" should converge on flat
+    # over a slow link and on tiles over PCIe-class links.
+    for fetch in ("tiles", "flat", "auto"):
+        ms = loopback_rate(args.height, args.width, args.frames, "device",
+                           tiled=True, fetch=fetch)
+        rows.append((f"loop_device_tiled_fetch_{fetch}", ms))
+        print(f"full loop (tiled payload, fetch={fetch}): {ms:8.2f} ms/frame "
+              f"({1e3/ms:6.1f} fps)")
     if args.out:
         with open(args.out, "w") as f:
             f.write(

@@ -85,6 +85,14 @@ class StreamConfig:
     # (wire_send_segments) assembles identical wire bytes for free.
     # PALLAS backend only; capacity is always worst-case in this mode.
     tiled_payload: bool = False
+    # How the executor lands a tiled payload on the host (tiled_payload
+    # only). "tiles" fetches per-tile blocks up to the last non-empty
+    # tile (cheapest on fast links and clustered scenes); "flat" runs the
+    # device-side merge and fetches the pos-prefix (fewest bytes moved —
+    # wins on slow links and scattered scenes); "auto" picks per frame
+    # from measured link throughput and merge cost. Wire bytes are
+    # identical either way.
+    fetch_mode: str = "auto"
 
     # Text overlay (kernel2_char, kernels.cu:351-375): glyph cell scale,
     # and font style — "stroke" is a thin vector font in the visual
@@ -128,6 +136,10 @@ class StreamConfig:
                 raise ValueError("tiled_payload is always worst-case capacity")
         if self.wire_format not in ("v1", "v2"):
             raise ValueError(f"unknown wire_format {self.wire_format!r}")
+        if self.fetch_mode not in ("auto", "tiles", "flat"):
+            raise ValueError(f"unknown fetch_mode {self.fetch_mode!r}")
+        if self.fetch_mode != "auto" and not self.tiled_payload:
+            raise ValueError("fetch_mode tiles/flat applies to tiled_payload")
 
 
 DEFAULT_CONFIG = StreamConfig()

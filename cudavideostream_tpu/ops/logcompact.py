@@ -517,6 +517,25 @@ def fused_diff_compact(
         return (pos, counts, xs_t.reshape(grid, tile_bytes),
                 vals_t.reshape(grid, tile_bytes), new_prev)
 
+    xs, vals = _merge_tiles_impl(
+        counts, xs_t.reshape(grid, tile_bytes), vals_t.reshape(grid, tile_bytes)
+    )
+    return pos, xs[:n], vals[:n], new_prev
+
+
+def _merge_tiles_impl(counts: Array, xs_t: Array, vals_t: Array):
+    """Concatenate per-tile compacted prefixes into flat (xs, vals).
+
+    The device half of the merge epilogue, standalone: tile ``t``
+    contributes its first ``counts[t]`` entries at offset
+    ``sum(counts[:t])``. Outputs are full padded length
+    ``grid * tile_bytes``, zero past ``pos`` (the tiles' own invariant).
+    """
+    grid, tile_bytes = xs_t.shape
+    n_pad = grid * tile_bytes
+    offsets = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)]
+    )
     xs_flat = xs_t.reshape(n_pad)
     vals_flat = vals_t.reshape(n_pad)
 
@@ -532,8 +551,13 @@ def fused_diff_compact(
             jax.lax.dynamic_update_slice(av, bv, off),
         )
 
-    xs, vals = jax.lax.fori_loop(
+    return jax.lax.fori_loop(
         0, grid, body,
         (jnp.zeros(n_pad, jnp.int32), jnp.zeros(n_pad, jnp.uint8)),
     )
-    return pos, xs[:n], vals[:n], new_prev
+
+
+merge_tiles = jax.jit(_merge_tiles_impl)
+"""Jitted device-side tile merge for executors that fetched a tiled
+payload but face a link where the flat prefix moves far fewer bytes
+(runtime.executor's density-adaptive fetch)."""

@@ -31,26 +31,74 @@ from cudavideostream_tpu.models import DeltaStreamPipeline
 from cudavideostream_tpu.runtime import wire
 
 
+class LinkStats:
+    """EMA estimates of the host↔device link and of the device-side tile
+    merge, feeding the density-adaptive fetch decision.
+
+    ``bps`` starts unknown (None) and is learned from real ``device_get``
+    calls; ``merge_s`` starts at a deliberately optimistic guess so the
+    flat path gets tried once when the byte savings look large, after
+    which its measured cost takes over.
+    """
+
+    def __init__(self, alpha: float = 0.3, merge_s_init: float = 1.5e-3):
+        self.alpha = alpha
+        self.bps: float | None = None
+        self.merge_s = merge_s_init
+
+    def record_fetch(self, nbytes: int, seconds: float) -> None:
+        if nbytes <= 0 or seconds <= 0:
+            return
+        bps = nbytes / seconds
+        self.bps = bps if self.bps is None else (
+            self.alpha * bps + (1 - self.alpha) * self.bps
+        )
+
+    def record_merge(self, seconds: float) -> None:
+        self.merge_s = self.alpha * seconds + (1 - self.alpha) * self.merge_s
+
+    def fetch_seconds(self, nbytes: int) -> float | None:
+        return None if self.bps is None else nbytes / self.bps
+
+
 class TieredFetcher:
     """Fetch ``arr[:pos]`` via the smallest power-of-two static slice.
 
     Static slice shapes keep jit cache hits; over-fetch is bounded 2x.
     Slices along the leading axis (works for flat payloads and for
     ``(n_tiles, tile_cap)`` tiled blocks alike); host numpy arrays pass
-    through with a plain slice.
+    through with a plain slice. Real device fetches are timed into
+    ``stats`` when given one.
     """
 
-    def __init__(self, capacity: int, min_tier: int = 4096):
+    def __init__(self, capacity: int, min_tier: int = 4096,
+                 stats: Optional[LinkStats] = None):
         import jax
 
         self._jax = jax
         self.capacity = capacity
+        self.stats = stats
         self.tiers = []
         t = min_tier
         while t < capacity:
             self.tiers.append(t)
             t *= 2
         self.tiers.append(capacity)
+
+    def tier(self, pos: int) -> int:
+        """The slice length a fetch of ``pos`` entries would move."""
+        for t in self.tiers:
+            if pos <= t:
+                return t
+        return self.capacity
+
+    def _get(self, arr) -> np.ndarray:
+        if self.stats is None:
+            return np.asarray(self._jax.device_get(arr))
+        t0 = time.perf_counter()
+        out = np.asarray(self._jax.device_get(arr))
+        self.stats.record_fetch(out.nbytes, time.perf_counter() - t0)
+        return out
 
     def fetch(self, arr, pos: int) -> np.ndarray:
         if isinstance(arr, np.ndarray):
@@ -59,8 +107,8 @@ class TieredFetcher:
             return np.empty((0,) + arr.shape[1:], dtype=arr.dtype)
         for t in self.tiers:
             if pos <= t:
-                return np.asarray(self._jax.device_get(arr[:t]))[:pos]
-        return np.asarray(self._jax.device_get(arr))[:pos]
+                return self._get(arr[:t])[:pos]
+        return self._get(arr)[:pos]
 
 
 class StreamExecutor:
@@ -70,9 +118,11 @@ class StreamExecutor:
         self.cfg = config
         self.pipe = pipeline or DeltaStreamPipeline(config)
         self._state = None
-        self._fetch_xs = TieredFetcher(config.capacity)
-        self._fetch_vals = TieredFetcher(config.capacity)
+        self.link = LinkStats()
+        self._fetch_xs = TieredFetcher(config.capacity, stats=self.link)
+        self._fetch_vals = TieredFetcher(config.capacity, stats=self.link)
         self._fetch_tiles = None  # lazily sized from the first tiled step
+        self.fetch_counts = {"tiles": 0, "flat": 0}
         self.metrics = ExecMetrics()
 
     def start(self, base_frame: np.ndarray) -> np.ndarray:
@@ -98,6 +148,33 @@ class StreamExecutor:
         self._state = out[0]
         return self._land(t0, out[1:])
 
+    def _use_flat_fetch(self, pos: int, t_hi: int, tile_cap: int) -> bool:
+        """Density-adaptive fetch decision for tiled payloads.
+
+        The block fetch moves ``t_hi * tile_cap * 5`` bytes no matter how
+        sparse the payload is; the flat path pays the device merge (the
+        epilogue the tiled layout exists to skip) but moves only the
+        tiered ``pos``-prefix. Which wins is a property of the scene
+        (clustered vs scattered) *and* the link (PCIe vs a slow tunnel),
+        so "auto" predicts both times from measured EMAs and picks the
+        smaller; until the link speed is known it takes the block path,
+        which is what measures it.
+        """
+        mode = self.cfg.fetch_mode
+        if mode == "tiles":
+            return False
+        if mode == "flat":
+            return True
+        if t_hi == 0:
+            return False
+        block_bytes = 5 * t_hi * tile_cap        # int32 xs + uint8 vals
+        flat_bytes = 5 * self._fetch_xs.tier(pos)
+        t_tiles = self.link.fetch_seconds(block_bytes)
+        if t_tiles is None:
+            return False
+        t_flat = self.link.merge_s + (self.link.fetch_seconds(flat_bytes) or 0.0)
+        return t_flat < t_tiles
+
     def _land(self, t0: float, rest) -> Tuple[int, np.ndarray, np.ndarray, Optional[np.ndarray]]:
         if self.cfg.tiled_payload:
             pos_d, counts_d, xs_t_d, vals_t_d, aux_d = rest
@@ -110,9 +187,36 @@ class StreamExecutor:
             if self._fetch_tiles is None:
                 n_tiles = counts.shape[0]
                 self._fetch_tiles = (
-                    TieredFetcher(n_tiles, min_tier=1),
-                    TieredFetcher(n_tiles, min_tier=1),
+                    TieredFetcher(n_tiles, min_tier=1, stats=self.link),
+                    TieredFetcher(n_tiles, min_tier=1, stats=self.link),
                 )
+            if self._use_flat_fetch(pos, t_hi, xs_t_d.shape[1]):
+                # density-adaptive flat path: run the device-side merge
+                # and move only the pos-prefix — wins when the changed
+                # bytes are scattered across tiles or the link is slow
+                # (block fetch moves t_hi*tile_cap*5 bytes regardless of
+                # density; the tunnel-class link makes that the frame
+                # time). Wire bytes are identical (flat sender).
+                from cudavideostream_tpu.ops import logcompact
+
+                tm0 = time.perf_counter()
+                xs_d, vals_d = logcompact.merge_tiles(counts_d, xs_t_d, vals_t_d)
+                xs = self._fetch_xs.fetch(xs_d, pos)
+                vals = self._fetch_vals.fetch(vals_d, pos)
+                if self.fetch_counts["flat"] > 0:
+                    # the fetch EMA already absorbed the transfer time;
+                    # the rest of this span is the merge dispatch+compute.
+                    # The first flat landing is skipped: it carries the
+                    # one-time jit compile, which would poison the EMA.
+                    self.link.record_merge(
+                        max(0.0, (time.perf_counter() - tm0)
+                            - (self.link.fetch_seconds(xs.nbytes + vals.nbytes) or 0.0))
+                    )
+                self.fetch_counts["flat"] += 1
+                aux = np.asarray(aux_d) if aux_d is not None else None
+                self.metrics.record(time.perf_counter() - t0, pos)
+                return pos, xs, vals, aux
+            self.fetch_counts["tiles"] += 1
             xs_t = self._fetch_tiles[0].fetch(xs_t_d, t_hi)
             vals_t = self._fetch_tiles[1].fetch(vals_t_d, t_hi)
             payload = wire.TiledPayload(pos, counts[:t_hi], xs_t, vals_t)

@@ -192,6 +192,11 @@ def main(argv=None) -> int:
                         "kernel through the scatter-gather sender "
                         "(skips the device merge epilogue; wire bytes "
                         "identical)")
+    p.add_argument("--fetch", default="auto", choices=["auto", "tiles", "flat"],
+                   help="tiled-payload landing: tiles = per-tile block "
+                        "fetch; flat = device merge + pos-prefix fetch "
+                        "(fewest bytes over the link); auto = pick per "
+                        "frame from measured link/merge times")
     p.add_argument("--backend", default="device", choices=["device", "oracle"],
                    help="device = JAX/Pallas pipeline; oracle = pure-NumPy "
                         "CPU reference (the #ifdef CPU path, but complete)")
@@ -215,6 +220,7 @@ def main(argv=None) -> int:
         conv_k=args.conv_k,
         compaction=CompactionBackend(args.compaction),
         tiled_payload=args.tiled,
+        fetch_mode=args.fetch if args.tiled else "auto",
         wire_format=args.wire,
         host=args.host,
         port=args.port,

@@ -145,6 +145,21 @@ class TestServerCLIPlumbing:
         t.join(timeout=20)
 
 
+    def test_cli_help_renders(self, capsys):
+        """Regression: argparse expands '%' in help strings against a
+        params dict, so a raw '% f' in help text crashed --help."""
+        import pytest as _pytest
+
+        from cudavideostream_tpu.runtime import client as client_mod
+        from cudavideostream_tpu.runtime import server as server_mod
+
+        for mod in (server_mod, client_mod):
+            with _pytest.raises(SystemExit) as e:
+                mod.main(["--help"])
+            assert e.value.code == 0
+            assert "usage" in capsys.readouterr().out
+
+
 class TestBeyondPackedIndexRange:
     def test_kernel_handles_frames_past_2_23(self, rng):
         """Tile-local index packing removed the old 2^23-byte ceiling:

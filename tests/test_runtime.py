@@ -162,6 +162,19 @@ class TestLoopback:
         assert flat == tiled
         assert len(flat) > small_config.frame_bytes  # base + payloads
 
+    def test_flat_fetch_wire_bytes_identical(self, small_config):
+        """fetch_mode=flat (device merge + flat sender) must put the same
+        bytes on the wire as the tiles fetch (scatter-gather sender)."""
+        import dataclasses
+
+        flat = self._capture_stream(small_config)
+        merged = self._capture_stream(
+            dataclasses.replace(
+                small_config, tiled_payload=True, fetch_mode="flat"
+            )
+        )
+        assert flat == merged
+
     def test_host_backend_wire_bytes_identical(self, small_config):
         """--compaction host (device bitmask + C ctz packer) produces
         byte-identical wire output to the device Pallas path."""
@@ -246,6 +259,86 @@ class TestExecutor:
         pos, payload, _, _ = ex.process(base)
         assert pos == 0
         assert payload.to_wire_bytes() == b"\x00\x00\x00\x00"
+
+    def test_fetch_mode_flat_matches_oracle(self, small_config, rng):
+        """fetch_mode=flat: device-side merge_tiles + prefix fetch lands
+        the exact oracle payload as plain flat arrays."""
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            small_config, tiled_payload=True, fetch_mode="flat"
+        )
+        ex = StreamExecutor(cfg)
+        base = rng.integers(0, 255, cfg.frame_bytes, endpoint=True, dtype=np.uint8)
+        ex.start(base)
+        prev = base.copy()
+        for _ in range(3):
+            frame = prev.copy()
+            idx = rng.choice(cfg.frame_bytes, size=cfg.frame_bytes // 9,
+                             replace=False)
+            frame[idx] = rng.integers(0, 255, idx.size, endpoint=True,
+                                      dtype=np.uint8)
+            pos, xs, vals, _ = ex.process(frame)
+            pr, xr, vr, new_prev = ref.diff_encode(frame, prev)
+            assert isinstance(xs, np.ndarray)  # flat arrays, not TiledPayload
+            assert pos == pr
+            np.testing.assert_array_equal(xs, xr)
+            np.testing.assert_array_equal(vals, vr)
+            prev = new_prev
+        assert ex.fetch_counts == {"tiles": 0, "flat": 3}
+
+    def test_fetch_mode_auto_decision(self, small_config):
+        """The auto decision picks block fetch on fast links / clustered
+        scenes and the merged flat prefix on slow links / scattered
+        scenes, from the measured EMAs."""
+        import dataclasses
+
+        cfg = dataclasses.replace(small_config, tiled_payload=True)
+        ex = StreamExecutor(cfg)
+        # link unknown: always blocks (that's what measures the link)
+        assert not ex._use_flat_fetch(pos=1000, t_hi=50, tile_cap=4096)
+        # tunnel-class link, scattered change: 50 tiles of blocks move
+        # ~1 MB for a 1000-entry payload — merge + 20 KB prefix wins
+        ex.link.bps = 16e6
+        ex.link.merge_s = 1e-3
+        assert ex._use_flat_fetch(pos=1000, t_hi=50, tile_cap=4096)
+        # same link, clustered change: one non-empty tile — blocks win
+        assert not ex._use_flat_fetch(pos=1000, t_hi=1, tile_cap=4096)
+        # PCIe-class link: blocks win even scattered (merge dominates)
+        ex.link.bps = 10e9
+        assert not ex._use_flat_fetch(pos=1000, t_hi=50, tile_cap=4096)
+        # forced modes ignore the model
+        ex_t = StreamExecutor(dataclasses.replace(cfg, fetch_mode="tiles"))
+        ex_t.link.bps = 16e6
+        assert not ex_t._use_flat_fetch(pos=1000, t_hi=50, tile_cap=4096)
+        ex_f = StreamExecutor(dataclasses.replace(cfg, fetch_mode="flat"))
+        assert ex_f._use_flat_fetch(pos=1000, t_hi=50, tile_cap=4096)
+
+    def test_merge_tiles_matches_host_flatten(self, small_config, rng):
+        """Device merge_tiles == host TiledPayload.to_flat (zero-padded)."""
+        import dataclasses
+
+        from cudavideostream_tpu.ops import logcompact
+        from cudavideostream_tpu.runtime import wire
+
+        cfg = dataclasses.replace(small_config, tiled_payload=True)
+        ex = StreamExecutor(cfg)
+        base = rng.integers(0, 255, cfg.frame_bytes, endpoint=True, dtype=np.uint8)
+        ex.start(base)
+        frame = rng.integers(0, 255, cfg.frame_bytes, endpoint=True, dtype=np.uint8)
+        out = ex.pipe.step(ex.pipe.init_state(base), frame)
+        _, pos_d, counts_d, xs_t_d, vals_t_d, _ = out
+        xs_d, vals_d = logcompact.merge_tiles(counts_d, xs_t_d, vals_t_d)
+        pos = int(pos_d)
+        payload = wire.TiledPayload(
+            pos, np.asarray(counts_d), np.asarray(xs_t_d), np.asarray(vals_t_d)
+        )
+        fx, fv = payload.to_flat()
+        np.testing.assert_array_equal(np.asarray(xs_d)[:pos], fx)
+        np.testing.assert_array_equal(np.asarray(vals_d)[:pos], fv)
+        # zero past pos (the wire invariant)
+        assert not np.asarray(xs_d)[pos:].any()
+        assert not np.asarray(vals_d)[pos:].any()
 
 
 class TestWireV2Loopback:
