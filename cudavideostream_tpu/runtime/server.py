@@ -200,6 +200,12 @@ def main(argv=None) -> int:
     p.add_argument("--backend", default="device", choices=["device", "oracle"],
                    help="device = JAX/Pallas pipeline; oracle = pure-NumPy "
                         "CPU reference (the #ifdef CPU path, but complete)")
+    p.add_argument("--mesh", default=None, metavar="D,S",
+                   help="run the sharded multi-chip pipeline over a "
+                        "(data=D, space=S) device mesh (D*S devices; "
+                        "image rows shard across S). Payload layout is "
+                        "'sharded' (zero payload collectives; shard "
+                        "blocks ride the scatter-gather sender)")
     p.add_argument("--pipelined", action="store_true",
                    help="one-frame-deep software pipeline: overlap frame N's "
                         "compute with frame N-1's payload landing")
@@ -210,6 +216,10 @@ def main(argv=None) -> int:
                    help="dump visualizer aux frames as PPMs here "
                         "(the headless SERVER_IMSHOW)")
     args = p.parse_args(argv)
+    if args.mesh and (args.threshold_map or args.pipelined or args.tiled
+                      or args.backend == "oracle"):
+        p.error("--mesh is exclusive with --threshold-map/--pipelined/"
+                "--tiled/--backend oracle")
 
     cfg = StreamConfig(
         height=args.height,
@@ -233,7 +243,15 @@ def main(argv=None) -> int:
             tm = np.repeat(tm.ravel(), 3)
         thr_map = np.asarray(tm, dtype=np.uint8).ravel()
     executor = None
-    if args.backend == "oracle":
+    if args.mesh:
+        from cudavideostream_tpu.runtime.sharded_executor import (
+            ShardedStreamExecutor,
+            make_mesh,
+        )
+
+        d, s = (int(x) for x in args.mesh.split(","))
+        executor = ShardedStreamExecutor(cfg, mesh=make_mesh(d, s))
+    elif args.backend == "oracle":
         from cudavideostream_tpu.runtime.oracle_executor import OracleExecutor
 
         executor = OracleExecutor(cfg)

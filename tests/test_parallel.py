@@ -172,3 +172,74 @@ def test_sharded_payload_layout_zero_collectives(mesh8, viz):
             if exp_aux is not None:
                 np.testing.assert_array_equal(np.asarray(aux)[b], exp_aux)
             prev_ref[b] = exp_prev
+
+
+class TestShardedExecutor:
+    """Product wiring of the multi-chip pipeline: the server can run one
+    stream sharded over a space mesh and must put the identical bytes on
+    the wire as the single-device executor."""
+
+    @staticmethod
+    def _capture(cfg, executor=None, n_frames=3, seed=3):
+        import socket
+        import threading
+
+        from cudavideostream_tpu.runtime.server import DeltaStreamServer
+        from cudavideostream_tpu.runtime.sources import SyntheticSource
+
+        server = DeltaStreamServer(
+            cfg, SyntheticSource(cfg, seed=seed), executor=executor,
+            verbose=False, overlay_status=False,
+        )
+        server.listen()
+        t = threading.Thread(
+            target=server.serve, kwargs={"max_frames": n_frames}, daemon=True
+        )
+        t.start()
+        sock = socket.create_connection(("127.0.0.1", server.port))
+        chunks = []
+        while True:
+            b = sock.recv(1 << 16)
+            if not b:
+                break
+            chunks.append(b)
+        sock.close()
+        t.join(timeout=30)
+        return b"".join(chunks)
+
+    @pytest.mark.parametrize("layout", ["sharded", "replicated"])
+    def test_wire_bytes_identical_to_single_device(self, layout):
+        from cudavideostream_tpu.runtime.sharded_executor import (
+            ShardedStreamExecutor,
+            make_mesh,
+        )
+
+        if len(jax.devices()) < 4:
+            pytest.skip("needs 4 virtual devices")
+        cfg = StreamConfig(height=48, width=64, overlay_scale=1, port=0)
+        baseline = self._capture(cfg)
+        ex = ShardedStreamExecutor(
+            cfg, mesh=make_mesh(1, 4), payload_layout=layout
+        )
+        sharded = self._capture(cfg, executor=ex)
+        assert baseline == sharded
+        assert len(baseline) > cfg.frame_bytes
+
+    def test_mesh_cli_exclusive(self):
+        from cudavideostream_tpu.runtime.server import main
+
+        with pytest.raises(SystemExit) as e:
+            main(["--mesh", "1,4", "--tiled"])
+        assert e.value.code == 2
+
+    def test_tiled_payload_config_rejected(self):
+        from cudavideostream_tpu.runtime.sharded_executor import (
+            ShardedStreamExecutor,
+            make_mesh,
+        )
+
+        if len(jax.devices()) < 2:
+            pytest.skip("needs 2 virtual devices")
+        cfg = StreamConfig(height=48, width=64, tiled_payload=True)
+        with pytest.raises(ValueError, match="sharded"):
+            ShardedStreamExecutor(cfg, mesh=make_mesh(1, 2))

@@ -217,6 +217,45 @@ class TestLoopback:
         t.join(timeout=30)
 
 
+class TestSoak:
+    def test_long_stream_with_midstream_fetch_flips(self, small_config, rng):
+        """60-frame soak on the tiled auto executor: the link model is
+        flipped between tunnel-class and PCIe-class mid-stream, so the
+        landing alternates between block fetch and device merge+flat —
+        every frame must stay byte-exact vs the oracle and both landings
+        must actually occur."""
+        import dataclasses
+
+        from cudavideostream_tpu.runtime import wire
+
+        cfg = dataclasses.replace(small_config, tiled_payload=True)
+        ex = StreamExecutor(cfg)
+        src = SyntheticSource(cfg, seed=11)
+        base = next(src).copy()
+        ex.start(base)
+        prev = base.copy()
+        for k in range(60):
+            # alternate the measured-link regime every 7 frames
+            if k % 14 < 7:
+                ex.link.bps = 16e6      # tunnel-class: flat should win
+            else:
+                ex.link.bps = 10e9      # PCIe-class: tiles should win
+            ex.link.merge_s = 1e-3
+            frame = next(src)
+            pos, a, b, _ = ex.process(frame)
+            if isinstance(a, wire.TiledPayload):
+                xs, vals = a.to_flat()
+            else:
+                xs, vals = a, b
+            prev2, pr, xr, vr, _ = ref.step_oracle(prev, frame, cfg)
+            assert pos == pr, k
+            np.testing.assert_array_equal(xs, xr)
+            np.testing.assert_array_equal(vals, vr)
+            prev = prev2
+        assert ex.fetch_counts["tiles"] > 0 and ex.fetch_counts["flat"] > 0
+        assert ex.metrics.total_frames == 60
+
+
 class TestExecutor:
     def test_process_matches_oracle(self, small_config, rng):
         ex = StreamExecutor(small_config)
