@@ -31,12 +31,34 @@ from cudavideostream_tpu.runtime.sources import FrameSource
 
 
 class MultiStreamServer:
+    """``mesh=None``: one chip, vmapped batched step. With a
+    ``(data, space)`` mesh: streams shard across ``data`` and each
+    frame's rows across ``space`` (the sharded pipeline with the
+    ``"sharded"`` payload layout — each space-shard's compacted block
+    rides the scatter-gather sender as a tile, zero payload
+    collectives). B must be divisible by the data axis."""
+
     def __init__(self, config: StreamConfig, sources: List[FrameSource],
-                 verbose: bool = True, overlay_status: bool = True):
+                 verbose: bool = True, overlay_status: bool = True,
+                 mesh=None):
         self.cfg = config
         self.sources = sources
         self.B = len(sources)
-        self.pipe = BatchedDeltaPipeline(config, self.B)
+        if mesh is not None:
+            from cudavideostream_tpu.parallel.sharded import (
+                ShardedDeltaPipeline,
+            )
+
+            if self.B % mesh.shape["data"]:
+                raise ValueError(
+                    f"{self.B} streams not divisible by data={mesh.shape['data']}"
+                )
+            self.pipe = ShardedDeltaPipeline(
+                config, mesh, payload_layout="sharded"
+            )
+        else:
+            self.pipe = BatchedDeltaPipeline(config, self.B)
+        self._sharded = mesh is not None
         self.verbose = verbose
         self.overlay_status = overlay_status
         self._socks: List[socket.socket] = []
@@ -114,16 +136,36 @@ class MultiStreamServer:
             except StopIteration:
                 break
             t0 = time.perf_counter()
-            state, pos_d, xs_d, vals_d, _ = self.pipe.step(
-                state, frames, texts
-            )
-            pos = np.asarray(pos_d)
+            tiled = None
+            if self._sharded:
+                # shared overlay text (multiserve renders the same status
+                # string into every stream; per-stream text is a batched-
+                # pipeline feature)
+                state, counts_d, xs_d, vals_d, _ = self.pipe.step(
+                    state, frames, text=texts[0] if texts else ""
+                )
+                counts_np = np.asarray(counts_d)
+                xs_np = np.asarray(xs_d)
+                vals_np = np.asarray(vals_d)
+                tiled = [
+                    self.pipe.payload_tiles(counts_np, xs_np, vals_np, b)
+                    for b in range(self.B)
+                ]
+                pos = np.asarray([tp.pos for tp in tiled])
+            else:
+                state, pos_d, xs_d, vals_d, _ = self.pipe.step(
+                    state, frames, texts
+                )
+                pos = np.asarray(pos_d)
             total = int(pos.sum())
             wire_total = 0
             for b in range(self.B):
                 p = int(pos[b])
-                xs = self._fetch_xs.fetch(xs_d[b], p)
-                vals = self._fetch_vals.fetch(vals_d[b], p)
+                if tiled is not None:
+                    xs, vals = tiled[b].to_flat()
+                else:
+                    xs = self._fetch_xs.fetch(xs_d[b], p)
+                    vals = self._fetch_vals.fetch(vals_d[b], p)
                 if p:
                     native.client_apply_np(recon[b], xs, vals)
                 conn = self._clients[b]
@@ -134,6 +176,16 @@ class MultiStreamServer:
                         buf = wire.pack_payload_v2(p, xs, vals)
                         wire_total += len(buf)
                         conn.sendall(buf)
+                    elif tiled is not None:
+                        wire_total += 4 + 5 * p
+                        tp = tiled[b]
+                        rc = native.wire_send_segments_fd(
+                            conn.fileno(), p, tp.counts, tp.xs, tp.vals
+                        )
+                        if rc == -1:
+                            conn.sendall(tp.to_wire_bytes())
+                        elif rc < 0:
+                            raise OSError(rc, "writev")
                     else:
                         wire_total += 4 + 5 * p
                         rc = native.wire_send_payload_fd(
@@ -187,6 +239,10 @@ def main(argv=None) -> int:
     p.add_argument("--width", type=int, default=1920)
     p.add_argument("--wire", default="v1", choices=["v1", "v2"])
     p.add_argument("--frames", type=int, default=None)
+    p.add_argument("--mesh", default=None, metavar="D,S",
+                   help="shard the B streams over a (data=D, space=S) "
+                        "device mesh (B divisible by D; image rows shard "
+                        "across S)")
     args = p.parse_args(argv)
     cfg = StreamConfig(height=args.height, width=args.width, host=args.host,
                        port=args.port, wire_format=args.wire)
@@ -194,7 +250,13 @@ def main(argv=None) -> int:
         make_source(args.source, cfg, path=args.path, seed=b)
         for b in range(args.streams)
     ]
-    server = MultiStreamServer(cfg, sources)
+    mesh = None
+    if args.mesh:
+        from cudavideostream_tpu.runtime.sharded_executor import make_mesh
+
+        d, s = (int(x) for x in args.mesh.split(","))
+        mesh = make_mesh(d, s)
+    server = MultiStreamServer(cfg, sources, mesh=mesh)
     n = server.serve(max_frames=args.frames)
     print(f"served {n} batched frames over {args.streams} streams",
           file=sys.stderr)

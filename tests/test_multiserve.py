@@ -27,19 +27,34 @@ def _sync_oracle_to_base(base, cfg, replay, max_skip=16):
     return prev
 
 
-@pytest.mark.parametrize("wire_format", ["v1", "v2"])
-def test_two_streams_byte_exact(small_config, wire_format):
+@pytest.mark.parametrize(
+    "wire_format,mesh_shape",
+    [("v1", None), ("v2", None), ("v1", (2, 4)), ("v2", (2, 4))],
+)
+def test_two_streams_byte_exact(small_config, wire_format, mesh_shape):
     import dataclasses
+
+    import jax
 
     cfg = dataclasses.replace(
         small_config, port=0, wire_format=wire_format
     )
+    mesh = None
+    if mesh_shape is not None:
+        if len(jax.devices()) < mesh_shape[0] * mesh_shape[1]:
+            pytest.skip("needs a virtual device mesh")
+        from cudavideostream_tpu.runtime.sharded_executor import make_mesh
+
+        # streams shard across data, image rows across space: the
+        # scale-out serving topology, byte-exact vs the same oracle
+        mesh = make_mesh(*mesh_shape)
     B, n_frames = 2, 8
     server = MultiStreamServer(
         cfg,
         [SyntheticSource(cfg, seed=b) for b in range(B)],
         verbose=False,
         overlay_status=False,
+        mesh=mesh,
     )
     server.listen()
     ports = server.ports
