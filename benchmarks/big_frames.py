@@ -37,21 +37,7 @@ def _scene(h, w, frac, seed=0):
     return cur, prev
 
 
-def _bench_scan(fn, init_carry, k, iters):
-    import jax
-
-    @jax.jit
-    def run_(c):
-        return jax.lax.scan(lambda c, _: (fn(c), None), c, None, length=k)[0]
-
-    c = run_(init_carry)
-    jax.device_get(jax.tree_util.tree_leaves(c)[0].ravel()[0])
-    t0 = time.perf_counter()
-    c = init_carry
-    for _ in range(iters):
-        c = run_(c)
-    jax.device_get(jax.tree_util.tree_leaves(c)[0].ravel()[0])
-    return 1e3 * (time.perf_counter() - t0) / (k * iters)
+from cudavideostream_tpu.utils.timing import bench_scan_chain as _bench_scan
 
 
 def run(out_path: str | None = None, k: int = 12, iters: int = 3):

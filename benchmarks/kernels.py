@@ -23,22 +23,7 @@ K = 24      # chain length inside the scan
 ITERS = 4   # scan invocations per measurement
 
 
-def _bench_scan(chain, init_carry):
-    """ms per chain step: jit(scan(chain)) timed over ITERS invocations."""
-    import jax
-
-    @jax.jit
-    def run(c):
-        return jax.lax.scan(lambda c, _: (chain(c), None), c, None, length=K)[0]
-
-    c = run(init_carry)
-    jax.device_get(jax.tree_util.tree_leaves(c)[0].ravel()[0])
-    t0 = time.perf_counter()
-    c = init_carry
-    for _ in range(ITERS):
-        c = run(c)
-    jax.device_get(jax.tree_util.tree_leaves(c)[0].ravel()[0])
-    return 1e3 * (time.perf_counter() - t0) / (K * ITERS)
+from cudavideostream_tpu.utils.timing import bench_scan_chain as _bench_scan
 
 
 def run(out_path: str | None = None):
@@ -157,7 +142,7 @@ def run(out_path: str | None = None):
 
     rows = []
     for name, ref_ms, fn, init in entries:
-        ms = _bench_scan(fn, init)
+        ms = _bench_scan(fn, init, k=K, iters=ITERS)
         speedup = f"{ref_ms/ms:7.1f}x" if ref_ms and ms > 1e-6 else "      -"
         rows.append((name, ms, ref_ms))
         print(f"{name:24s} {ms:8.3f} ms   jetson {ref_ms or float('nan'):8.3f} ms  {speedup}",

@@ -31,21 +31,7 @@ K = 24
 ITERS = 4
 
 
-def _bench_scan(chain, init_carry):
-    import jax
-
-    @jax.jit
-    def run(c):
-        return jax.lax.scan(lambda c, _: (chain(c), None), c, None, length=K)[0]
-
-    c = run(init_carry)
-    jax.device_get(jax.tree_util.tree_leaves(c)[0].ravel()[0])
-    t0 = time.perf_counter()
-    c = init_carry
-    for _ in range(ITERS):
-        c = run(c)
-    jax.device_get(jax.tree_util.tree_leaves(c)[0].ravel()[0])
-    return 1e3 * (time.perf_counter() - t0) / (K * ITERS)
+from cudavideostream_tpu.utils.timing import bench_scan_chain as _bench_scan
 
 
 def run(out_path: str | None = None):
@@ -128,7 +114,7 @@ def run(out_path: str | None = None):
     ]
     rows = []
     for name, fn in rungs:
-        ms = _bench_scan(fn, (cur, prev, jnp.int32(0)))
+        ms = _bench_scan(fn, (cur, prev, jnp.int32(0)), k=K, iters=ITERS)
         rows.append((name, ms))
         print(f"{name:14s} {ms:8.3f} ms", flush=True)
 

@@ -30,25 +30,7 @@ CANDIDATES = [
 ]
 
 
-def _bench_scan(fn, init_carry, k=24, iters=4):
-    """ms per step, scan-chained (same methodology as kernels.py — the
-    per-dispatch amortized harness is swamped by tunnel jitter)."""
-    import time
-
-    import jax
-
-    @jax.jit
-    def run_(c):
-        return jax.lax.scan(lambda c, _: (fn(c), None), c, None, length=k)[0]
-
-    c = run_(init_carry)
-    jax.device_get(jax.tree_util.tree_leaves(c)[0].ravel()[0])
-    t0 = time.perf_counter()
-    c = init_carry
-    for _ in range(iters):
-        c = run_(c)
-    jax.device_get(jax.tree_util.tree_leaves(c)[0].ravel()[0])
-    return 1e3 * (time.perf_counter() - t0) / (k * iters)
+from cudavideostream_tpu.utils.timing import bench_scan_chain as _bench_scan
 
 
 def run(out_path: str | None = None, candidates=None, emit: str = "tiled"):

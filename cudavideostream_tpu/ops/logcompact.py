@@ -116,7 +116,8 @@ def _flat_roll_right(x, s: int, rows: int):
 
 def _kernel_v2(cur_ref, prev_ref, thr_ref, *rest,
                tile_rows: int, negfeed: bool, region_tiles: int = 0,
-               thr_is_map: bool = False, skip_static: bool = True):
+               thr_is_map: bool = False, skip_static: bool = True,
+               stream_tiles: int = 0):
     """Per-element LSB-first shift compaction — ~16 dense passes.
 
     Each masked element must move left by its hole count
@@ -147,6 +148,13 @@ def _kernel_v2(cur_ref, prev_ref, thr_ref, *rest,
     else:
         new_prev_ref, xs_ref, vals_ref, cnt_ref = rest
     i = pl.program_id(0)
+    # batched (super-frame) mode: B streams concatenated along the tile
+    # axis, `stream_tiles` tiles each. Emitted byte indices are rebased
+    # to the tile's own stream (static arithmetic on the grid index), so
+    # per-stream payloads fall out of per-stream tile ranges with no
+    # second pass; the overlay region likewise applies to each stream's
+    # leading tiles, not just the first stream's.
+    i_s = i % stream_tiles if stream_tiles else i
     # per-region sensitivity: thr is a per-byte uint8 map block when the
     # caller configured one (beyond the reference's global #define)
     thr = thr_ref[:].astype(jnp.int32) if thr_is_map else thr_ref[0]
@@ -155,7 +163,7 @@ def _kernel_v2(cur_ref, prev_ref, thr_ref, *rest,
 
     cur_u8 = cur_ref[:]
     if region_tiles:
-        cur_u8 = jnp.where(i < region_tiles, reg_ref[:], cur_u8)
+        cur_u8 = jnp.where(i_s < region_tiles, reg_ref[:], cur_u8)
     cur = cur_u8.astype(jnp.int32)
     prev = prev_ref[:].astype(jnp.int32)
     df = cur - prev
@@ -217,7 +225,7 @@ def _kernel_v2(cur_ref, prev_ref, thr_ref, *rest,
         # x == 0 — a valid element with holes == 0 still has a nonzero
         # delta byte — so padding lanes stay 0): the caller never
         # touches the packed form, no unpack pass over HBM is needed
-        xs_ref[:] = jnp.where(x != 0, flat + (x >> 8) + i * n_flat, 0)
+        xs_ref[:] = jnp.where(x != 0, flat + (x >> 8) + i_s * n_flat, 0)
         vals_ref[:] = jnp.bitwise_and(x, 255).astype(jnp.uint8)
         cnt_ref[i, 0] = incl[R - 1, LANES - 1]
 
@@ -236,19 +244,20 @@ def _kernel_v2(cur_ref, prev_ref, thr_ref, *rest,
 
 def _kernel(cur_ref, prev_ref, thr_ref, *rest,
             tile_rows: int, negfeed: bool, region_tiles: int = 0,
-            thr_is_map: bool = False):
+            thr_is_map: bool = False, stream_tiles: int = 0):
     if region_tiles:
         reg_ref, new_prev_ref, xs_ref, vals_ref, cnt_ref = rest
     else:
         new_prev_ref, xs_ref, vals_ref, cnt_ref = rest
     i = pl.program_id(0)
+    i_s = i % stream_tiles if stream_tiles else i  # see _kernel_v2
     thr = thr_ref[:].astype(jnp.int32) if thr_is_map else thr_ref[0]
     R = tile_rows
     n_flat = R * LANES
 
     cur_u8 = cur_ref[:]
     if region_tiles:
-        cur_u8 = jnp.where(i < region_tiles, reg_ref[:], cur_u8)
+        cur_u8 = jnp.where(i_s < region_tiles, reg_ref[:], cur_u8)
     cur = cur_u8.astype(jnp.int32)
     prev = prev_ref[:].astype(jnp.int32)
     df = cur - prev
@@ -325,43 +334,54 @@ def _kernel(cur_ref, prev_ref, thr_ref, *rest,
 
     total = E  # uniform: count of the whole tile
     x = jnp.where(flat < total, x, 0)
-    xs_ref[:] = jnp.where(x != 0, (x >> 8) + i * n_flat, 0)
+    xs_ref[:] = jnp.where(x != 0, (x >> 8) + i_s * n_flat, 0)
     vals_ref[:] = jnp.bitwise_and(x, 255).astype(jnp.uint8)
     cnt_ref[i, 0] = incl[R - 1, LANES - 1]
 
 
 def _run_kernel(cur2, prev2, thr, *, scheme, tile_rows, grid,
                 negfeed, interpret, region2=None, thr_is_map=False,
-                skip_static=True):
+                skip_static=True, stream_tiles=0):
     """Dispatch one pallas_call; returns ``(new_prev, xs_t, vals_t,
     counts)`` with the tile blocks in ``(rows, LANES)`` layout.
     ``region2`` is an optional overlay-region prefix (a multiple of
     ``tile_rows`` rows) blended over the leading tiles in-kernel.
     ``thr`` is an SMEM scalar, or a per-byte ``(rows, LANES)`` uint8 map
-    when ``thr_is_map``."""
+    when ``thr_is_map``. ``stream_tiles`` > 0 marks a batched
+    super-frame: every ``stream_tiles`` tiles are one independent
+    stream — indices rebase per stream and the region (stacked
+    per-stream blocks) applies to each stream's leading tiles."""
     rows = cur2.shape[0]
     if scheme == "register":
         from cudavideostream_tpu.ops import pallas_compact
 
-        if region2 is not None or thr_is_map:
+        if region2 is not None or thr_is_map or stream_tiles:
             raise ValueError(
-                "overlay fusion / threshold maps: element/segment schemes only"
+                "overlay fusion / threshold maps / batching: "
+                "element/segment schemes only"
             )
         return pallas_compact.run_register(
             cur2, prev2, thr, tile_rows=tile_rows, grid=grid,
             negfeed=negfeed, interpret=interpret,
         )
+    if region2 is not None and stream_tiles:
+        # a per-stream region input needs the non-monotone index map
+        # (i // st) * rt + min(i % st, rt - 1), which defeats Mosaic's
+        # DMA pipelining (measured 4x the cost of an XLA substitution
+        # pass at B=8) — callers pre-substitute instead
+        raise ValueError("overlay_region is solo-only; see models.batched")
     region_tiles = 0 if region2 is None else region2.shape[0] // tile_rows
     if scheme == "element":
         kernel = functools.partial(
             _kernel_v2, tile_rows=tile_rows, negfeed=negfeed,
             region_tiles=region_tiles, thr_is_map=thr_is_map,
-            skip_static=skip_static,
+            skip_static=skip_static, stream_tiles=stream_tiles,
         )
     else:
         kernel = functools.partial(
             _kernel, tile_rows=tile_rows, negfeed=negfeed,
             region_tiles=region_tiles, thr_is_map=thr_is_map,
+            stream_tiles=stream_tiles,
         )
     thr_spec = (
         pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
@@ -521,6 +541,99 @@ def fused_diff_compact(
         counts, xs_t.reshape(grid, tile_bytes), vals_t.reshape(grid, tile_bytes)
     )
     return pos, xs[:n], vals[:n], new_prev
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_streams", "threshold", "negative_feedback",
+                     "interpret", "scheme", "skip_static"),
+)
+def fused_diff_compact_batched(
+    current: Array,
+    previous: Array,
+    n_streams: int,
+    threshold: int = 20,
+    negative_feedback: bool = True,
+    interpret: bool = False,
+    scheme: str = "element",
+    threshold_map: Array | None = None,
+    skip_static: bool = True,
+):
+    """Batched kernel2: B independent streams in ONE pallas_call.
+
+    The B padded frames concatenate along the tile axis — a super-frame
+    whose grid is ``B * tiles_per_stream`` — so the per-tile code is
+    *identical* to the solo kernel. The kernel rebases emitted byte
+    indices per stream (static arithmetic on the grid index), so
+    per-stream payloads are just per-stream tile ranges.
+
+    ``current``/``previous`` are FLAT ``(B * n,)`` uint8 — deliberately:
+    a ``(B, n)`` uint8 array on TPU pads the sublane dim of its
+    ``(B, n)`` tiling to 8, so for B < 8 every pass over it reads up to
+    8x the bytes (measured: 1.05 ms vs 0.48 ms at B=1 for this very
+    kernel). Flat buffers keep the solo layout; callers carry state
+    flat (see ``models.batched``).
+
+    ``threshold_map``: optional shared ``(n,)`` per-byte map. (No
+    ``overlay_region`` here: a per-stream region input needs a
+    non-monotone block index map, which defeats Mosaic's DMA
+    pipelining — measured 4x the cost of callers substituting strips
+    with one XLA select pass; see ``models.batched._fast_impl``.)
+
+    Returns ``(pos (B,), counts (B, Tps), xs_t (B, Tps, tile_bytes),
+    vals_t (B, Tps, tile_bytes), new_prev (B * n,))`` — stream ``b``'s
+    wire payload is exactly ``TiledPayload(pos[b], counts[b], xs_t[b],
+    vals_t[b])`` (tiled emit only: this is the product wire path).
+    """
+    B = n_streams
+    if current.ndim != 1 or current.shape[0] % B:
+        raise ValueError("expect flat (B*n,) frames")
+    n = current.shape[0] // B
+    rows = _pad_rows(-(-n // LANES))
+    n_pad = rows * LANES
+    if n_pad >= 1 << 31:
+        raise ValueError("frame byte indices exceed int32")
+    if n_pad != n:
+        current = jnp.pad(
+            current.reshape(B, n), ((0, 0), (0, n_pad - n))
+        ).reshape(B * n_pad)
+        previous = jnp.pad(
+            previous.reshape(B, n), ((0, 0), (0, n_pad - n))
+        ).reshape(B * n_pad)
+    tile_rows = _pick_tile_rows(rows)
+    tps = rows // tile_rows
+    grid = B * tps
+    tile_bytes = tile_rows * LANES
+
+    thr_is_map = threshold_map is not None
+    if thr_is_map:
+        if threshold_map.shape[0] != n:
+            raise ValueError("threshold_map length must equal the frame's")
+        tm = jnp.pad(threshold_map, (0, n_pad - n)).reshape(rows, LANES)
+        thr = jnp.tile(tm, (B, 1))
+    else:
+        thr = jnp.full((1,), threshold, jnp.int32)
+
+    cur2 = current.reshape(B * rows, LANES)
+    prev2 = previous.reshape(B * rows, LANES)
+    new_prev, xs_t, vals_t, counts = _run_kernel(
+        cur2, prev2, thr, scheme=scheme, tile_rows=tile_rows, grid=grid,
+        negfeed=negative_feedback, interpret=interpret,
+        thr_is_map=thr_is_map, skip_static=skip_static, stream_tiles=tps,
+    )
+    counts = counts.reshape(B, tps)
+    pos = jnp.sum(counts, axis=1)
+    if n_pad != n:
+        new_prev_flat = new_prev.reshape(B, n_pad)[:, :n].reshape(B * n)
+    else:
+        new_prev_flat = new_prev.reshape(B * n)
+    return (
+        pos,
+        counts,
+        xs_t.reshape(B, tps, tile_bytes),
+        vals_t.reshape(B, tps, tile_bytes),
+        new_prev_flat,
+    )
 
 
 def _merge_tiles_impl(counts: Array, xs_t: Array, vals_t: Array):

@@ -137,7 +137,25 @@ class MultiStreamServer:
                 break
             t0 = time.perf_counter()
             tiled = None
-            if self._sharded:
+            if not self._sharded and self.cfg.tiled_payload:
+                # single-chip fast path: one super-frame pallas_call
+                # (models.batched._fast_impl); per-stream TiledPayloads
+                # ride the scatter-gather sender
+                state, pos_d, counts_d, xs_t_d, vals_t_d, _ = self.pipe.step(
+                    state, frames, texts
+                )
+                pos = np.asarray(pos_d)
+                counts_np = np.asarray(counts_d)
+                xs_np = np.asarray(xs_t_d)
+                vals_np = np.asarray(vals_t_d)
+                tiled = [
+                    wire.TiledPayload(
+                        int(pos[b]), counts_np[b].astype(np.int32),
+                        xs_np[b], vals_np[b],
+                    )
+                    for b in range(self.B)
+                ]
+            elif self._sharded:
                 # shared overlay text (multiserve renders the same status
                 # string into every stream; per-stream text is a batched-
                 # pipeline feature)
@@ -244,8 +262,11 @@ def main(argv=None) -> int:
                         "device mesh (B divisible by D; image rows shard "
                         "across S)")
     args = p.parse_args(argv)
+    # tiled payload = the product wire path AND the batched fast path
+    # (one super-frame kernel; see models.batched)
     cfg = StreamConfig(height=args.height, width=args.width, host=args.host,
-                       port=args.port, wire_format=args.wire)
+                       port=args.port, wire_format=args.wire,
+                       tiled_payload=args.mesh is None)
     sources = [
         make_source(args.source, cfg, path=args.path, seed=b)
         for b in range(args.streams)

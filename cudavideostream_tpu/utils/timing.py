@@ -72,6 +72,45 @@ def _sync(out) -> None:
             jax.device_get(leaf if leaf.ndim == 0 else leaf.ravel()[0])
 
 
+def bench_scan_chain(chain: Callable, init_carry, k: int = 24,
+                     iters: int = 4) -> float:
+    """Milliseconds per chain step: ``jit(scan(chain))`` timed over
+    ``iters`` dependent invocations, minus the measured sync round-trip.
+
+    The scan threads each step's output into the next step's input so
+    the compiler cannot hoist loop-invariant work — the moral equivalent
+    of nvprof's kernel-average column. The final ``device_get`` is the
+    only blocking point; on a tunneled backend its round-trip is ~30 ms,
+    which would otherwise inflate every step by ``rtt/(k*iters)``
+    (~0.3 ms at k=24, iters=4 — larger than some kernels being
+    measured). The subtracted rtt is the min of 5 gets of an
+    already-materialized array: pure transport, no compute wait.
+    """
+    import jax
+
+    @jax.jit
+    def run_(c):
+        return jax.lax.scan(lambda c, _: (chain(c), None), c, None, length=k)[0]
+
+    c = run_(init_carry)
+    leaf = jax.tree_util.tree_leaves(c)[0]
+    jax.device_get(leaf.ravel()[0])
+    rtts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        jax.device_get(leaf.ravel()[0])
+        rtts.append(time.perf_counter() - t0)
+    rtt = min(rtts)
+
+    t0 = time.perf_counter()
+    c = init_carry
+    for _ in range(iters):
+        c = run_(c)
+    jax.device_get(jax.tree_util.tree_leaves(c)[0].ravel()[0])
+    total = time.perf_counter() - t0
+    return max(0.0, 1e3 * (total - rtt) / (k * iters))
+
+
 def bench_op_amortized(fn: Callable, *args, warmup: int = 2, iters: int = 20) -> float:
     """Amortized milliseconds per ``fn(*args)`` dispatch.
 

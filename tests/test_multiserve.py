@@ -28,16 +28,23 @@ def _sync_oracle_to_base(base, cfg, replay, max_skip=16):
 
 
 @pytest.mark.parametrize(
-    "wire_format,mesh_shape",
-    [("v1", None), ("v2", None), ("v1", (2, 4)), ("v2", (2, 4))],
+    "wire_format,mesh_shape,tiled",
+    [
+        ("v1", None, False),
+        ("v2", None, False),
+        ("v1", None, True),   # batched super-frame fast path
+        ("v2", None, True),
+        ("v1", (2, 4), False),
+        ("v2", (2, 4), False),
+    ],
 )
-def test_two_streams_byte_exact(small_config, wire_format, mesh_shape):
+def test_two_streams_byte_exact(small_config, wire_format, mesh_shape, tiled):
     import dataclasses
 
     import jax
 
     cfg = dataclasses.replace(
-        small_config, port=0, wire_format=wire_format
+        small_config, port=0, wire_format=wire_format, tiled_payload=tiled
     )
     mesh = None
     if mesh_shape is not None:

@@ -226,7 +226,8 @@ class TestBatchedPipeline:
                 solo = solos[b].step(solo_states[b], frames[b], text=texts[b])
                 solo_states[b] = solo[0]
                 np.testing.assert_array_equal(
-                    np.asarray(state)[b], np.asarray(solo_states[b])
+                    np.asarray(state).reshape(B, -1)[b],
+                    np.asarray(solo_states[b]),
                 )
                 if tiled:
                     _, pos, counts, xs_t, vals_t, _ = out
