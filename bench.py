@@ -122,14 +122,11 @@ def _bench_config(cfg, atlas_text, frames, iters, skip_check, label=""):
     # suffers transient multi-x contention from other tenants, and the
     # median of T-frame scans is robust to spikes while still honest
     # about sustained load (all samples go to stderr)
+    from cudavideostream_tpu.utils.timing import measure_rtt
+
     out = run_scan(prev0, key0)
     _ = jax.device_get(out[1][0].ravel()[0])
-    rtts = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        _ = jax.device_get(out[1][0].ravel()[0])
-        rtts.append(time.perf_counter() - t0)
-    rtt = min(rtts)
+    rtt = measure_rtt(out[1][0])
 
     times = []
     for _ in range(iters):

@@ -63,17 +63,13 @@ def run(out_path: str | None = None, batches=(1, 2, 4, 8)):
 
         prev0 = jnp.concatenate([jnp.asarray(np.asarray(init_frame))] * B)
         keys0 = jax.random.PRNGKey(0)
+        from cudavideostream_tpu.utils.timing import measure_rtt
+
         (_, _), d = run_scan(prev0, keys0)
         _ = jax.device_get(d.ravel()[0])
-        # subtract the sync round-trip (min of 5 gets of a materialized
-        # array): ~30 ms through the tunnel, which would otherwise be
-        # charged to the T*ITERS frames (see utils.timing.bench_scan_chain)
-        rtts = []
-        for _ in range(5):
-            t0 = time.perf_counter()
-            _ = jax.device_get(d.ravel()[0])
-            rtts.append(time.perf_counter() - t0)
-        rtt = min(rtts)
+        # ~30 ms tunnel sync round-trip would otherwise be charged to
+        # the T*ITERS frames
+        rtt = measure_rtt(d)
         t0 = time.perf_counter()
         c = (prev0, keys0)
         for _ in range(ITERS):

@@ -67,13 +67,25 @@ class BatchedDeltaPipeline:
         # B < 8. State is therefore carried FLAT (B*n,) in both paths.
         from cudavideostream_tpu.config import Visualizer
 
+        from cudavideostream_tpu.ops.logcompact import (
+            LANES,
+            MAX_GRID,
+            _pad_rows,
+            _pick_tile_rows,
+        )
+
         cell_h = self._solo.atlas.shape[1]
+        rows = _pad_rows(-(-config.frame_bytes // LANES))
+        tps = rows // _pick_tile_rows(rows)
         self._fast = (
             config.compaction.value == "pallas"
             and config.tiled_payload
             and config.visualizer is Visualizer.NONE
             and not config.noise_filter
             and cell_h <= config.height
+            # the super-frame grid must stay inside the SMEM
+            # counts-window bound; larger batches take the vmap path
+            and n_streams * tps <= MAX_GRID
         )
         body = self._fast_impl if self._fast else self._vmap_impl
         self._step = jax.jit(body, donate_argnums=(0,))

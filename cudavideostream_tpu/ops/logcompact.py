@@ -66,6 +66,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
+# Pallas grid bound: per-tile counts are a (grid, 1) SMEM output window
+# padded to ~512 B per grid step; past ~2000 steps it exceeds SMEM.
+MAX_GRID = 2000
 
 
 def _pick_tile_rows(rows: int, target: int = 400) -> int:
@@ -604,13 +607,27 @@ def fused_diff_compact_batched(
     tps = rows // tile_rows
     grid = B * tps
     tile_bytes = tile_rows * LANES
+    if grid > MAX_GRID:
+        # per-tile counts live in a (grid, 1) SMEM window (~512 B/step);
+        # past ~2000 steps it exceeds SMEM — a hardware-only failure the
+        # CPU interpreter cannot catch, so refuse loudly here
+        # (models.batched falls back to the vmap path instead)
+        raise ValueError(
+            f"batched grid {grid} (= {B} streams x {tps} tiles) exceeds "
+            f"the ~{MAX_GRID}-step SMEM counts-window bound; use fewer "
+            f"streams per kernel call"
+        )
 
     thr_is_map = threshold_map is not None
     if thr_is_map:
         if threshold_map.shape[0] != n:
             raise ValueError("threshold_map length must equal the frame's")
         tm = jnp.pad(threshold_map, (0, n_pad - n)).reshape(rows, LANES)
-        thr = jnp.tile(tm, (B, 1))
+        # 1-D-style concat, not jnp.tile: tile's (B, n) broadcast
+        # intermediate takes a padded-sublane layout for B < 8 and its
+        # reshape back is a slow strided copy (measured on the frame
+        # path: +2.9 ms at B=2)
+        thr = jnp.concatenate([tm] * B, axis=0)
     else:
         thr = jnp.full((1,), threshold, jnp.int32)
 

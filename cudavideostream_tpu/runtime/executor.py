@@ -41,13 +41,18 @@ class LinkStats:
     which its measured cost takes over.
     """
 
+    # samples below this size are dominated by fixed per-call latency,
+    # not throughput — recording them would make a fast link look slow
+    # and lock "auto" into the wrong landing
+    MIN_SAMPLE_BYTES = 65536
+
     def __init__(self, alpha: float = 0.3, merge_s_init: float = 1.5e-3):
         self.alpha = alpha
         self.bps: float | None = None
         self.merge_s = merge_s_init
 
     def record_fetch(self, nbytes: int, seconds: float) -> None:
-        if nbytes <= 0 or seconds <= 0:
+        if nbytes < self.MIN_SAMPLE_BYTES or seconds <= 0:
             return
         bps = nbytes / seconds
         self.bps = bps if self.bps is None else (
@@ -201,17 +206,17 @@ class StreamExecutor:
 
                 tm0 = time.perf_counter()
                 xs_d, vals_d = logcompact.merge_tiles(counts_d, xs_t_d, vals_t_d)
+                # sync the merge with a 4-byte read BEFORE the timed
+                # fetches: otherwise the first fetch blocks on the merge
+                # and its wait is booked as link time, corrupting bps
+                self._fetch_xs._jax.device_get(xs_d[:1])
+                merge_s = time.perf_counter() - tm0
                 xs = self._fetch_xs.fetch(xs_d, pos)
                 vals = self._fetch_vals.fetch(vals_d, pos)
                 if self.fetch_counts["flat"] > 0:
-                    # the fetch EMA already absorbed the transfer time;
-                    # the rest of this span is the merge dispatch+compute.
-                    # The first flat landing is skipped: it carries the
-                    # one-time jit compile, which would poison the EMA.
-                    self.link.record_merge(
-                        max(0.0, (time.perf_counter() - tm0)
-                            - (self.link.fetch_seconds(xs.nbytes + vals.nbytes) or 0.0))
-                    )
+                    # first flat landing skipped: it carries the one-time
+                    # jit compile, which would poison the EMA
+                    self.link.record_merge(merge_s)
                 self.fetch_counts["flat"] += 1
                 aux = np.asarray(aux_d) if aux_d is not None else None
                 self.metrics.record(time.perf_counter() - t0, pos)

@@ -69,6 +69,7 @@ class MultiStreamServer:
         self._stop = threading.Event()
         self._fetch_xs = TieredFetcher(config.capacity)
         self._fetch_vals = TieredFetcher(config.capacity)
+        self._fetch_tiles = None  # lazily sized from the first tiled step
         self.metrics = ExecMetrics()
 
     def listen(self) -> None:
@@ -140,21 +141,31 @@ class MultiStreamServer:
             if not self._sharded and self.cfg.tiled_payload:
                 # single-chip fast path: one super-frame pallas_call
                 # (models.batched._fast_impl); per-stream TiledPayloads
-                # ride the scatter-gather sender
+                # ride the scatter-gather sender. Fetch each stream's
+                # blocks only up to its last non-empty tile — the full
+                # (B, tps, tile_bytes) buffers are worst-case sized and
+                # would move ~35 MB/stream/frame regardless of density.
                 state, pos_d, counts_d, xs_t_d, vals_t_d, _ = self.pipe.step(
                     state, frames, texts
                 )
                 pos = np.asarray(pos_d)
                 counts_np = np.asarray(counts_d)
-                xs_np = np.asarray(xs_t_d)
-                vals_np = np.asarray(vals_t_d)
-                tiled = [
-                    wire.TiledPayload(
-                        int(pos[b]), counts_np[b].astype(np.int32),
-                        xs_np[b], vals_np[b],
+                if self._fetch_tiles is None:
+                    tps = counts_np.shape[1]
+                    self._fetch_tiles = (
+                        TieredFetcher(tps, min_tier=1),
+                        TieredFetcher(tps, min_tier=1),
                     )
-                    for b in range(self.B)
-                ]
+                tiled = []
+                for b in range(self.B):
+                    nz = np.nonzero(counts_np[b])[0]
+                    t_hi = int(nz[-1]) + 1 if nz.size else 0
+                    tiled.append(wire.TiledPayload(
+                        int(pos[b]),
+                        counts_np[b, :t_hi].astype(np.int32),
+                        self._fetch_tiles[0].fetch(xs_t_d[b], t_hi),
+                        self._fetch_tiles[1].fetch(vals_t_d[b], t_hi),
+                    ))
             elif self._sharded:
                 # shared overlay text (multiserve renders the same status
                 # string into every stream; per-stream text is a batched-
@@ -163,12 +174,27 @@ class MultiStreamServer:
                     state, frames, text=texts[0] if texts else ""
                 )
                 counts_np = np.asarray(counts_d)
-                xs_np = np.asarray(xs_d)
-                vals_np = np.asarray(vals_d)
-                tiled = [
-                    self.pipe.payload_tiles(counts_np, xs_np, vals_np, b)
-                    for b in range(self.B)
-                ]
+                # shard blocks are worst-case sized too; trim each
+                # stream's fetch to its last non-empty shard
+                n_space = self.pipe.n_space
+                Ln = self.pipe.local_bytes
+                xs3 = xs_d.reshape(self.B, n_space, Ln)
+                vals3 = vals_d.reshape(self.B, n_space, Ln)
+                if self._fetch_tiles is None:
+                    self._fetch_tiles = (
+                        TieredFetcher(n_space, min_tier=1),
+                        TieredFetcher(n_space, min_tier=1),
+                    )
+                tiled = []
+                for b in range(self.B):
+                    c = counts_np[b].astype(np.int32)
+                    nz = np.nonzero(c)[0]
+                    t_hi = int(nz[-1]) + 1 if nz.size else 0
+                    tiled.append(wire.TiledPayload(
+                        int(c.sum()), c[:t_hi],
+                        self._fetch_tiles[0].fetch(xs3[b], t_hi),
+                        self._fetch_tiles[1].fetch(vals3[b], t_hi),
+                    ))
                 pos = np.asarray([tp.pos for tp in tiled])
             else:
                 state, pos_d, xs_d, vals_d, _ = self.pipe.step(

@@ -220,6 +220,8 @@ def main(argv=None) -> int:
                       or args.backend == "oracle"):
         p.error("--mesh is exclusive with --threshold-map/--pipelined/"
                 "--tiled/--backend oracle")
+    if args.fetch != "auto" and not args.tiled:
+        p.error("--fetch tiles/flat applies to --tiled payloads")
 
     cfg = StreamConfig(
         height=args.height,
@@ -230,7 +232,7 @@ def main(argv=None) -> int:
         conv_k=args.conv_k,
         compaction=CompactionBackend(args.compaction),
         tiled_payload=args.tiled,
-        fetch_mode=args.fetch if args.tiled else "auto",
+        fetch_mode=args.fetch,
         wire_format=args.wire,
         host=args.host,
         port=args.port,

@@ -72,6 +72,22 @@ def _sync(out) -> None:
             jax.device_get(leaf if leaf.ndim == 0 else leaf.ravel()[0])
 
 
+def measure_rtt(leaf, samples: int = 5) -> float:
+    """Min-of-N round-trip of a ``device_get`` on an ALREADY-materialized
+    array element: pure transport latency, no compute wait. ~30 ms on
+    the tunneled backend — subtract it from any timed region whose only
+    blocking point is a final sync, or every step reads high."""
+    import jax
+
+    jax.device_get(leaf.ravel()[0])
+    rtts = []
+    for _ in range(samples):
+        t0 = time.perf_counter()
+        jax.device_get(leaf.ravel()[0])
+        rtts.append(time.perf_counter() - t0)
+    return min(rtts)
+
+
 def bench_scan_chain(chain: Callable, init_carry, k: int = 24,
                      iters: int = 4) -> float:
     """Milliseconds per chain step: ``jit(scan(chain))`` timed over
@@ -93,14 +109,7 @@ def bench_scan_chain(chain: Callable, init_carry, k: int = 24,
         return jax.lax.scan(lambda c, _: (chain(c), None), c, None, length=k)[0]
 
     c = run_(init_carry)
-    leaf = jax.tree_util.tree_leaves(c)[0]
-    jax.device_get(leaf.ravel()[0])
-    rtts = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        jax.device_get(leaf.ravel()[0])
-        rtts.append(time.perf_counter() - t0)
-    rtt = min(rtts)
+    rtt = measure_rtt(jax.tree_util.tree_leaves(c)[0])
 
     t0 = time.perf_counter()
     c = init_carry

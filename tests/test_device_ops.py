@@ -310,3 +310,48 @@ class TestCompactionSchemesAgree:
         for t in range(len(counts)):
             assert int(xs_t[t, counts[t]:].sum()) == 0
             assert int(vals_t[t, counts[t]:].sum()) == 0
+
+
+class TestBatchedKernel:
+    """fused_diff_compact_batched: B streams in one super-frame grid must
+    equal B solo tiled runs bit-for-bit (counts, tile blocks, state)."""
+
+    @pytest.mark.parametrize("B,n", [(1, 9216), (3, 9216), (2, 9216 + 17)])
+    def test_matches_solo_and_oracle(self, rng, B, n):
+        from cudavideostream_tpu.ops.logcompact import (
+            fused_diff_compact,
+            fused_diff_compact_batched,
+        )
+
+        prev = rng.integers(0, 256, (B, n), dtype=np.uint8)
+        cur = prev.copy()
+        for b in range(B):
+            idx = rng.choice(n, size=n // 7, replace=False)
+            cur[b, idx] = rng.integers(0, 256, idx.size, dtype=np.uint8)
+        pos, counts, xs_t, vals_t, newp = fused_diff_compact_batched(
+            jnp.asarray(cur.reshape(-1)), jnp.asarray(prev.reshape(-1)),
+            n_streams=B, interpret=True,
+        )
+        newp = np.asarray(newp).reshape(B, n)
+        for b in range(B):
+            sp, sc, sxs, svals, snp = fused_diff_compact(
+                jnp.asarray(cur[b]), jnp.asarray(prev[b]),
+                interpret=True, emit="tiled",
+            )
+            assert int(np.asarray(pos)[b]) == int(sp)
+            np.testing.assert_array_equal(np.asarray(counts)[b], np.asarray(sc))
+            np.testing.assert_array_equal(np.asarray(xs_t)[b], np.asarray(sxs))
+            np.testing.assert_array_equal(np.asarray(vals_t)[b], np.asarray(svals))
+            np.testing.assert_array_equal(newp[b], np.asarray(snp))
+            rpos, rxs, rvals, rnewp = ref.diff_encode(cur[b], prev[b])
+            assert int(sp) == rpos
+            np.testing.assert_array_equal(newp[b], rnewp)
+
+    def test_flat_shape_required(self, rng):
+        from cudavideostream_tpu.ops.logcompact import fused_diff_compact_batched
+
+        with pytest.raises(ValueError, match="flat"):
+            fused_diff_compact_batched(
+                jnp.zeros((2, 9216), jnp.uint8), jnp.zeros((2, 9216), jnp.uint8),
+                n_streams=2, interpret=True,
+            )

@@ -285,3 +285,28 @@ class TestBatchedPipeline:
         )
         with pytest.raises(ValueError):
             BatchedDeltaPipeline(cfg, 2)
+
+
+def test_batched_fast_path_respects_grid_bound():
+    """The super-frame grid must stay under the ~2000-step SMEM
+    counts-window bound (a hardware-only failure CPU tests can't see);
+    larger batches must fall back to the vmap path, and the kernel
+    wrapper must refuse loudly."""
+    import jax.numpy as jnp
+
+    from cudavideostream_tpu.models import BatchedDeltaPipeline
+    from cudavideostream_tpu.ops.logcompact import (
+        MAX_GRID,
+        fused_diff_compact_batched,
+    )
+
+    cfg = StreamConfig(tiled_payload=True)  # 1080p: 135 tiles/stream
+    assert BatchedDeltaPipeline(cfg, 14)._fast       # 14*135 = 1890
+    assert not BatchedDeltaPipeline(cfg, 15)._fast   # 15*135 = 2025
+    B = MAX_GRID // 135 + 1
+    with pytest.raises(ValueError, match="SMEM"):
+        fused_diff_compact_batched(
+            jnp.zeros(B * cfg.frame_bytes, jnp.uint8),
+            jnp.zeros(B * cfg.frame_bytes, jnp.uint8),
+            n_streams=B, interpret=True,
+        )
