@@ -116,6 +116,88 @@ class TieredFetcher:
         return self._get(arr)[:pos]
 
 
+class TiledLander:
+    """Landing strategy for per-tile payload blocks, shared by the solo
+    executor, multiserve, and broadcast paths.
+
+    Per call: either fetch the blocks up to the last non-empty tile
+    (cheapest on fast links / clustered scenes) or run the device-side
+    ``merge_tiles`` and fetch only the ``pos``-prefix (fewest bytes —
+    wins on slow links / scattered scenes). ``"auto"`` predicts both
+    times from measured link-throughput and merge-cost EMAs; until the
+    link speed is known it takes the block path, which is what measures
+    it. Wire bytes are identical either way.
+    """
+
+    def __init__(self, mode: str = "auto", link: Optional[LinkStats] = None):
+        self.mode = mode
+        self.link = link or LinkStats()
+        self._fetch_xs = None     # lazily sized from the first landing
+        self._fetch_vals = None
+        self._fetch_tiles = None
+        self.fetch_counts = {"tiles": 0, "flat": 0}
+
+    def use_flat(self, pos: int, t_hi: int, tile_cap: int) -> bool:
+        """The per-frame decision (see class docstring)."""
+        if self.mode == "tiles":
+            return False
+        if self.mode == "flat":
+            return True
+        if t_hi == 0:
+            return False
+        block_bytes = 5 * t_hi * tile_cap        # int32 xs + uint8 vals
+        tier = self._fetch_xs.tier(pos) if self._fetch_xs else pos
+        flat_bytes = 5 * tier
+        t_tiles = self.link.fetch_seconds(block_bytes)
+        if t_tiles is None:
+            return False
+        t_flat = self.link.merge_s + (self.link.fetch_seconds(flat_bytes) or 0.0)
+        return t_flat < t_tiles
+
+    def land(self, pos: int, counts: np.ndarray, counts_d, xs_t_d, vals_t_d):
+        """Land one tiled payload.
+
+        ``counts`` is the host copy of ``counts_d``. Returns a
+        :class:`~cudavideostream_tpu.runtime.wire.TiledPayload` (block
+        path) or a flat ``(xs, vals)`` pair (merge path).
+        """
+        n_tiles, tile_cap = xs_t_d.shape
+        if self._fetch_xs is None:
+            cap = n_tiles * tile_cap
+            self._fetch_xs = TieredFetcher(cap, stats=self.link)
+            self._fetch_vals = TieredFetcher(cap, stats=self.link)
+            self._fetch_tiles = (
+                TieredFetcher(n_tiles, min_tier=1, stats=self.link),
+                TieredFetcher(n_tiles, min_tier=1, stats=self.link),
+            )
+        # fetch only up to the last non-empty tile: trailing static
+        # regions of the frame cost nothing on the host link
+        nz = np.nonzero(counts)[0]
+        t_hi = int(nz[-1]) + 1 if nz.size else 0
+        if self.use_flat(pos, t_hi, tile_cap):
+            from cudavideostream_tpu.ops import logcompact
+
+            tm0 = time.perf_counter()
+            xs_d, vals_d = logcompact.merge_tiles(counts_d, xs_t_d, vals_t_d)
+            # sync the merge with a 4-byte read BEFORE the timed
+            # fetches: otherwise the first fetch blocks on the merge
+            # and its wait is booked as link time, corrupting bps
+            self._fetch_xs._jax.device_get(xs_d[:1])
+            merge_s = time.perf_counter() - tm0
+            xs = self._fetch_xs.fetch(xs_d, pos)
+            vals = self._fetch_vals.fetch(vals_d, pos)
+            if self.fetch_counts["flat"] > 0:
+                # first flat landing skipped: it carries the one-time
+                # jit compile, which would poison the EMA
+                self.link.record_merge(merge_s)
+            self.fetch_counts["flat"] += 1
+            return xs, vals
+        self.fetch_counts["tiles"] += 1
+        xs_t = self._fetch_tiles[0].fetch(xs_t_d, t_hi)
+        vals_t = self._fetch_tiles[1].fetch(vals_t_d, t_hi)
+        return wire.TiledPayload(pos, counts[:t_hi], xs_t, vals_t)
+
+
 class StreamExecutor:
     """Owns pipeline + device state; yields host payloads per frame."""
 
@@ -126,9 +208,12 @@ class StreamExecutor:
         self.link = LinkStats()
         self._fetch_xs = TieredFetcher(config.capacity, stats=self.link)
         self._fetch_vals = TieredFetcher(config.capacity, stats=self.link)
-        self._fetch_tiles = None  # lazily sized from the first tiled step
-        self.fetch_counts = {"tiles": 0, "flat": 0}
+        self._lander = TiledLander(config.fetch_mode, self.link)
         self.metrics = ExecMetrics()
+
+    @property
+    def fetch_counts(self):
+        return self._lander.fetch_counts
 
     def start(self, base_frame: np.ndarray) -> np.ndarray:
         """Initialize device state; returns the base frame bytes to ship."""
@@ -154,80 +239,22 @@ class StreamExecutor:
         return self._land(t0, out[1:])
 
     def _use_flat_fetch(self, pos: int, t_hi: int, tile_cap: int) -> bool:
-        """Density-adaptive fetch decision for tiled payloads.
-
-        The block fetch moves ``t_hi * tile_cap * 5`` bytes no matter how
-        sparse the payload is; the flat path pays the device merge (the
-        epilogue the tiled layout exists to skip) but moves only the
-        tiered ``pos``-prefix. Which wins is a property of the scene
-        (clustered vs scattered) *and* the link (PCIe vs a slow tunnel),
-        so "auto" predicts both times from measured EMAs and picks the
-        smaller; until the link speed is known it takes the block path,
-        which is what measures it.
-        """
-        mode = self.cfg.fetch_mode
-        if mode == "tiles":
-            return False
-        if mode == "flat":
-            return True
-        if t_hi == 0:
-            return False
-        block_bytes = 5 * t_hi * tile_cap        # int32 xs + uint8 vals
-        flat_bytes = 5 * self._fetch_xs.tier(pos)
-        t_tiles = self.link.fetch_seconds(block_bytes)
-        if t_tiles is None:
-            return False
-        t_flat = self.link.merge_s + (self.link.fetch_seconds(flat_bytes) or 0.0)
-        return t_flat < t_tiles
+        """The lander's density-adaptive decision (kept as a method for
+        tests and introspection)."""
+        return self._lander.use_flat(pos, t_hi, tile_cap)
 
     def _land(self, t0: float, rest) -> Tuple[int, np.ndarray, np.ndarray, Optional[np.ndarray]]:
         if self.cfg.tiled_payload:
             pos_d, counts_d, xs_t_d, vals_t_d, aux_d = rest
             counts = np.asarray(counts_d)
             pos = int(pos_d)
-            # fetch only up to the last non-empty tile: trailing static
-            # regions of the frame cost nothing on the host link
-            nz = np.nonzero(counts)[0]
-            t_hi = int(nz[-1]) + 1 if nz.size else 0
-            if self._fetch_tiles is None:
-                n_tiles = counts.shape[0]
-                self._fetch_tiles = (
-                    TieredFetcher(n_tiles, min_tier=1, stats=self.link),
-                    TieredFetcher(n_tiles, min_tier=1, stats=self.link),
-                )
-            if self._use_flat_fetch(pos, t_hi, xs_t_d.shape[1]):
-                # density-adaptive flat path: run the device-side merge
-                # and move only the pos-prefix — wins when the changed
-                # bytes are scattered across tiles or the link is slow
-                # (block fetch moves t_hi*tile_cap*5 bytes regardless of
-                # density; the tunnel-class link makes that the frame
-                # time). Wire bytes are identical (flat sender).
-                from cudavideostream_tpu.ops import logcompact
-
-                tm0 = time.perf_counter()
-                xs_d, vals_d = logcompact.merge_tiles(counts_d, xs_t_d, vals_t_d)
-                # sync the merge with a 4-byte read BEFORE the timed
-                # fetches: otherwise the first fetch blocks on the merge
-                # and its wait is booked as link time, corrupting bps
-                self._fetch_xs._jax.device_get(xs_d[:1])
-                merge_s = time.perf_counter() - tm0
-                xs = self._fetch_xs.fetch(xs_d, pos)
-                vals = self._fetch_vals.fetch(vals_d, pos)
-                if self.fetch_counts["flat"] > 0:
-                    # first flat landing skipped: it carries the one-time
-                    # jit compile, which would poison the EMA
-                    self.link.record_merge(merge_s)
-                self.fetch_counts["flat"] += 1
-                aux = np.asarray(aux_d) if aux_d is not None else None
-                self.metrics.record(time.perf_counter() - t0, pos)
-                return pos, xs, vals, aux
-            self.fetch_counts["tiles"] += 1
-            xs_t = self._fetch_tiles[0].fetch(xs_t_d, t_hi)
-            vals_t = self._fetch_tiles[1].fetch(vals_t_d, t_hi)
-            payload = wire.TiledPayload(pos, counts[:t_hi], xs_t, vals_t)
+            res = self._lander.land(pos, counts, counts_d, xs_t_d, vals_t_d)
             aux = np.asarray(aux_d) if aux_d is not None else None
             self.metrics.record(time.perf_counter() - t0, pos)
-            return pos, payload, None, aux
+            if isinstance(res, wire.TiledPayload):
+                return pos, res, None, aux
+            xs, vals = res
+            return pos, xs, vals, aux
         pos_d, xs_d, vals_d, aux_d = rest
         pos = int(pos_d)
         xs = self._fetch_xs.fetch(xs_d, pos)

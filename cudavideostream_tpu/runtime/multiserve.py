@@ -26,7 +26,11 @@ from cudavideostream_tpu import native
 from cudavideostream_tpu.config import StreamConfig
 from cudavideostream_tpu.models import BatchedDeltaPipeline
 from cudavideostream_tpu.runtime import wire
-from cudavideostream_tpu.runtime.executor import ExecMetrics, TieredFetcher
+from cudavideostream_tpu.runtime.executor import (
+    ExecMetrics,
+    TieredFetcher,
+    TiledLander,
+)
 from cudavideostream_tpu.runtime.sources import FrameSource
 
 
@@ -69,7 +73,7 @@ class MultiStreamServer:
         self._stop = threading.Event()
         self._fetch_xs = TieredFetcher(config.capacity)
         self._fetch_vals = TieredFetcher(config.capacity)
-        self._fetch_tiles = None  # lazily sized from the first tiled step
+        self._lander = TiledLander(config.fetch_mode)
         self.metrics = ExecMetrics()
 
     def listen(self) -> None:
@@ -137,35 +141,27 @@ class MultiStreamServer:
             except StopIteration:
                 break
             t0 = time.perf_counter()
-            tiled = None
+            payloads = None  # per-stream TiledPayload or flat (xs, vals)
             if not self._sharded and self.cfg.tiled_payload:
                 # single-chip fast path: one super-frame pallas_call
-                # (models.batched._fast_impl); per-stream TiledPayloads
-                # ride the scatter-gather sender. Fetch each stream's
-                # blocks only up to its last non-empty tile — the full
-                # (B, tps, tile_bytes) buffers are worst-case sized and
-                # would move ~35 MB/stream/frame regardless of density.
+                # (models.batched._fast_impl). Each stream's payload
+                # lands through the shared density-adaptive lander:
+                # blocks up to the last non-empty tile, or device merge
+                # + pos-prefix when the link/scene makes that cheaper
+                # (the full (B, tps, tile_bytes) buffers are worst-case
+                # sized — ~35 MB/stream/frame if fetched whole).
                 state, pos_d, counts_d, xs_t_d, vals_t_d, _ = self.pipe.step(
                     state, frames, texts
                 )
                 pos = np.asarray(pos_d)
                 counts_np = np.asarray(counts_d)
-                if self._fetch_tiles is None:
-                    tps = counts_np.shape[1]
-                    self._fetch_tiles = (
-                        TieredFetcher(tps, min_tier=1),
-                        TieredFetcher(tps, min_tier=1),
+                payloads = [
+                    self._lander.land(
+                        int(pos[b]), counts_np[b].astype(np.int32),
+                        counts_d[b], xs_t_d[b], vals_t_d[b],
                     )
-                tiled = []
-                for b in range(self.B):
-                    nz = np.nonzero(counts_np[b])[0]
-                    t_hi = int(nz[-1]) + 1 if nz.size else 0
-                    tiled.append(wire.TiledPayload(
-                        int(pos[b]),
-                        counts_np[b, :t_hi].astype(np.int32),
-                        self._fetch_tiles[0].fetch(xs_t_d[b], t_hi),
-                        self._fetch_tiles[1].fetch(vals_t_d[b], t_hi),
-                    ))
+                    for b in range(self.B)
+                ]
             elif self._sharded:
                 # shared overlay text (multiserve renders the same status
                 # string into every stream; per-stream text is a batched-
@@ -173,29 +169,19 @@ class MultiStreamServer:
                 state, counts_d, xs_d, vals_d, _ = self.pipe.step(
                     state, frames, text=texts[0] if texts else ""
                 )
-                counts_np = np.asarray(counts_d)
-                # shard blocks are worst-case sized too; trim each
-                # stream's fetch to its last non-empty shard
+                counts_np = np.asarray(counts_d).astype(np.int32)
                 n_space = self.pipe.n_space
                 Ln = self.pipe.local_bytes
                 xs3 = xs_d.reshape(self.B, n_space, Ln)
                 vals3 = vals_d.reshape(self.B, n_space, Ln)
-                if self._fetch_tiles is None:
-                    self._fetch_tiles = (
-                        TieredFetcher(n_space, min_tier=1),
-                        TieredFetcher(n_space, min_tier=1),
+                pos = counts_np.sum(axis=1)
+                payloads = [
+                    self._lander.land(
+                        int(pos[b]), counts_np[b],
+                        counts_d[b], xs3[b], vals3[b],
                     )
-                tiled = []
-                for b in range(self.B):
-                    c = counts_np[b].astype(np.int32)
-                    nz = np.nonzero(c)[0]
-                    t_hi = int(nz[-1]) + 1 if nz.size else 0
-                    tiled.append(wire.TiledPayload(
-                        int(c.sum()), c[:t_hi],
-                        self._fetch_tiles[0].fetch(xs3[b], t_hi),
-                        self._fetch_tiles[1].fetch(vals3[b], t_hi),
-                    ))
-                pos = np.asarray([tp.pos for tp in tiled])
+                    for b in range(self.B)
+                ]
             else:
                 state, pos_d, xs_d, vals_d, _ = self.pipe.step(
                     state, frames, texts
@@ -205,8 +191,11 @@ class MultiStreamServer:
             wire_total = 0
             for b in range(self.B):
                 p = int(pos[b])
-                if tiled is not None:
-                    xs, vals = tiled[b].to_flat()
+                pl = payloads[b] if payloads is not None else None
+                if isinstance(pl, wire.TiledPayload):
+                    xs, vals = pl.to_flat()
+                elif pl is not None:
+                    xs, vals = pl
                 else:
                     xs = self._fetch_xs.fetch(xs_d[b], p)
                     vals = self._fetch_vals.fetch(vals_d[b], p)
@@ -220,14 +209,13 @@ class MultiStreamServer:
                         buf = wire.pack_payload_v2(p, xs, vals)
                         wire_total += len(buf)
                         conn.sendall(buf)
-                    elif tiled is not None:
+                    elif isinstance(pl, wire.TiledPayload):
                         wire_total += 4 + 5 * p
-                        tp = tiled[b]
                         rc = native.wire_send_segments_fd(
-                            conn.fileno(), p, tp.counts, tp.xs, tp.vals
+                            conn.fileno(), p, pl.counts, pl.xs, pl.vals
                         )
                         if rc == -1:
-                            conn.sendall(tp.to_wire_bytes())
+                            conn.sendall(pl.to_wire_bytes())
                         elif rc < 0:
                             raise OSError(rc, "writev")
                     else:

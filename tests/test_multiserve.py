@@ -28,23 +28,26 @@ def _sync_oracle_to_base(base, cfg, replay, max_skip=16):
 
 
 @pytest.mark.parametrize(
-    "wire_format,mesh_shape,tiled",
+    "wire_format,mesh_shape,tiled,fetch",
     [
-        ("v1", None, False),
-        ("v2", None, False),
-        ("v1", None, True),   # batched super-frame fast path
-        ("v2", None, True),
-        ("v1", (2, 4), False),
-        ("v2", (2, 4), False),
+        ("v1", None, False, "auto"),
+        ("v2", None, False, "auto"),
+        ("v1", None, True, "auto"),   # batched super-frame fast path
+        ("v2", None, True, "auto"),
+        ("v1", None, True, "flat"),   # forced merge+prefix landing
+        ("v1", (2, 4), False, "auto"),
+        ("v2", (2, 4), False, "auto"),
     ],
 )
-def test_two_streams_byte_exact(small_config, wire_format, mesh_shape, tiled):
+def test_two_streams_byte_exact(small_config, wire_format, mesh_shape, tiled,
+                                fetch):
     import dataclasses
 
     import jax
 
     cfg = dataclasses.replace(
-        small_config, port=0, wire_format=wire_format, tiled_payload=tiled
+        small_config, port=0, wire_format=wire_format, tiled_payload=tiled,
+        fetch_mode=fetch,
     )
     mesh = None
     if mesh_shape is not None:
