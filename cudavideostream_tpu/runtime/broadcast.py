@@ -194,9 +194,17 @@ def main(argv=None) -> int:
     p.add_argument("--height", type=int, default=1080)
     p.add_argument("--width", type=int, default=1920)
     p.add_argument("--frames", type=int, default=None)
+    p.add_argument("--tiled", action="store_true",
+                   help="per-tile payload blocks + scatter-gather send "
+                        "(skips the device merge epilogue)")
+    p.add_argument("--fetch", default="auto", choices=["auto", "tiles", "flat"],
+                   help="tiled-payload landing strategy (see server --help)")
     args = p.parse_args(argv)
+    if args.fetch != "auto" and not args.tiled:
+        p.error("--fetch tiles/flat applies to --tiled payloads")
     cfg = StreamConfig(height=args.height, width=args.width,
-                       host=args.host, port=args.port)
+                       host=args.host, port=args.port,
+                       tiled_payload=args.tiled, fetch_mode=args.fetch)
     server = BroadcastServer(cfg, make_source(args.source, cfg, path=args.path))
     n = server.serve(max_frames=args.frames)
     print(f"served {n} frames", file=sys.stderr)

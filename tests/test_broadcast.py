@@ -6,6 +6,7 @@ import threading
 import time
 
 import numpy as np
+import pytest
 
 from cudavideostream_tpu.ops import reference_cpu as ref
 from cudavideostream_tpu.runtime.broadcast import BroadcastServer
@@ -13,8 +14,9 @@ from cudavideostream_tpu.runtime.client import DeltaStreamClient
 from cudavideostream_tpu.runtime.sources import SyntheticSource
 
 
-def test_two_clients_one_late_joiner(small_config):
-    cfg = dataclasses.replace(small_config, port=0)
+@pytest.mark.parametrize("tiled", [False, True])
+def test_two_clients_one_late_joiner(small_config, tiled):
+    cfg = dataclasses.replace(small_config, port=0, tiled_payload=tiled)
     n_frames = 8
     server = BroadcastServer(
         cfg,
