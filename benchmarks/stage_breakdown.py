@@ -114,7 +114,19 @@ def run(out_path: str | None = None):
     ]
     rows = []
     for name, fn in rungs:
-        ms = _bench_scan(fn, (cur, prev, jnp.int32(0)), k=K, iters=ITERS)
+        def measure(k, iters):
+            return _bench_scan(fn, (cur, prev, jnp.int32(0)), k=k, iters=iters)
+
+        ms = measure(K, ITERS)
+        if ms < 0.1:
+            # sub-0.1 ms rungs: the timed region is a few ms against the
+            # ~30 ms subtracted RTT — re-chain until device time dominates
+            ms = measure(320, 2)
+        else:
+            # the shared chip's transient contention hits single rows at
+            # random; min-of-2 keeps the attribution arithmetic coherent
+            # (a contended diff_mask otherwise reads above kernel_tiled)
+            ms = min(ms, measure(K, ITERS))
         rows.append((name, ms))
         print(f"{name:14s} {ms:8.3f} ms", flush=True)
 

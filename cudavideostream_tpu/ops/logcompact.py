@@ -71,8 +71,14 @@ LANES = 128
 MAX_GRID = 2000
 
 
-def _pick_tile_rows(rows: int, target: int = 400) -> int:
-    """Largest divisor of ``rows`` <= target that is a multiple of 8."""
+def _pick_tile_rows(rows: int, target: int = 512) -> int:
+    """Largest divisor of ``rows`` <= target that is a multiple of 8.
+
+    Target 512: the dense tile sweep (benchmarks/times_tiles_dense)
+    shows a 392-512-row plateau ~10-15% faster than the 360-row divisor
+    of 1080p's natural 48600 rows, so ``_pad_rows`` pads until a tile in
+    [400, 512] exists rather than settling for a small divisor.
+    """
     best = None
     for d in range(8, target + 1, 8):
         if rows % d == 0:
@@ -82,12 +88,14 @@ def _pick_tile_rows(rows: int, target: int = 400) -> int:
 
 def _pad_rows(rows: int) -> int:
     """Smallest padded row count >= ``rows`` that is a multiple of 8 and
-    admits a tile divisor of at least min(rows, 200) rows (so oddly-sized
-    inputs — e.g. per-shard slices of a 1080p frame — don't degenerate
-    into thousands of tiny grid steps). Terminates: every multiple of 320
-    has the divisor 320."""
+    admits a tile divisor of at least min(rows, 400) rows (so oddly-sized
+    inputs — per-shard slices, odd frame sizes, and 1080p itself — land
+    on the swept 400-512-row optimum instead of a degenerate small
+    divisor). Terminates: every multiple of 400 has the divisor 400.
+    Padding is cur == prev bytes (never ship); worst observed waste is a
+    few hundred rows, trivial against the tile-size win."""
     pr = (rows + 7) // 8 * 8
-    while _pick_tile_rows(pr) < min(pr, 200):
+    while _pick_tile_rows(pr) < min(pr, 400):
         pr += 8
     return pr
 
@@ -186,19 +194,29 @@ def _kernel_v2(cur_ref, prev_ref, thr_ref, *rest,
         lane = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
         flat = sub * LANES + lane
 
-        # flat inclusive cumsum: lane-phase Hillis-Steele + row-prefix add
-        incl = mi
-        s = 1
-        while s < LANES:
-            incl = incl + jnp.where(lane >= s, pltpu.roll(incl, s, 1), 0)
-            s *= 2
-        rowtot = jnp.broadcast_to(incl[:, LANES - 1 : LANES], (R, LANES))
-        rowpre = rowtot
-        s = 1
-        while s < R:
-            rowpre = rowpre + jnp.where(sub >= s, pltpu.roll(rowpre, s, 0), 0)
-            s *= 2
-        incl = incl + (rowpre - rowtot)
+        # Flat inclusive cumsum on the MXU: prefix-sum IS a triangular
+        # matmul. Lane phase: incl = mi @ U with U[j,l] = (j <= l);
+        # row phase: rowpre = T @ rowtot with T[r,q] = (q <= r).
+        # Exactness at DEFAULT matmul precision (which truncates inputs
+        # to bf16 on TPU — the trap in CLAUDE.md): every INPUT here is
+        # an integer <= 128 (0/1 matrices; per-row totals of 128 lanes),
+        # all bf16-representable, and the f32 accumulator is exact far
+        # beyond the R*128 <= 51200 maximum — the on-chip oracle gate
+        # (bench.py) pins this. Replaces 7 lane + 9 sublane
+        # roll+add+select passes with two tiny matmuls.
+        mi_f = mi.astype(jnp.float32)
+        lane_u = (
+            jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+            <= jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+        ).astype(jnp.float32)
+        incl_f = jnp.dot(mi_f, lane_u)
+        rowtot_f = jnp.broadcast_to(incl_f[:, LANES - 1 : LANES], (R, LANES))
+        row_t = (
+            jax.lax.broadcasted_iota(jnp.int32, (R, R), 1)
+            <= jax.lax.broadcasted_iota(jnp.int32, (R, R), 0)
+        ).astype(jnp.float32)
+        rowpre_f = jnp.dot(row_t, rowtot_f)
+        incl = (incl_f + (rowpre_f - rowtot_f)).astype(jnp.int32)
 
         # Pack ``holes*256 + delta`` into ONE int32 (holes < tile bytes
         # <= 51200, so the product is < 2^24): the shift distance rides
@@ -219,9 +237,15 @@ def _kernel_v2(cur_ref, prev_ref, thr_ref, *rest,
         while b < n_flat:
             rx = _flat_roll_left(x, b, R)
             src_ok = flat + b < n_flat  # static pattern: no wrap-in
-            take = src_ok & (rx != 0) & (jnp.bitwise_and(rx, b * 256) != 0)
-            stay = (x != 0) & (jnp.bitwise_and(x, b * 256) == 0)
-            x = jnp.where(take, rx, jnp.where(stay, x, 0))
+            # occupancy tests are free: empty slots are exactly 0, so
+            # "hole-bit b set" already implies the slot is occupied
+            # (for the keep branch, an empty x passes 0 through either
+            # way) — no separate != 0 compares needed
+            take = src_ok & (jnp.bitwise_and(rx, b * 256) != 0)
+            x = jnp.where(
+                take, rx,
+                jnp.where(jnp.bitwise_and(x, b * 256) == 0, x, 0),
+            )
             b *= 2
 
         # unpack in-kernel, re-globalizing indices (a hole is exactly

@@ -300,10 +300,15 @@ def test_batched_fast_path_respects_grid_bound():
         fused_diff_compact_batched,
     )
 
-    cfg = StreamConfig(tiled_payload=True)  # 1080p: 135 tiles/stream
-    assert BatchedDeltaPipeline(cfg, 14)._fast       # 14*135 = 1890
-    assert not BatchedDeltaPipeline(cfg, 15)._fast   # 15*135 = 2025
-    B = MAX_GRID // 135 + 1
+    from cudavideostream_tpu.ops.logcompact import _pad_rows, _pick_tile_rows
+
+    cfg = StreamConfig(tiled_payload=True)
+    rows = _pad_rows(-(-cfg.frame_bytes // 128))
+    tps = rows // _pick_tile_rows(rows)
+    b_max = MAX_GRID // tps
+    assert BatchedDeltaPipeline(cfg, b_max)._fast
+    assert not BatchedDeltaPipeline(cfg, b_max + 1)._fast
+    B = b_max + 1
     with pytest.raises(ValueError, match="SMEM"):
         fused_diff_compact_batched(
             jnp.zeros(B * cfg.frame_bytes, jnp.uint8),
