@@ -621,12 +621,18 @@ def fused_diff_compact_batched(
     if n_pad >= 1 << 31:
         raise ValueError("frame byte indices exceed int32")
     if n_pad != n:
-        current = jnp.pad(
-            current.reshape(B, n), ((0, 0), (0, n_pad - n))
-        ).reshape(B * n_pad)
-        previous = jnp.pad(
-            previous.reshape(B, n), ((0, 0), (0, n_pad - n))
-        ).reshape(B * n_pad)
+        # per-stream padding via pure 1-D concat: reshaping through a
+        # (B, n) intermediate would materialize the padded-sublane
+        # layout every frame (the 8x trap this wrapper exists to avoid —
+        # measured: this very branch cost 3 ms/frame at B=1 when it
+        # briefly padded through (B, n))
+        z = jnp.zeros(n_pad - n, jnp.uint8)
+        current = jnp.concatenate(
+            [p for b in range(B) for p in (current[b * n:(b + 1) * n], z)]
+        )
+        previous = jnp.concatenate(
+            [p for b in range(B) for p in (previous[b * n:(b + 1) * n], z)]
+        )
     tile_rows = _pick_tile_rows(rows)
     tps = rows // tile_rows
     grid = B * tps
@@ -665,7 +671,11 @@ def fused_diff_compact_batched(
     counts = counts.reshape(B, tps)
     pos = jnp.sum(counts, axis=1)
     if n_pad != n:
-        new_prev_flat = new_prev.reshape(B, n_pad)[:, :n].reshape(B * n)
+        # 1-D slicing, again avoiding any (B, n)-shaped intermediate
+        lin = new_prev.reshape(B * n_pad)
+        new_prev_flat = jnp.concatenate(
+            [lin[b * n_pad:b * n_pad + n] for b in range(B)]
+        )
     else:
         new_prev_flat = new_prev.reshape(B * n)
     return (
