@@ -122,10 +122,25 @@ class MultiStreamServer:
                 conn.close()
 
     def serve(self, max_frames: Optional[int] = None,
-              wait_first_client: bool = True) -> int:
+              wait_first_client: bool = True,
+              resume_from: Optional[str] = None,
+              checkpoint_to: Optional[str] = None) -> int:
+        """``resume_from``: restart from a checkpointed per-stream
+        reconstruction (the stream state is the previous-frame buffers,
+        exactly as in the solo executor's checkpoint — beyond the
+        reference, which has nothing to persist). ``checkpoint_to``:
+        write that checkpoint when serving ends."""
         if not self._socks:
             self.listen()
-        bases = np.stack([src.base_frame() for src in self.sources])
+        if resume_from:
+            data = np.load(resume_from if resume_from.endswith(".npz")
+                           else resume_from + ".npz")
+            if tuple(data["geometry"]) != (self.B, self.cfg.height,
+                                           self.cfg.width):
+                raise ValueError("checkpoint geometry mismatch")
+            bases = np.asarray(data["recon"], dtype=np.uint8)
+        else:
+            bases = np.stack([src.base_frame() for src in self.sources])
         state = self.pipe.init_state(bases)
         recon = bases.copy()  # per-stream host mirror for joiners
         if wait_first_client:
@@ -241,6 +256,12 @@ class MultiStreamServer:
                     texts = [self.metrics.overlay_text()] * self.B
                 if self.verbose:
                     print(f"\r{line}  STREAMS: {self.B}", end="", flush=True)
+        if checkpoint_to:
+            np.savez(
+                checkpoint_to,
+                recon=recon,
+                geometry=np.array([self.B, self.cfg.height, self.cfg.width]),
+            )
         self.close()
         return n
 
@@ -271,6 +292,11 @@ def main(argv=None) -> int:
     p.add_argument("--width", type=int, default=1920)
     p.add_argument("--wire", default="v1", choices=["v1", "v2"])
     p.add_argument("--frames", type=int, default=None)
+    p.add_argument("--resume-from", default=None,
+                   help="resume from a checkpointed per-stream state "
+                        "(.npz written by --checkpoint-to)")
+    p.add_argument("--checkpoint-to", default=None,
+                   help="write the per-stream state when serving ends")
     p.add_argument("--mesh", default=None, metavar="D,S",
                    help="shard the B streams over a (data=D, space=S) "
                         "device mesh (B divisible by D; image rows shard "
@@ -292,7 +318,9 @@ def main(argv=None) -> int:
         d, s = (int(x) for x in args.mesh.split(","))
         mesh = make_mesh(d, s)
     server = MultiStreamServer(cfg, sources, mesh=mesh)
-    n = server.serve(max_frames=args.frames)
+    n = server.serve(max_frames=args.frames,
+                     resume_from=args.resume_from,
+                     checkpoint_to=args.checkpoint_to)
     print(f"served {n} batched frames over {args.streams} streams",
           file=sys.stderr)
     return 0

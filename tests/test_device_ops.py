@@ -316,7 +316,17 @@ class TestBatchedKernel:
     """fused_diff_compact_batched: B streams in one super-frame grid must
     equal B solo tiled runs bit-for-bit (counts, tile blocks, state)."""
 
-    @pytest.mark.parametrize("B,n", [(1, 9216), (3, 9216), (2, 9216 + 17)])
+    @pytest.mark.parametrize(
+        "B,n",
+        [
+            (1, 9216), (3, 9216), (2, 9216 + 17),
+            # pad-triggering geometries: n whose row count has no
+            # divisor in the preferred tile range, so the per-stream
+            # 1-D concat padding path runs (a layout regression hid
+            # here once — see fused_diff_compact_batched)
+            (2, 128 * 401), (4, 1000),
+        ],
+    )
     def test_matches_solo_and_oracle(self, rng, B, n):
         from cudavideostream_tpu.ops.logcompact import (
             fused_diff_compact,

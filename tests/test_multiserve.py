@@ -160,3 +160,88 @@ def test_late_joiner_gets_current_reconstruction(small_config):
         pass
     cli2.close()
     t.join(timeout=30)
+
+
+def test_checkpoint_resume_roundtrip(small_config, tmp_path):
+    """Serve N frames with --checkpoint-to, restart with --resume-from:
+    the resumed server's base frame is the checkpointed reconstruction
+    and subsequent deltas track the oracle byte-exactly."""
+    import dataclasses
+
+    cfg = dataclasses.replace(small_config, port=0, tiled_payload=True)
+    ckpt = str(tmp_path / "ms_state")
+    server = MultiStreamServer(
+        cfg, [SyntheticSource(cfg, seed=4)], verbose=False,
+        overlay_status=False,
+    )
+    server.listen()
+    t = threading.Thread(
+        target=server.serve,
+        kwargs={"max_frames": 3, "checkpoint_to": ckpt},
+        daemon=True,
+    )
+    t.start()
+    cli = DeltaStreamClient(
+        "127.0.0.1", server.ports[0], cfg.height, cfg.width
+    )
+    cli.connect()
+    last = None
+    for _ in range(3):
+        _, last = cli.read_frame()
+    last = last.copy()
+    cli.close()
+    t.join(timeout=30)
+
+    # oracle of the served stream
+    replay = SyntheticSource(cfg, seed=4)
+    prev = next(replay).copy()
+    for _ in range(3):
+        prev, *_ = ref.step_oracle(prev, next(replay), cfg)
+    np.testing.assert_array_equal(last, prev)
+
+    # resumed server: base == checkpointed reconstruction; the restarted
+    # synthetic source replays from its seed, and deltas stay byte-exact
+    server2 = MultiStreamServer(
+        cfg, [SyntheticSource(cfg, seed=4)], verbose=False,
+        overlay_status=False,
+    )
+    server2.listen()
+    t2 = threading.Thread(
+        target=server2.serve,
+        kwargs={"max_frames": 2, "resume_from": ckpt},
+        daemon=True,
+    )
+    t2.start()
+    cli2 = DeltaStreamClient(
+        "127.0.0.1", server2.ports[0], cfg.height, cfg.width
+    )
+    cli2.connect()
+    np.testing.assert_array_equal(cli2.frame, prev)
+    # resume never calls base_frame(), so the restarted source serves
+    # from its first frame
+    replay2 = SyntheticSource(cfg, seed=4)
+    prev2 = prev
+    for _ in range(2):
+        prev2, *_ = ref.step_oracle(prev2, next(replay2), cfg)
+        _, recon = cli2.read_frame()
+        np.testing.assert_array_equal(recon, prev2)
+    cli2.close()
+    t2.join(timeout=30)
+
+
+def test_resume_geometry_mismatch_rejected(small_config, tmp_path):
+    import dataclasses
+
+    cfg = dataclasses.replace(small_config, port=0)
+    ckpt = str(tmp_path / "bad")
+    np.savez(ckpt, recon=np.zeros((2, cfg.frame_bytes), np.uint8),
+             geometry=np.array([2, cfg.height, cfg.width]))
+    server = MultiStreamServer(
+        cfg, [SyntheticSource(cfg, seed=1)], verbose=False,
+        overlay_status=False,
+    )
+    server.listen()
+    with pytest.raises(ValueError, match="geometry"):
+        server.serve(max_frames=1, resume_from=ckpt,
+                     wait_first_client=False)
+    server.close()
