@@ -8,8 +8,9 @@ Three schemes, all byte-exact against the oracle and each other:
 
 **element (default)** — per-element LSB-first bit-serial shifting. Every
 masked slot holds a packed payload ``holes*256 + delta`` in one int32
-(holes < tile bytes, so it fits; empty slots hold 0, which no valid
-payload equals because delta 0 never ships) and must move
+(holes < tile bytes <= 512*128, so the packed value is at most
+2^24 - 1; empty slots hold 0, which no valid payload equals because
+delta 0 never ships) and must move
 left by its hole count ``holes_i = flat_i - (incl_i - 1)``; the original
 index is recovered at the end as ``final_position + holes``. Holes are
 nondecreasing along the frame, so shifting one gap-bit at a time,
@@ -201,7 +202,7 @@ def _kernel_v2(cur_ref, prev_ref, thr_ref, *rest,
         # to bf16 on TPU — the trap in CLAUDE.md): every INPUT here is
         # an integer <= 128 (0/1 matrices; per-row totals of 128 lanes),
         # all bf16-representable, and the f32 accumulator is exact far
-        # beyond the R*128 <= 51200 maximum — the on-chip oracle gate
+        # beyond the R*128 <= 65536 maximum — the on-chip oracle gate
         # (bench.py) pins this. Replaces 7 lane + 9 sublane
         # roll+add+select passes with two tiny matmuls.
         mi_f = mi.astype(jnp.float32)
@@ -219,7 +220,8 @@ def _kernel_v2(cur_ref, prev_ref, thr_ref, *rest,
         incl = (incl_f + (rowpre_f - rowtot_f)).astype(jnp.int32)
 
         # Pack ``holes*256 + delta`` into ONE int32 (holes < tile bytes
-        # <= 51200, so the product is < 2^24): the shift distance rides
+        # <= 512*128 = 65536, so the packed value is at most
+        # 65535*256 + 255 = 2^24 - 1): the shift distance rides
         # with the value, so each pass rolls a single array — half the
         # vector work of carrying (payload, holes) side by side. The
         # original index needs no bits at all: an element that started

@@ -154,14 +154,7 @@ class TiledLander:
         t_flat = self.link.merge_s + (self.link.fetch_seconds(flat_bytes) or 0.0)
         return t_flat < t_tiles
 
-    def land(self, pos: int, counts: np.ndarray, counts_d, xs_t_d, vals_t_d):
-        """Land one tiled payload.
-
-        ``counts`` is the host copy of ``counts_d``. Returns a
-        :class:`~cudavideostream_tpu.runtime.wire.TiledPayload` (block
-        path) or a flat ``(xs, vals)`` pair (merge path).
-        """
-        n_tiles, tile_cap = xs_t_d.shape
+    def _ensure_fetchers(self, n_tiles: int, tile_cap: int) -> None:
         if self._fetch_xs is None:
             cap = n_tiles * tile_cap
             self._fetch_xs = TieredFetcher(cap, stats=self.link)
@@ -170,32 +163,72 @@ class TiledLander:
                 TieredFetcher(n_tiles, min_tier=1, stats=self.link),
                 TieredFetcher(n_tiles, min_tier=1, stats=self.link),
             )
-        # fetch only up to the last non-empty tile: trailing static
-        # regions of the frame cost nothing on the host link
-        nz = np.nonzero(counts)[0]
-        t_hi = int(nz[-1]) + 1 if nz.size else 0
-        if self.use_flat(pos, t_hi, tile_cap):
-            from cudavideostream_tpu.ops import logcompact
 
-            tm0 = time.perf_counter()
-            xs_d, vals_d = logcompact.merge_tiles(counts_d, xs_t_d, vals_t_d)
-            # sync the merge with a 4-byte read BEFORE the timed
+    def land(self, pos: int, counts: np.ndarray, counts_d, xs_t_d, vals_t_d):
+        """Land one tiled payload.
+
+        ``counts`` is the host copy of ``counts_d``. Returns a
+        :class:`~cudavideostream_tpu.runtime.wire.TiledPayload` (block
+        path) or a flat ``(xs, vals)`` pair (merge path).
+        """
+        return self.land_many([(pos, counts, counts_d, xs_t_d, vals_t_d)])[0]
+
+    def land_many(self, items):
+        """Land several tiled payloads from one device step (multiserve:
+        one item per stream). Decisions are per item, but every flat
+        item's device merge dispatches BEFORE the single sync, so B
+        merges cost one round-trip of latency instead of B.
+
+        Each item is ``(pos, counts_host, counts_d, xs_t_d, vals_t_d)``;
+        returns a same-length list of TiledPayload / flat ``(xs, vals)``.
+        """
+        from cudavideostream_tpu.ops import logcompact
+
+        plans = []
+        merged = []
+        tm0 = time.perf_counter()
+        for pos, counts, counts_d, xs_t_d, vals_t_d in items:
+            n_tiles, tile_cap = xs_t_d.shape
+            self._ensure_fetchers(n_tiles, tile_cap)
+            # fetch only up to the last non-empty tile: trailing static
+            # regions of the frame cost nothing on the host link
+            nz = np.nonzero(counts)[0]
+            t_hi = int(nz[-1]) + 1 if nz.size else 0
+            flat = self.use_flat(pos, t_hi, tile_cap)
+            plans.append((pos, counts, t_hi, flat, xs_t_d, vals_t_d))
+            merged.append(
+                logcompact.merge_tiles(counts_d, xs_t_d, vals_t_d)
+                if flat else None
+            )
+        n_flat = sum(1 for m in merged if m is not None)
+        if n_flat:
+            # sync the merges with one 4-byte read BEFORE the timed
             # fetches: otherwise the first fetch blocks on the merge
-            # and its wait is booked as link time, corrupting bps
-            self._fetch_xs._jax.device_get(xs_d[:1])
-            merge_s = time.perf_counter() - tm0
-            xs = self._fetch_xs.fetch(xs_d, pos)
-            vals = self._fetch_vals.fetch(vals_d, pos)
+            # work and its wait is booked as link time, corrupting bps
+            last = next(m for m in reversed(merged) if m is not None)
+            self._fetch_xs._jax.device_get(last[0][:1])
+            merge_s = (time.perf_counter() - tm0) / n_flat
             if self.fetch_counts["flat"] > 0:
                 # first flat landing skipped: it carries the one-time
                 # jit compile, which would poison the EMA
                 self.link.record_merge(merge_s)
-            self.fetch_counts["flat"] += 1
-            return xs, vals
-        self.fetch_counts["tiles"] += 1
-        xs_t = self._fetch_tiles[0].fetch(xs_t_d, t_hi)
-        vals_t = self._fetch_tiles[1].fetch(vals_t_d, t_hi)
-        return wire.TiledPayload(pos, counts[:t_hi], xs_t, vals_t)
+        out = []
+        for (pos, counts, t_hi, flat, xs_t_d, vals_t_d), m in zip(plans, merged):
+            if flat:
+                xs_d, vals_d = m
+                out.append((
+                    self._fetch_xs.fetch(xs_d, pos),
+                    self._fetch_vals.fetch(vals_d, pos),
+                ))
+                self.fetch_counts["flat"] += 1
+            else:
+                self.fetch_counts["tiles"] += 1
+                out.append(wire.TiledPayload(
+                    pos, counts[:t_hi],
+                    self._fetch_tiles[0].fetch(xs_t_d, t_hi),
+                    self._fetch_tiles[1].fetch(vals_t_d, t_hi),
+                ))
+        return out
 
 
 class StreamExecutor:

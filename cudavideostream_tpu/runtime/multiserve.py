@@ -73,7 +73,13 @@ class MultiStreamServer:
         self._stop = threading.Event()
         self._fetch_xs = TieredFetcher(config.capacity)
         self._fetch_vals = TieredFetcher(config.capacity)
-        self._lander = TiledLander(config.fetch_mode)
+        # the sharded payload layout's whole point is ZERO payload
+        # collectives — a device-side merge_tiles over space-sharded
+        # blocks would gather every shard to one device per frame, so
+        # the lander is pinned to the block path there
+        self._lander = TiledLander(
+            "tiles" if self._sharded else config.fetch_mode
+        )
         self.metrics = ExecMetrics()
 
     def listen(self) -> None:
@@ -148,121 +154,127 @@ class MultiStreamServer:
                 time.sleep(0.01)
         texts = [""] * self.B
         n = 0
-        while max_frames is None or n < max_frames:
-            for b in range(self.B):
-                self._admit(b, recon[b])
-            try:
-                frames = np.stack([next(src) for src in self.sources])
-            except StopIteration:
-                break
-            t0 = time.perf_counter()
-            payloads = None  # per-stream TiledPayload or flat (xs, vals)
-            if not self._sharded and self.cfg.tiled_payload:
-                # single-chip fast path: one super-frame pallas_call
-                # (models.batched._fast_impl). Each stream's payload
-                # lands through the shared density-adaptive lander:
-                # blocks up to the last non-empty tile, or device merge
-                # + pos-prefix when the link/scene makes that cheaper
-                # (the full (B, tps, tile_bytes) buffers are worst-case
-                # sized — ~35 MB/stream/frame if fetched whole).
-                state, pos_d, counts_d, xs_t_d, vals_t_d, _ = self.pipe.step(
-                    state, frames, texts
-                )
-                pos = np.asarray(pos_d)
-                counts_np = np.asarray(counts_d)
-                payloads = [
-                    self._lander.land(
-                        int(pos[b]), counts_np[b].astype(np.int32),
-                        counts_d[b], xs_t_d[b], vals_t_d[b],
-                    )
-                    for b in range(self.B)
-                ]
-            elif self._sharded:
-                # shared overlay text (multiserve renders the same status
-                # string into every stream; per-stream text is a batched-
-                # pipeline feature)
-                state, counts_d, xs_d, vals_d, _ = self.pipe.step(
-                    state, frames, text=texts[0] if texts else ""
-                )
-                counts_np = np.asarray(counts_d).astype(np.int32)
-                n_space = self.pipe.n_space
-                Ln = self.pipe.local_bytes
-                xs3 = xs_d.reshape(self.B, n_space, Ln)
-                vals3 = vals_d.reshape(self.B, n_space, Ln)
-                pos = counts_np.sum(axis=1)
-                payloads = [
-                    self._lander.land(
-                        int(pos[b]), counts_np[b],
-                        counts_d[b], xs3[b], vals3[b],
-                    )
-                    for b in range(self.B)
-                ]
-            else:
-                state, pos_d, xs_d, vals_d, _ = self.pipe.step(
-                    state, frames, texts
-                )
-                pos = np.asarray(pos_d)
-            total = int(pos.sum())
-            wire_total = 0
-            for b in range(self.B):
-                p = int(pos[b])
-                pl = payloads[b] if payloads is not None else None
-                if isinstance(pl, wire.TiledPayload):
-                    xs, vals = pl.to_flat()
-                elif pl is not None:
-                    xs, vals = pl
-                else:
-                    xs = self._fetch_xs.fetch(xs_d[b], p)
-                    vals = self._fetch_vals.fetch(vals_d[b], p)
-                if p:
-                    native.client_apply_np(recon[b], xs, vals)
-                conn = self._clients[b]
-                if conn is None:
-                    continue
+        try:
+            while max_frames is None or n < max_frames:
+                for b in range(self.B):
+                    self._admit(b, recon[b])
                 try:
-                    if self.cfg.wire_format == "v2":
-                        buf = wire.pack_payload_v2(p, xs, vals)
-                        wire_total += len(buf)
-                        conn.sendall(buf)
-                    elif isinstance(pl, wire.TiledPayload):
-                        wire_total += 4 + 5 * p
-                        rc = native.wire_send_segments_fd(
-                            conn.fileno(), p, pl.counts, pl.xs, pl.vals
-                        )
-                        if rc == -1:
-                            conn.sendall(pl.to_wire_bytes())
-                        elif rc < 0:
-                            raise OSError(rc, "writev")
+                    frames = np.stack([next(src) for src in self.sources])
+                except StopIteration:
+                    break
+                t0 = time.perf_counter()
+                payloads = None  # per-stream TiledPayload or flat (xs, vals)
+                if not self._sharded and self.cfg.tiled_payload:
+                    # single-chip fast path: one super-frame pallas_call
+                    # (models.batched._fast_impl). Each stream's payload
+                    # lands through the shared density-adaptive lander:
+                    # blocks up to the last non-empty tile, or device merge
+                    # + pos-prefix when the link/scene makes that cheaper
+                    # (the full (B, tps, tile_bytes) buffers are worst-case
+                    # sized — ~35 MB/stream/frame if fetched whole).
+                    state, pos_d, counts_d, xs_t_d, vals_t_d, _ = self.pipe.step(
+                        state, frames, texts
+                    )
+                    pos = np.asarray(pos_d)
+                    counts_np = np.asarray(counts_d)
+                    # one land_many call: every flat-path device merge
+                    # dispatches before the single sync (B merges cost
+                    # one round-trip of latency, not B)
+                    payloads = self._lander.land_many([
+                        (int(pos[b]), counts_np[b].astype(np.int32),
+                         counts_d[b], xs_t_d[b], vals_t_d[b])
+                        for b in range(self.B)
+                    ])
+                elif self._sharded:
+                    # shared overlay text (multiserve renders the same status
+                    # string into every stream; per-stream text is a batched-
+                    # pipeline feature)
+                    state, counts_d, xs_d, vals_d, _ = self.pipe.step(
+                        state, frames, text=texts[0] if texts else ""
+                    )
+                    counts_np = np.asarray(counts_d).astype(np.int32)
+                    n_space = self.pipe.n_space
+                    Ln = self.pipe.local_bytes
+                    xs3 = xs_d.reshape(self.B, n_space, Ln)
+                    vals3 = vals_d.reshape(self.B, n_space, Ln)
+                    pos = counts_np.sum(axis=1)
+                    payloads = self._lander.land_many([
+                        (int(pos[b]), counts_np[b], counts_d[b],
+                         xs3[b], vals3[b])
+                        for b in range(self.B)
+                    ])
+                else:
+                    state, pos_d, xs_d, vals_d, _ = self.pipe.step(
+                        state, frames, texts
+                    )
+                    pos = np.asarray(pos_d)
+                total = int(pos.sum())
+                wire_total = 0
+                for b in range(self.B):
+                    p = int(pos[b])
+                    pl = payloads[b] if payloads is not None else None
+                    if isinstance(pl, wire.TiledPayload):
+                        xs, vals = pl.to_flat()
+                    elif pl is not None:
+                        xs, vals = pl
                     else:
-                        wire_total += 4 + 5 * p
-                        rc = native.wire_send_payload_fd(
-                            conn.fileno(), p, xs, vals
-                        )
-                        if rc == -1:
-                            conn.sendall(wire.pack_payload(p, xs, vals))
-                        elif rc < 0:
-                            raise OSError(rc, "writev")
-                except OSError:
-                    conn.close()
-                    self._clients[b] = None
+                        xs = self._fetch_xs.fetch(xs_d[b], p)
+                        vals = self._fetch_vals.fetch(vals_d[b], p)
+                    if p:
+                        native.client_apply_np(recon[b], xs, vals)
+                    conn = self._clients[b]
+                    if conn is None:
+                        continue
+                    try:
+                        if self.cfg.wire_format == "v2":
+                            buf = wire.pack_payload_v2(p, xs, vals)
+                            wire_total += len(buf)
+                            conn.sendall(buf)
+                        elif isinstance(pl, wire.TiledPayload):
+                            wire_total += 4 + 5 * p
+                            rc = native.wire_send_segments_fd(
+                                conn.fileno(), p, pl.counts, pl.xs, pl.vals
+                            )
+                            if rc == -1:
+                                conn.sendall(pl.to_wire_bytes())
+                            elif rc < 0:
+                                raise OSError(rc, "writev")
+                        else:
+                            wire_total += 4 + 5 * p
+                            rc = native.wire_send_payload_fd(
+                                conn.fileno(), p, xs, vals
+                            )
+                            if rc == -1:
+                                conn.sendall(wire.pack_payload(p, xs, vals))
+                            elif rc < 0:
+                                raise OSError(rc, "writev")
+                    except OSError:
+                        conn.close()
+                        self._clients[b] = None
+                        if self.verbose:
+                            print(f"\nstream {b}: client dropped", flush=True)
+                n += 1
+                self.metrics.record(time.perf_counter() - t0, total,
+                                    wire_bytes=wire_total)
+                line = self.metrics.status_line()
+                if line:
+                    if self.overlay_status:
+                        texts = [self.metrics.overlay_text()] * self.B
                     if self.verbose:
-                        print(f"\nstream {b}: client dropped", flush=True)
-            n += 1
-            self.metrics.record(time.perf_counter() - t0, total,
-                                wire_bytes=wire_total)
-            line = self.metrics.status_line()
-            if line:
-                if self.overlay_status:
-                    texts = [self.metrics.overlay_text()] * self.B
-                if self.verbose:
-                    print(f"\r{line}  STREAMS: {self.B}", end="", flush=True)
-        if checkpoint_to:
-            np.savez(
-                checkpoint_to,
-                recon=recon,
-                geometry=np.array([self.B, self.cfg.height, self.cfg.width]),
-            )
-        self.close()
+                        print(f"\r{line}  STREAMS: {self.B}", end="", flush=True)
+        finally:
+            # write the checkpoint even on Ctrl-C or a source/client
+            # error — the documented stop-and-resume flow must not
+            # depend on a clean --frames exit
+            if checkpoint_to:
+                np.savez(
+                    checkpoint_to,
+                    recon=recon,
+                    geometry=np.array(
+                        [self.B, self.cfg.height, self.cfg.width]
+                    ),
+                )
+            self.close()
         return n
 
     def close(self) -> None:

@@ -245,3 +245,27 @@ def test_resume_geometry_mismatch_rejected(small_config, tmp_path):
         server.serve(max_frames=1, resume_from=ckpt,
                      wait_first_client=False)
     server.close()
+
+
+def test_sharded_lander_pinned_to_tiles(small_config):
+    """The sharded payload layout promises zero payload collectives; a
+    device-side merge over space-sharded blocks would gather every shard
+    per frame, so the lander must be pinned to the block path even when
+    the link model would prefer the merge."""
+    import dataclasses
+
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs a virtual device mesh")
+    from cudavideostream_tpu.runtime.sharded_executor import make_mesh
+
+    cfg = dataclasses.replace(small_config, port=0)
+    server = MultiStreamServer(
+        cfg, [SyntheticSource(cfg, seed=1)], verbose=False,
+        overlay_status=False, mesh=make_mesh(1, 4),
+    )
+    assert server._lander.mode == "tiles"
+    server._lander.link.bps = 1e3  # absurdly slow link: still blocks
+    assert not server._lander.use_flat(pos=1000, t_hi=4, tile_cap=4096)
+    server.close()
