@@ -70,13 +70,12 @@ class BatchedDeltaPipeline:
         from cudavideostream_tpu.ops.logcompact import (
             LANES,
             MAX_GRID,
-            _pad_rows,
-            _pick_tile_rows,
+            _tile_geometry,
         )
 
         cell_h = self._solo.atlas.shape[1]
-        rows = _pad_rows(-(-config.frame_bytes // LANES))
-        tps = rows // _pick_tile_rows(rows)
+        rows, tile = _tile_geometry(-(-config.frame_bytes // LANES))
+        tps = rows // tile
         self._fast = (
             config.compaction.value == "pallas"
             and config.tiled_payload

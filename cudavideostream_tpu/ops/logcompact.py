@@ -101,6 +101,24 @@ def _pad_rows(rows: int) -> int:
     return pr
 
 
+def _tile_geometry(rows: int) -> Tuple[int, int]:
+    """(padded_rows, tile_rows) honoring the swept 400-512-row optimum
+    AND the ~2000-step grid bound (the SMEM counts window).
+
+    Past ~131 MB of frame (rows/512 > MAX_GRID) the preferred tile would
+    overflow the grid, so the tile grows to ``ceil(rows / MAX_GRID)``
+    instead — the "any byte length below 2^31" contract holds all the
+    way up (a 2 GiB frame runs 2000 tiles of ~8400 rows; past the swept
+    range, but the kernel is tile-size-agnostic and the sweep shows only
+    a gentle slope there)."""
+    pr = _pad_rows(rows)
+    t = _pick_tile_rows(pr)
+    if pr // t > MAX_GRID:
+        t = (-(-rows // MAX_GRID) + 7) // 8 * 8
+        pr = -(-rows // t) * t
+    return pr, t
+
+
 def _flat_roll_left(x, s: int, rows: int):
     """out[f] = x[f + s] on the row-major flattened (rows, 128) array,
     circular (callers mask wrapped reads via span guards)."""
@@ -212,12 +230,29 @@ def _kernel_v2(cur_ref, prev_ref, thr_ref, *rest,
         ).astype(jnp.float32)
         incl_f = jnp.dot(mi_f, lane_u)
         rowtot_f = jnp.broadcast_to(incl_f[:, LANES - 1 : LANES], (R, LANES))
-        row_t = (
-            jax.lax.broadcasted_iota(jnp.int32, (R, R), 1)
-            <= jax.lax.broadcasted_iota(jnp.int32, (R, R), 0)
-        ).astype(jnp.float32)
-        rowpre_f = jnp.dot(row_t, rowtot_f)
-        incl = (incl_f + (rowpre_f - rowtot_f)).astype(jnp.int32)
+        if R <= 1024:
+            row_t = (
+                jax.lax.broadcasted_iota(jnp.int32, (R, R), 1)
+                <= jax.lax.broadcasted_iota(jnp.int32, (R, R), 0)
+            ).astype(jnp.float32)
+            rowpre_f = jnp.dot(row_t, rowtot_f)
+            incl = (incl_f + (rowpre_f - rowtot_f)).astype(jnp.int32)
+        else:
+            # huge tiles (frames past ~131 MB force rows/MAX_GRID-sized
+            # tiles): the (R, R) triangular matrix no longer fits VMEM,
+            # so the row phase falls back to Hillis-Steele rolls. Lane
+            # phase stays on the MXU; f32 exactness holds to 2^24 >
+            # the largest supported tile's byte count (2 GiB / 2000).
+            incl = incl_f.astype(jnp.int32)
+            rowtot = jnp.broadcast_to(incl[:, LANES - 1 : LANES], (R, LANES))
+            rowpre = rowtot
+            s = 1
+            while s < R:
+                rowpre = rowpre + jnp.where(
+                    sub >= s, pltpu.roll(rowpre, s, 0), 0
+                )
+                s *= 2
+            incl = incl + (rowpre - rowtot)
 
         # Pack ``holes*256 + delta`` into ONE int32 (holes < tile bytes
         # <= 512*128 = 65536, so the packed value is at most
@@ -513,7 +548,7 @@ def fused_diff_compact(
     ``threshold``.
     """
     n = current.shape[0]
-    rows = _pad_rows(-(-n // LANES))
+    rows, tile_rows = _tile_geometry(-(-n // LANES))
     n_pad = rows * LANES
     # tile-LOCAL packing bounds the packed rep by the tile size, so the
     # frame itself is limited only by int32 byte indices
@@ -522,7 +557,6 @@ def fused_diff_compact(
     if n_pad != n:
         current = jnp.pad(current, (0, n_pad - n))
         previous = jnp.pad(previous, (0, n_pad - n))
-    tile_rows = _pick_tile_rows(rows)
     grid = rows // tile_rows
 
     region2 = None
@@ -618,7 +652,7 @@ def fused_diff_compact_batched(
     if current.ndim != 1 or current.shape[0] % B:
         raise ValueError("expect flat (B*n,) frames")
     n = current.shape[0] // B
-    rows = _pad_rows(-(-n // LANES))
+    rows, tile_rows = _tile_geometry(-(-n // LANES))
     n_pad = rows * LANES
     if n_pad >= 1 << 31:
         raise ValueError("frame byte indices exceed int32")
@@ -635,7 +669,6 @@ def fused_diff_compact_batched(
         previous = jnp.concatenate(
             [p for b in range(B) for p in (previous[b * n:(b + 1) * n], z)]
         )
-    tile_rows = _pick_tile_rows(rows)
     tps = rows // tile_rows
     grid = B * tps
     tile_bytes = tile_rows * LANES

@@ -365,3 +365,35 @@ class TestBatchedKernel:
                 jnp.zeros((2, 9216), jnp.uint8), jnp.zeros((2, 9216), jnp.uint8),
                 n_streams=2, interpret=True,
             )
+
+
+def test_huge_tile_row_cumsum_fallback(rng):
+    """Tiles past 1024 rows (forced for frames near the 2 GiB bound,
+    where rows/MAX_GRID exceeds the swept tile range) switch the row
+    cumsum from the (R, R) MXU matmul — which would not fit VMEM — to
+    Hillis-Steele rolls. Byte-exact either way."""
+    from cudavideostream_tpu.ops import logcompact
+
+    n = 2304 * 128  # two 1152-row tiles
+    prev = rng.integers(0, 256, n, dtype=np.uint8)
+    cur = prev.copy()
+    idx = rng.choice(n, size=n // 9, replace=False)
+    cur[idx] = rng.integers(0, 256, idx.size, dtype=np.uint8)
+
+    orig_pick, orig_pad = logcompact._pick_tile_rows, logcompact._pad_rows
+    logcompact._pick_tile_rows = lambda r, target=512: 1152
+    logcompact._pad_rows = lambda r: -(-r // 1152) * 1152
+    logcompact.fused_diff_compact.clear_cache()
+    try:
+        pos, xs, vals, newp = logcompact.fused_diff_compact(
+            jnp.asarray(cur), jnp.asarray(prev), interpret=True
+        )
+    finally:
+        logcompact._pick_tile_rows = orig_pick
+        logcompact._pad_rows = orig_pad
+        logcompact.fused_diff_compact.clear_cache()
+    rpos, rxs, rvals, rnewp = ref.diff_encode(cur, prev)
+    assert int(pos) == rpos
+    np.testing.assert_array_equal(np.asarray(xs)[:rpos], rxs)
+    np.testing.assert_array_equal(np.asarray(vals)[:rpos], rvals)
+    np.testing.assert_array_equal(np.asarray(newp), rnewp)

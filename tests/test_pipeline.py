@@ -300,11 +300,11 @@ def test_batched_fast_path_respects_grid_bound():
         fused_diff_compact_batched,
     )
 
-    from cudavideostream_tpu.ops.logcompact import _pad_rows, _pick_tile_rows
+    from cudavideostream_tpu.ops.logcompact import _tile_geometry
 
     cfg = StreamConfig(tiled_payload=True)
-    rows = _pad_rows(-(-cfg.frame_bytes // 128))
-    tps = rows // _pick_tile_rows(rows)
+    rows, tile = _tile_geometry(-(-cfg.frame_bytes // 128))
+    tps = rows // tile
     b_max = MAX_GRID // tps
     assert BatchedDeltaPipeline(cfg, b_max)._fast
     assert not BatchedDeltaPipeline(cfg, b_max + 1)._fast
