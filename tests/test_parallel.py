@@ -207,8 +207,11 @@ class TestShardedExecutor:
         t.join(timeout=30)
         return b"".join(chunks)
 
-    @pytest.mark.parametrize("layout", ["sharded", "replicated"])
-    def test_wire_bytes_identical_to_single_device(self, layout):
+    @pytest.mark.parametrize(
+        "layout,wire_format",
+        [("sharded", "v1"), ("replicated", "v1"), ("sharded", "v2")],
+    )
+    def test_wire_bytes_identical_to_single_device(self, layout, wire_format):
         from cudavideostream_tpu.runtime.sharded_executor import (
             ShardedStreamExecutor,
             make_mesh,
@@ -216,7 +219,8 @@ class TestShardedExecutor:
 
         if len(jax.devices()) < 4:
             pytest.skip("needs 4 virtual devices")
-        cfg = StreamConfig(height=48, width=64, overlay_scale=1, port=0)
+        cfg = StreamConfig(height=48, width=64, overlay_scale=1, port=0,
+                           wire_format=wire_format)
         baseline = self._capture(cfg)
         ex = ShardedStreamExecutor(
             cfg, mesh=make_mesh(1, 4), payload_layout=layout
