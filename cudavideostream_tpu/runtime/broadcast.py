@@ -11,6 +11,15 @@ reconstruction. So:
   receives the *current reconstruction* as its base frame — no stream
   restart, no re-keyframing, perfectly synchronized from its first delta;
 * dead/slow clients are dropped without disturbing the stream.
+
+Fan-out is non-blocking: each client owns a bounded send queue drained
+by its own writer thread, so a slow-but-alive client (full TCP buffers,
+``sendall`` would block) cannot stall the pipeline or the other
+clients. A client whose backlog exceeds :attr:`ClientSender.MAX_QUEUE`
+frames is dropped with a logged reason. The wire bytes are packed ONCE
+per frame and shared by every queue — with multiple clients this is
+cheaper than the solo server's per-fd scatter-gather ``writev`` (which
+would repack the iovec list per client and block per client).
 """
 
 from __future__ import annotations
@@ -21,28 +30,100 @@ import threading
 import time
 from typing import List, Optional
 
-import numpy as np
-
 from cudavideostream_tpu import native
 from cudavideostream_tpu.config import StreamConfig
 from cudavideostream_tpu.runtime import wire
 from cudavideostream_tpu.runtime.executor import StreamExecutor
 from cudavideostream_tpu.runtime.sources import FrameSource
 
+import numpy as np
+
+
+class ClientSender:
+    """One client's bounded send queue + writer thread.
+
+    ``offer`` never blocks: a full queue means the client has fallen
+    ``MAX_QUEUE`` frames behind while its writer is stuck in
+    ``sendall`` — that is the sustained-backlog drop condition.
+    ``sent_bytes`` counts bytes actually written to the socket (not
+    merely queued), so the server's wire-bandwidth stat stays honest.
+    """
+
+    MAX_QUEUE = 32  # frames of backlog before the client is dropped
+
+    def __init__(self, conn: socket.socket, name: str = ""):
+        self.conn = conn
+        self.name = name
+        self.q: "queue.Queue[Optional[bytes]]" = queue.Queue(
+            maxsize=self.MAX_QUEUE
+        )
+        self.sent_bytes = 0
+        self.dead = False
+        self.drop_reason: Optional[str] = None
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self) -> None:
+        while True:
+            buf = self.q.get()
+            if buf is None or self.dead:
+                return
+            try:
+                self.conn.sendall(buf)
+                self.sent_bytes += len(buf)
+            except OSError as e:
+                self.dead = True
+                if self.drop_reason is None:
+                    self.drop_reason = f"send failed ({e.__class__.__name__})"
+                return
+
+    def offer(self, buf: bytes) -> bool:
+        """Queue one frame's bytes; False once the client is dead."""
+        if self.dead:
+            return False
+        try:
+            self.q.put_nowait(buf)
+            return True
+        except queue.Full:
+            self.dead = True
+            self.drop_reason = f"backlog exceeded {self.MAX_QUEUE} frames"
+            return False
+
+    def close(self) -> None:
+        self.dead = True
+        try:
+            self.q.put_nowait(None)  # wake the writer if it's idle
+        except queue.Full:
+            pass
+        try:
+            # closing the socket aborts a writer stuck in sendall
+            self.conn.close()
+        except OSError:
+            pass
+
 
 class BroadcastServer:
     def __init__(self, config: StreamConfig, source: FrameSource,
                  executor: Optional[StreamExecutor] = None,
-                 verbose: bool = True, overlay_status: bool = True):
+                 verbose: bool = True, overlay_status: bool = True,
+                 sndbuf: Optional[int] = None):
         self.cfg = config
         self.source = source
         self.executor = executor or StreamExecutor(config)
         self.verbose = verbose
         self.overlay_status = overlay_status
+        # per-client kernel send-buffer bound (None = OS default); small
+        # values make a stalled client hit the backlog drop sooner
+        self.sndbuf = sndbuf
         self._pending: "queue.Queue[socket.socket]" = queue.Queue()
-        self._clients: List[socket.socket] = []
+        self._clients: List[ClientSender] = []
         self._sock: Optional[socket.socket] = None
         self._stop = threading.Event()
+        # wire accounting: bytes actually sent across all clients, with
+        # removed clients' totals retired into _retired_sent
+        self._retired_sent = 0
+        self._sent_snapshot = 0
+        self.drops: List[str] = []  # logged reasons, for observability
 
     def listen(self) -> None:
         srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
@@ -58,6 +139,10 @@ class BroadcastServer:
     def port(self) -> int:
         return self._sock.getsockname()[1]
 
+    @property
+    def n_clients(self) -> int:
+        return len(self._clients)
+
     def _accept_loop(self) -> None:
         while not self._stop.is_set():
             try:
@@ -65,68 +150,62 @@ class BroadcastServer:
             except OSError:
                 return
             conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+            if self.sndbuf is not None:
+                conn.setsockopt(socket.SOL_SOCKET, socket.SO_SNDBUF, self.sndbuf)
             self._pending.put(conn)
 
     def _admit_pending(self, state_bytes: np.ndarray) -> None:
         """Admit joiners at a frame boundary with the current state as
-        their base frame."""
+        their base frame (shipped through their own send queue — a
+        joiner that stalls on the base frame can't stall the stream)."""
         while True:
             try:
                 conn = self._pending.get_nowait()
             except queue.Empty:
                 return
-            try:
-                if self.cfg.wire_format == "v2":
-                    conn.sendall(wire.MAGIC_V2)
-                conn.sendall(state_bytes.tobytes())
-                self._clients.append(conn)
-                if self.verbose:
-                    print(f"\nclient joined ({len(self._clients)} total)", flush=True)
-            except OSError:
-                conn.close()
+            sender = ClientSender(conn)
+            head = state_bytes.tobytes()
+            if self.cfg.wire_format == "v2":
+                head = wire.MAGIC_V2 + head
+            sender.offer(head)
+            self._clients.append(sender)
+            if self.verbose:
+                print(f"\nclient joined ({len(self._clients)} total)", flush=True)
 
-    def _fanout(self, pos: int, xs, vals) -> None:
-        dead = []
-        buf = None
+    def _pack(self, pos: int, xs, vals) -> bytes:
+        """One frame's wire bytes, shared by every client's queue."""
         tiled = isinstance(xs, wire.TiledPayload)
         if self.cfg.wire_format == "v2":
             fx, fv = xs.to_flat() if tiled else (xs, vals)
-            buf = wire.pack_payload_v2(pos, fx, fv)
-            for conn in self._clients:
-                try:
-                    conn.sendall(buf)
-                except OSError:
-                    dead.append(conn)
-            for conn in dead:
-                self._clients.remove(conn)
-                conn.close()
-                if self.verbose:
-                    print(f"\nclient dropped ({len(self._clients)} left)",
-                          flush=True)
-            return
-        for conn in self._clients:
-            if tiled:
-                rc = native.wire_send_segments_fd(
-                    conn.fileno(), pos, xs.counts, xs.xs, xs.vals
-                )
-            else:
-                rc = native.wire_send_payload_fd(conn.fileno(), pos, xs, vals)
-            if rc == -1:
-                if buf is None:
-                    buf = xs.to_wire_bytes() if tiled else wire.pack_payload(
-                        pos, xs, vals
-                    )
-                try:
-                    conn.sendall(buf)
-                except OSError:
-                    dead.append(conn)
-            elif rc < 0:
-                dead.append(conn)
-        for conn in dead:
-            self._clients.remove(conn)
-            conn.close()
+            return wire.pack_payload_v2(pos, fx, fv)
+        return xs.to_wire_bytes() if tiled else wire.pack_payload(pos, xs, vals)
+
+    def _fanout(self, buf: bytes) -> None:
+        for sender in self._clients:
+            sender.offer(buf)
+        self._reap()
+
+    def _reap(self) -> None:
+        dead = [s for s in self._clients if s.dead]
+        for sender in dead:
+            self._clients.remove(sender)
+            self._retired_sent += sender.sent_bytes
+            sender.close()
+            self.drops.append(sender.drop_reason or "unknown")
             if self.verbose:
-                print(f"\nclient dropped ({len(self._clients)} left)", flush=True)
+                print(f"\nclient dropped: {sender.drop_reason} "
+                      f"({len(self._clients)} left)", flush=True)
+
+    def _record_wire_bytes(self, pos: int) -> None:
+        """Replace the executor's per-frame v1 wire estimate (4 + 5*pos,
+        one client) with the bytes actually sent since the last frame —
+        correct for v2 framing AND for 0/N-client fan-out, like
+        ``server.py``'s post-send correction."""
+        sent = self._retired_sent + sum(s.sent_bytes for s in self._clients)
+        self.executor.metrics.wire_bytes += (
+            sent - self._sent_snapshot - (4 + 5 * pos)
+        )
+        self._sent_snapshot = sent
 
     def serve(self, max_frames: Optional[int] = None,
               wait_first_client: bool = True) -> int:
@@ -159,8 +238,9 @@ class BroadcastServer:
                     native.client_apply_np(state, fx, fv)
             elif np.asarray(xs).size:
                 native.client_apply_np(state, xs, vals)
-            self._fanout(pos, xs, vals)
+            self._fanout(self._pack(pos, xs, vals))
             n += 1
+            self._record_wire_bytes(pos)
             line = self.executor.metrics.status_line(time.perf_counter() - t0)
             if line:
                 if self.overlay_status:
@@ -194,18 +274,24 @@ def main(argv=None) -> int:
     p.add_argument("--height", type=int, default=1080)
     p.add_argument("--width", type=int, default=1920)
     p.add_argument("--frames", type=int, default=None)
+    p.add_argument("--wire", default="v1", choices=["v1", "v2"])
     p.add_argument("--tiled", action="store_true",
                    help="per-tile payload blocks + scatter-gather send "
                         "(skips the device merge epilogue)")
     p.add_argument("--fetch", default="auto", choices=["auto", "tiles", "flat"],
                    help="tiled-payload landing strategy (see server --help)")
+    p.add_argument("--sndbuf", type=int, default=None,
+                   help="per-client SO_SNDBUF bytes (bounds kernel-side "
+                        "buffering; a stalled client hits the backlog "
+                        "drop sooner)")
     args = p.parse_args(argv)
     if args.fetch != "auto" and not args.tiled:
         p.error("--fetch tiles/flat applies to --tiled payloads")
     cfg = StreamConfig(height=args.height, width=args.width,
-                       host=args.host, port=args.port,
+                       host=args.host, port=args.port, wire_format=args.wire,
                        tiled_payload=args.tiled, fetch_mode=args.fetch)
-    server = BroadcastServer(cfg, make_source(args.source, cfg, path=args.path))
+    server = BroadcastServer(cfg, make_source(args.source, cfg, path=args.path),
+                             sndbuf=args.sndbuf)
     n = server.serve(max_frames=args.frames)
     print(f"served {n} frames", file=sys.stderr)
     return 0

@@ -185,8 +185,6 @@ class TiledLander:
         from cudavideostream_tpu.ops import logcompact
 
         plans = []
-        merged = []
-        tm0 = time.perf_counter()
         for pos, counts, counts_d, xs_t_d, vals_t_d in items:
             n_tiles, tile_cap = xs_t_d.shape
             self._ensure_fetchers(n_tiles, tile_cap)
@@ -195,11 +193,16 @@ class TiledLander:
             nz = np.nonzero(counts)[0]
             t_hi = int(nz[-1]) + 1 if nz.size else 0
             flat = self.use_flat(pos, t_hi, tile_cap)
-            plans.append((pos, counts, t_hi, flat, xs_t_d, vals_t_d))
-            merged.append(
-                logcompact.merge_tiles(counts_d, xs_t_d, vals_t_d)
-                if flat else None
-            )
+            plans.append((pos, counts, t_hi, flat, counts_d, xs_t_d, vals_t_d))
+        # dispatch the merges AFTER the planning loop so merge_s measures
+        # only merge dispatch + sync — the planning work (np.nonzero over
+        # counts, fetcher setup) is paid by the tiles path too, and
+        # booking it here would bias "auto" against the flat landing
+        tm0 = time.perf_counter()
+        merged = [
+            logcompact.merge_tiles(counts_d, xs_t_d, vals_t_d) if flat else None
+            for _, _, _, flat, counts_d, xs_t_d, vals_t_d in plans
+        ]
         n_flat = sum(1 for m in merged if m is not None)
         if n_flat:
             # sync the merges with one 4-byte read BEFORE the timed
@@ -213,7 +216,7 @@ class TiledLander:
                 # jit compile, which would poison the EMA
                 self.link.record_merge(merge_s)
         out = []
-        for (pos, counts, t_hi, flat, xs_t_d, vals_t_d), m in zip(plans, merged):
+        for (pos, counts, t_hi, flat, _, xs_t_d, vals_t_d), m in zip(plans, merged):
             if flat:
                 xs_d, vals_d = m
                 out.append((
@@ -361,6 +364,12 @@ class ExecMetrics:
         self.frames = 0
         self.total_frames = 0
         self.wire_bytes = 0
+        # snapshot of the last completed 1 Hz window, taken by
+        # status_line() BEFORE it resets the counters — overlay_text()
+        # must read these, not the live counters (which are zero right
+        # after the reset, exactly when callers render the overlay)
+        self.win_fps = 0.0
+        self.win_bw_ref = 0
 
     def record(self, frame_s: float, pos: int,
                wire_bytes: Optional[int] = None) -> None:
@@ -382,6 +391,8 @@ class ExecMetrics:
         # ((pos<<4)*fps*1e-3 kbps, server.cpp:159) — kept for parity
         bw_ref = int((self.pos << 4) * fps * 1e-3)
         bw_true = int(8 * self.wire_bytes / dt * 1e-3)
+        self.win_fps = fps
+        self.win_bw_ref = bw_ref
         line = (
             f"FPS: {fps:5.0f}\tFOR: {1e3*self.frame_time:6.2f} ms\t"
             f"READ: {1e3*read_s:6.2f}\tPOS: {self.pos:7d}\t"
@@ -393,7 +404,12 @@ class ExecMetrics:
         return line
 
     def overlay_text(self) -> str:
-        """The string rendered into the video (``server.cpp:166-168``)."""
-        fps = self.frames / max(1e-9, time.perf_counter() - self.last_print)
-        bw = int((self.pos << 4) * fps * 1e-3)
-        return f"FPS: {int(fps)} BW: {bw} kbps"
+        """The string rendered into the video (``server.cpp:166-168``).
+
+        Reports the last completed 1 Hz window's fps/BW. Every serving
+        loop calls this immediately after :meth:`status_line` has reset
+        the live counters, so computing from ``self.frames`` here would
+        always yield 0 (the round-2 overlay bug) — the window snapshot
+        is the only value that is correct at that call site.
+        """
+        return f"FPS: {int(self.win_fps)} BW: {self.win_bw_ref} kbps"

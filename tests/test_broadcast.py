@@ -80,6 +80,76 @@ def test_two_clients_one_late_joiner(small_config, tiled):
     cli1.close()
 
 
+def test_stalled_client_dropped_stream_unaffected(small_config, monkeypatch):
+    """A slow-but-alive client (connected, never reads, tiny buffers)
+    must not stall the pipeline or the healthy client: the stream runs
+    to completion, the healthy client receives every frame byte-exact,
+    and the stalled client is dropped with a logged backlog reason."""
+    import socket as socket_mod
+
+    from cudavideostream_tpu.runtime.broadcast import ClientSender
+
+    monkeypatch.setattr(ClientSender, "MAX_QUEUE", 8)
+    cfg = dataclasses.replace(small_config, port=0)
+    n_frames = 60
+    server = BroadcastServer(
+        cfg,
+        SyntheticSource(cfg, seed=7),
+        verbose=False,
+        overlay_status=False,
+        sndbuf=4096,  # bound kernel buffering so the backlog shows up fast
+    )
+    server.listen()
+    port = server.port
+    t = threading.Thread(
+        target=server.serve, kwargs={"max_frames": n_frames}, daemon=True
+    )
+    t.start()
+
+    # healthy client: drains continuously on its own thread
+    state = {}
+
+    def healthy_reader():
+        cli = DeltaStreamClient("127.0.0.1", port, cfg.height, cfg.width)
+        cli.connect()
+        n = 0
+        try:
+            while True:
+                _, recon = cli.read_frame()
+                state["last"] = recon.copy()
+                n += 1
+        except (ConnectionError, ValueError, OSError):
+            pass
+        state["count"] = n
+        cli.close()
+
+    reader = threading.Thread(target=healthy_reader, daemon=True)
+    reader.start()
+    time.sleep(0.2)  # healthy client admitted first, sees every frame
+
+    # stalled client: connects with a tiny receive buffer and never reads
+    stalled = socket_mod.socket()
+    stalled.setsockopt(socket_mod.SOL_SOCKET, socket_mod.SO_RCVBUF, 4096)
+    stalled.connect(("127.0.0.1", port))
+
+    t.join(timeout=60)
+    reader.join(timeout=30)
+    stalled.close()
+    assert not t.is_alive(), "pipeline stalled behind the slow client"
+    assert state["count"] == n_frames
+
+    # byte-exact: the healthy client's final reconstruction equals the
+    # oracle replay of the full session
+    replay = SyntheticSource(cfg, seed=7)
+    prev = next(replay).copy()
+    for _ in range(n_frames):
+        prev, *_ = ref.step_oracle(prev, next(replay), cfg)
+    np.testing.assert_array_equal(state["last"], prev)
+
+    assert server.drops, "stalled client was never dropped"
+    assert any("backlog" in r for r in server.drops), server.drops
+
+
 def test_dead_client_dropped(small_config):
     cfg = dataclasses.replace(small_config, port=0)
     server = BroadcastServer(
