@@ -59,14 +59,22 @@ class BatchedDeltaPipeline:
                 "HOST compaction packs per stream on the host — run solo "
                 "pipelines instead of a batched one"
             )
-        # Fast path: ONE super-frame pallas_call whose grid spans all
+        # Fast path: super-frame pallas_call(s) whose grid spans all
         # streams (logcompact.fused_diff_compact_batched). Two measured
         # reasons (benchmarks/times_batched): jax.vmap over the Pallas
         # call pessimizes its lowering, and a (B, n) uint8 buffer pads
         # its sublane dim to 8 — up to 8x the HBM bytes per pass for
         # B < 8. State is therefore carried FLAT (B*n,) in both paths.
-        from cudavideostream_tpu.config import Visualizer
-
+        #
+        # Filters/visualizers ride the fast path too: every elementwise
+        # stage (heatmap, grayscale, red modes) is per-pixel, so on the
+        # concatenated flat super-frame it equals the per-stream result
+        # ("taller image" equivalence); the two per-stream-global stages
+        # (conv's 2D borders, binarize's histogram) run per stream over
+        # 1-D slices of the flat buffer — no (B, n) layout anywhere.
+        # Batches whose grid exceeds the ~2000-step SMEM counts-window
+        # bound are CHUNKED into ceil(grid/MAX_GRID) super-frame calls
+        # (see _fast_impl), not dropped to the vmap path.
         from cudavideostream_tpu.ops.logcompact import (
             LANES,
             MAX_GRID,
@@ -76,15 +84,13 @@ class BatchedDeltaPipeline:
         cell_h = self._solo.atlas.shape[1]
         rows, tile = _tile_geometry(-(-config.frame_bytes // LANES))
         tps = rows // tile
+        # streams per pallas_call under the SMEM grid bound (tps <=
+        # MAX_GRID always holds: _tile_geometry enforces it per stream)
+        self._chunk_streams = max(1, MAX_GRID // tps)
         self._fast = (
             config.compaction.value == "pallas"
             and config.tiled_payload
-            and config.visualizer is Visualizer.NONE
-            and not config.noise_filter
             and cell_h <= config.height
-            # the super-frame grid must stay inside the SMEM
-            # counts-window bound; larger batches take the vmap path
-            and n_streams * tps <= MAX_GRID
         )
         body = self._fast_impl if self._fast else self._vmap_impl
         self._step = jax.jit(body, donate_argnums=(0,))
@@ -105,6 +111,10 @@ class BatchedDeltaPipeline:
         # min(i % st, rt - 1) — and REJECTED: the non-monotone map defeats
         # Mosaic's DMA pipelining (+3.8 ms at B=8, measured), 4x the cost
         # of the plain XLA pass it avoids.
+        from cudavideostream_tpu.config import Visualizer
+        from cudavideostream_tpu.ops import convolve as conv_ops
+        from cudavideostream_tpu.ops import diff as diff_ops
+        from cudavideostream_tpu.ops import filters as filter_ops
         from cudavideostream_tpu.ops import logcompact
         from cudavideostream_tpu.ops import overlay as overlay_ops
 
@@ -113,22 +123,99 @@ class BatchedDeltaPipeline:
         cell_h = self._solo.atlas.shape[1]
         strip = cell_h * cfg.width * 3
         cur = frames_flat
+        if cfg.noise_filter:
+            # conv is the one stage with 2D (border) structure: run it
+            # per stream over 1-D slices — B passes over 1/B of the data
+            # each, same total HBM traffic, no (B, n) layout
+            cur = jnp.concatenate([
+                conv_ops.convolve_q16(
+                    jax.lax.slice(cur, (b * n,), ((b + 1) * n,)),
+                    self._solo.conv_weights_q16, cfg.height, cfg.width,
+                )
+                for b in range(B)
+            ])
         for b in range(B):
             s = jax.lax.slice(cur, (b * n,), (b * n + strip,))
             r = overlay_ops.overlay_blit(
                 s, self._solo.atlas, ids[b], n_chars[b], cell_h, cfg.width
             )
             cur = jax.lax.dynamic_update_slice(cur, r, (b * n,))
-        pos, counts, xs_t, vals_t, new_prev = logcompact.fused_diff_compact_batched(
-            cur,
-            prev_flat,
-            n_streams=B,
-            threshold=cfg.threshold,
-            negative_feedback=cfg.negative_feedback,
-            interpret=self._solo._interpret,
-            threshold_map=self._solo._thr_map,
+
+        # Visualizers that read the overlaid current frame: heatmap and
+        # grayscale are per-pixel, so the flat super-frame IS the stacked
+        # per-stream result; binarize's histogram/threshold are
+        # per-stream globals and run over 1-D stream slices.
+        aux = None
+        if cfg.visualizer == Visualizer.HEATMAP:
+            aux = filter_ops.heatmap(
+                cur, prev_flat, use_sine=self._solo._heatmap_sine
+            )
+        elif cfg.visualizer == Visualizer.GRAYSCALE:
+            aux = filter_ops.grayscale_weighted(cur)
+        elif cfg.visualizer == Visualizer.BINARIZE:
+            g = filter_ops.grayscale_weighted(cur)
+            outs = []
+            for b in range(B):
+                gb = jax.lax.slice(g, (b * n,), ((b + 1) * n,))
+                t = filter_ops.binarize_threshold(
+                    filter_ops.gray_histogram(gb)
+                )
+                outs.append(filter_ops.binarize(gb, t))
+            aux = jnp.concatenate(outs)
+
+        # Chunk the batch so each pallas_call's grid stays inside the
+        # SMEM counts-window bound (self._chunk_streams streams/call).
+        outs = []
+        for b0 in range(0, B, self._chunk_streams):
+            bc = min(self._chunk_streams, B - b0)
+            outs.append(logcompact.fused_diff_compact_batched(
+                jax.lax.slice(cur, (b0 * n,), ((b0 + bc) * n,)),
+                jax.lax.slice(prev_flat, (b0 * n,), ((b0 + bc) * n,)),
+                n_streams=bc,
+                threshold=cfg.threshold,
+                negative_feedback=cfg.negative_feedback,
+                interpret=self._solo._interpret,
+                threshold_map=self._solo._thr_map,
+            ))
+        if len(outs) == 1:
+            pos, counts, xs_t, vals_t, new_prev = outs[0]
+        else:
+            pos = jnp.concatenate([o[0] for o in outs])
+            counts = jnp.concatenate([o[1] for o in outs])
+            xs_t = jnp.concatenate([o[2] for o in outs])
+            vals_t = jnp.concatenate([o[3] for o in outs])
+            new_prev = jnp.concatenate([o[4] for o in outs])
+
+        needs_mask = cfg.visualizer in (
+            Visualizer.RED_BLACK, Visualizer.RED_OVERLAP
         )
-        return new_prev, pos, counts, xs_t, vals_t
+        if needs_mask:
+            thr_positive = (
+                cfg.threshold > 0 if self._solo._thr_map is None
+                else self._solo._thr_map_min > 0
+            )
+            if cfg.negative_feedback and thr_positive:
+                # |df| > thr > 0 implies cur != prev: the negfeed update
+                # encodes the mask exactly (same argument as the solo
+                # pipeline, models/pipeline.py)
+                mask = new_prev != prev_flat
+            else:
+                thr = (
+                    cfg.threshold if self._solo._thr_map is None
+                    else jnp.concatenate([self._solo._thr_map] * B)
+                )
+                mask = diff_ops.diff_mask(cur, prev_flat, thr)[0]
+            if cfg.visualizer == Visualizer.RED_BLACK:
+                aux = filter_ops.red_black(mask)
+            else:
+                aux = filter_ops.red_overlap(prev_flat, mask)
+
+        if aux is None:
+            return new_prev, pos, counts, xs_t, vals_t
+        # (B, n) to match the vmap path's aux contract; this is an
+        # output written once per frame (the padded-sublane-layout trap
+        # applies to buffers *carried across* steps, not display frames)
+        return new_prev, pos, counts, xs_t, vals_t, aux.reshape(B, n)
 
     @property
     def atlas_np(self) -> np.ndarray:

@@ -303,6 +303,12 @@ def main(argv=None) -> int:
     p.add_argument("--height", type=int, default=1080)
     p.add_argument("--width", type=int, default=1920)
     p.add_argument("--wire", default="v1", choices=["v1", "v2"])
+    p.add_argument("--visualizer", type=int, default=0,
+                   help="0 none, 1 heatmap, 2 red-black, 3 red-overlap, "
+                        "4 grayscale, 5 binarize (per stream; rides the "
+                        "super-frame fast path)")
+    p.add_argument("--noise-filter", action="store_true")
+    p.add_argument("--conv-k", type=int, default=3)
     p.add_argument("--frames", type=int, default=None)
     p.add_argument("--resume-from", default=None,
                    help="resume from a checkpointed per-stream state "
@@ -316,8 +322,12 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
     # tiled payload = the product wire path AND the batched fast path
     # (one super-frame kernel; see models.batched)
+    from cudavideostream_tpu.config import Visualizer
+
     cfg = StreamConfig(height=args.height, width=args.width, host=args.host,
                        port=args.port, wire_format=args.wire,
+                       visualizer=Visualizer(args.visualizer),
+                       noise_filter=args.noise_filter, conv_k=args.conv_k,
                        tiled_payload=args.mesh is None)
     sources = [
         make_source(args.source, cfg, path=args.path, seed=b)

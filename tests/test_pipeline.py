@@ -203,9 +203,8 @@ class TestBatchedPipeline:
     """B independent streams in one jitted step must equal B solo
     pipelines byte-for-byte (it's the same step under vmap)."""
 
-    def run_both(self, cfg, B=3, n_frames=2, tiled=False):
+    def run_both(self, cfg, B=3, n_frames=2, tiled=False, expect_fast=None):
         from cudavideostream_tpu.models import BatchedDeltaPipeline
-        from cudavideostream_tpu.runtime import wire as wire_mod
 
         rng = np.random.default_rng(17)
         bases = rng.integers(
@@ -213,6 +212,8 @@ class TestBatchedPipeline:
         )
         texts = [f"FPS: {10 * b}" for b in range(B)]
         batched = BatchedDeltaPipeline(cfg, B)
+        if expect_fast is not None:
+            assert batched._fast == expect_fast
         state = batched.init_state(bases)
         solos = [DeltaStreamPipeline(cfg) for _ in range(B)]
         solo_states = [solos[b].init_state(bases[b]) for b in range(B)]
@@ -230,8 +231,8 @@ class TestBatchedPipeline:
                     np.asarray(solo_states[b]),
                 )
                 if tiled:
-                    _, pos, counts, xs_t, vals_t, _ = out
-                    _, spos, scounts, sxs_t, svals_t, _ = solo
+                    _, pos, counts, xs_t, vals_t, aux = out
+                    _, spos, scounts, sxs_t, svals_t, saux = solo
                     assert int(pos[b]) == int(spos)
                     np.testing.assert_array_equal(
                         np.asarray(xs_t)[b], np.asarray(sxs_t)
@@ -240,14 +241,20 @@ class TestBatchedPipeline:
                         np.asarray(vals_t)[b], np.asarray(svals_t)
                     )
                 else:
-                    _, pos, xs, vals, _ = out
-                    _, spos, sxs, svals, _ = solo
+                    _, pos, xs, vals, aux = out
+                    _, spos, sxs, svals, saux = solo
                     assert int(pos[b]) == int(spos)
                     np.testing.assert_array_equal(
                         np.asarray(xs)[b], np.asarray(sxs)
                     )
                     np.testing.assert_array_equal(
                         np.asarray(vals)[b], np.asarray(svals)
+                    )
+                if saux is None:
+                    assert aux is None
+                else:
+                    np.testing.assert_array_equal(
+                        np.asarray(aux)[b], np.asarray(saux)
                     )
 
     def test_flat_matches_solo(self, small_config):
@@ -257,6 +264,52 @@ class TestBatchedPipeline:
         self.run_both(
             dataclasses.replace(small_config, tiled_payload=True), tiled=True
         )
+
+    @pytest.mark.parametrize("vis", [
+        Visualizer.HEATMAP, Visualizer.BINARIZE, Visualizer.RED_OVERLAP,
+    ])
+    def test_tiled_visualizer_rides_fast_path(self, small_config, vis):
+        """Visualizers no longer demote the super-frame fast path: the
+        elementwise ones ride the flat super-frame, binarize's histogram
+        runs per stream — all byte-exact vs solo pipelines."""
+        self.run_both(
+            dataclasses.replace(
+                small_config, tiled_payload=True, visualizer=vis
+            ),
+            tiled=True, expect_fast=True,
+        )
+
+    def test_tiled_noise_filter_rides_fast_path(self, small_config):
+        self.run_both(
+            dataclasses.replace(
+                small_config, tiled_payload=True, noise_filter=True
+            ),
+            tiled=True, expect_fast=True,
+        )
+
+    def test_tiled_noise_filter_plus_binarize_fast(self, small_config):
+        self.run_both(
+            dataclasses.replace(
+                small_config, tiled_payload=True, noise_filter=True,
+                visualizer=Visualizer.BINARIZE,
+            ),
+            tiled=True, expect_fast=True,
+        )
+
+    def test_chunked_past_grid_bound_matches_solo(self, small_config,
+                                                  monkeypatch):
+        """B * tiles_per_stream past MAX_GRID splits into several
+        super-frame pallas calls instead of dropping to the vmap path.
+        MAX_GRID is patched down so a small batch actually chunks."""
+        import cudavideostream_tpu.models.batched as batched_mod
+        from cudavideostream_tpu.models import BatchedDeltaPipeline
+        from cudavideostream_tpu.ops import logcompact
+
+        monkeypatch.setattr(logcompact, "MAX_GRID", 2)
+        cfg = dataclasses.replace(small_config, tiled_payload=True)
+        pipe = BatchedDeltaPipeline(cfg, 5)
+        assert pipe._fast and pipe._chunk_streams == 2  # 3 kernel calls
+        self.run_both(cfg, B=5, tiled=True, expect_fast=True)
 
     def test_visualizer_aux_batched(self, small_config):
         from cudavideostream_tpu.models import BatchedDeltaPipeline
@@ -289,9 +342,10 @@ class TestBatchedPipeline:
 
 def test_batched_fast_path_respects_grid_bound():
     """The super-frame grid must stay under the ~2000-step SMEM
-    counts-window bound (a hardware-only failure CPU tests can't see);
-    larger batches must fall back to the vmap path, and the kernel
-    wrapper must refuse loudly."""
+    counts-window bound (a hardware-only failure CPU tests can't see):
+    larger batches stay on the fast path but CHUNK into several kernel
+    calls of at most _chunk_streams streams, and the kernel wrapper
+    itself must refuse an oversized grid loudly."""
     import jax.numpy as jnp
 
     from cudavideostream_tpu.models import BatchedDeltaPipeline
@@ -307,7 +361,8 @@ def test_batched_fast_path_respects_grid_bound():
     tps = rows // tile
     b_max = MAX_GRID // tps
     assert BatchedDeltaPipeline(cfg, b_max)._fast
-    assert not BatchedDeltaPipeline(cfg, b_max + 1)._fast
+    over = BatchedDeltaPipeline(cfg, b_max + 1)
+    assert over._fast and over._chunk_streams == b_max
     B = b_max + 1
     with pytest.raises(ValueError, match="SMEM"):
         fused_diff_compact_batched(
