@@ -54,7 +54,8 @@ class ShardedDeltaPipeline:
 
     def __init__(self, config: StreamConfig, mesh: Mesh,
                  conv_weights: Optional[np.ndarray] = None,
-                 payload_layout: str = "replicated"):
+                 payload_layout: str = "replicated",
+                 threshold_map: Optional[np.ndarray] = None):
         """``payload_layout``:
 
         * ``"replicated"`` (default) — the wire payload is assembled on
@@ -96,6 +97,26 @@ class ShardedDeltaPipeline:
         # (tile-local index packing; alignment padded away internally)
         self.uses_pallas = self.local_bytes < (1 << 31)
 
+        # optional per-byte sensitivity map (the solo pipeline's
+        # --threshold-map), sharded along rows exactly like the frame:
+        # each space-shard sees its own (local_bytes,) slice, so the map
+        # adds zero collectives
+        self.threshold_map_np = None
+        self._thr_map_dev = None
+        self._thr_map_min = None
+        if threshold_map is not None:
+            tm = np.asarray(threshold_map, dtype=np.uint8).ravel()
+            if tm.size != config.frame_bytes:
+                raise ValueError(
+                    f"threshold_map has {tm.size} bytes, frame has "
+                    f"{config.frame_bytes}"
+                )
+            self.threshold_map_np = tm
+            self._thr_map_dev = jax.device_put(
+                jnp.asarray(tm), NamedSharding(mesh, P("space"))
+            )
+            self._thr_map_min = int(tm.min())
+
         self._sharding_state = NamedSharding(mesh, P("data", "space"))
         self._sharding_rep = NamedSharding(mesh, P("data"))
         if payload_layout == "sharded":
@@ -114,16 +135,19 @@ class ShardedDeltaPipeline:
                 P("data"),           # vals
                 P("data", "space"),  # aux (zeros when disabled)
             )
+        in_specs = [
+            P("data", "space"),  # prev
+            P("data", "space"),  # frame
+            P("data"),           # char_ids (B, C): per-stream overlay text
+            P("data"),           # n_chars (B,)
+        ]
+        if self._thr_map_dev is not None:
+            in_specs.append(P("space"))  # per-byte threshold map slice
         self._step = jax.jit(
             jax.shard_map(
                 self._body,
                 mesh=mesh,
-                in_specs=(
-                    P("data", "space"),  # prev
-                    P("data", "space"),  # frame
-                    P(),                 # char_ids
-                    P(),                 # n_chars
-                ),
+                in_specs=tuple(in_specs),
                 out_specs=out_specs,
                 check_vma=False,
             ),
@@ -131,8 +155,9 @@ class ShardedDeltaPipeline:
         )
 
     # -- local shard body (runs per device) --------------------------------
-    def _body(self, prev, frame, char_ids, n_chars):
+    def _body(self, prev, frame, char_ids, n_chars, *maybe_thr):
         cfg = self.cfg
+        thr_map = maybe_thr[0] if maybe_thr else None  # (Ln,) local slice
         sidx = jax.lax.axis_index("space")
         Bl = prev.shape[0]
         Ln = self.local_bytes
@@ -191,6 +216,12 @@ class ShardedDeltaPipeline:
         # so every space factor of a 1080p frame takes this path — the
         # per-thread arbitrary-extent handling of kernels.cu:404-427,
         # done the TPU way.
+        # thr is a scalar OR this shard's (Ln,) map slice; thr_positive
+        # gates the negfeed mask shortcut exactly like the solo pipeline
+        thr = cfg.threshold if thr_map is None else thr_map
+        thr_positive = (
+            cfg.threshold > 0 if thr_map is None else self._thr_map_min > 0
+        )
         if self.uses_pallas:
             if region is not None:
                 lpos, lxs, lvals, new_prev = jax.vmap(
@@ -200,6 +231,7 @@ class ShardedDeltaPipeline:
                         negative_feedback=cfg.negative_feedback,
                         interpret=self._interpret,
                         overlay_region=r,
+                        threshold_map=thr_map,
                     )
                 )(cur, prev, region)
             else:
@@ -209,11 +241,12 @@ class ShardedDeltaPipeline:
                         threshold=cfg.threshold,
                         negative_feedback=cfg.negative_feedback,
                         interpret=self._interpret,
+                        threshold_map=thr_map,
                     )
                 )(cur, prev)
             mask = None
             if needs_mask:
-                if cfg.negative_feedback and cfg.threshold > 0:
+                if cfg.negative_feedback and thr_positive:
                     # |df| > thr > 0 implies cur != prev: the negfeed
                     # update encodes the mask, saving a second diff pass
                     mask = new_prev != prev
@@ -223,12 +256,12 @@ class ShardedDeltaPipeline:
                             [region, cur[:, region.shape[1]:]], axis=1
                         )
                     mask = jax.vmap(
-                        lambda c, p: diff_ops.diff_mask(c, p, cfg.threshold)[0]
+                        lambda c, p: diff_ops.diff_mask(c, p, thr)[0]
                     )(cur, prev)
         else:
             mask, vals_dense, new_prev = jax.vmap(
                 lambda c, p: diff_ops.diff_mask(
-                    c, p, cfg.threshold, cfg.negative_feedback
+                    c, p, thr, cfg.negative_feedback
                 )
             )(cur, prev)
             lpos, lxs, lvals = jax.vmap(
@@ -276,7 +309,11 @@ class ShardedDeltaPipeline:
         return new_prev, pos, out_xs, out_vals, aux
 
     def _overlay_local(self, cur, char_ids, n_chars, sidx, rows=None):
-        """Batched glyph blit of this shard's slice of the text band.
+        """Batched glyph blit of this shard's slice of the text band,
+        PER STREAM: ``char_ids`` is ``(Bl, C)`` and ``n_chars`` ``(Bl,)``
+        so each local stream renders its own status text (parity with
+        the batched single-chip path; the reference renders per stream
+        too, one server per camera).
 
         Shard ``s`` owns global rows ``[s*Lr, (s+1)*Lr)``; it copies atlas
         rows ``[s*Lr, s*Lr+rows)`` (zero-padded past the cell) and masks
@@ -294,18 +331,23 @@ class ShardedDeltaPipeline:
         grow = sidx * Lr + jax.lax.broadcasted_iota(jnp.int32, (R,), 0)
         in_band = (grow < cell_h)[None, :, None, None]
         row_off = jnp.clip(sidx * Lr, 0, cell_h)
-        for j in range(min(MAX_OVERLAY_CHARS, char_ids.shape[0])):
+        for j in range(min(MAX_OVERLAY_CHARS, char_ids.shape[1])):
             x0 = j * cell_w
             if x0 + cell_w > cfg.width:
                 break
-            cell = jax.lax.dynamic_index_in_dim(self.atlas, char_ids[j], 0, False)
-            cell = jnp.pad(cell, ((0, R), (0, 0), (0, 0)))
-            sub = jax.lax.dynamic_slice(cell, (row_off, 0, 0), (R, cell_w, 3))
-            sub = jnp.broadcast_to(sub[None], (Bl, R, cell_w, 3))
+            # per-stream glyph: a (Bl,)-row gather over the tiny atlas
+            cells = jnp.take(self.atlas, char_ids[:, j], axis=0)
+            cells = jnp.pad(cells, ((0, 0), (0, R), (0, 0), (0, 0)))
+            sub = jax.vmap(
+                lambda c: jax.lax.dynamic_slice(
+                    c, (row_off, 0, 0), (R, cell_w, 3)
+                )
+            )(cells)
             curslice = jax.lax.dynamic_slice(
                 img, (0, 0, x0, 0), (Bl, R, cell_w, 3)
             )
-            new = jnp.where(in_band & (j < n_chars), sub, curslice)
+            keep = in_band & (j < n_chars)[:, None, None, None]
+            new = jnp.where(keep, sub, curslice)
             img = jax.lax.dynamic_update_slice(img, new, (0, 0, x0, 0))
         return img.reshape(Bl, -1)
 
@@ -330,16 +372,32 @@ class ShardedDeltaPipeline:
         vals_t = np.asarray(vals)[b].reshape(self.n_space, self.local_bytes)
         return wire.TiledPayload(int(c.sum()), c, xs_t, vals_t)
 
-    def step(self, prev: Array, frames, text: str = ""):
+    def step(self, prev: Array, frames, text=""):
         """Returns ``(new_prev, pos(B,), xs(B,cap), vals(B,cap), aux)``
         for the ``"replicated"`` payload layout, or ``(new_prev,
         counts(B, n_space), xs(B, n_space*Ln), vals(B, n_space*Ln), aux)``
-        for ``"sharded"`` (see :meth:`payload_tiles`)."""
-        ids = fonts.encode_text(text, MAX_OVERLAY_CHARS)
-        char_ids = jnp.asarray(ids, dtype=jnp.int32)
-        n_chars = jnp.int32(min(len(text), MAX_OVERLAY_CHARS))
+        for ``"sharded"`` (see :meth:`payload_tiles`).
+
+        ``text``: one string shared by all streams, or a sequence of B
+        per-stream strings (each stream renders its own status line —
+        the overlay ids shard along the ``data`` axis)."""
         frames = np.asarray(frames, dtype=np.uint8)
         if frames.ndim == 1:
             frames = frames[None]
+        B = frames.shape[0]
+        texts = [text] * B if isinstance(text, str) else list(text)
+        if len(texts) != B:
+            raise ValueError(f"need {B} texts, got {len(texts)}")
+        ids = np.stack(
+            [fonts.encode_text(t, MAX_OVERLAY_CHARS) for t in texts]
+        ).astype(np.int32)
+        n_chars = np.asarray(
+            [min(len(t), MAX_OVERLAY_CHARS) for t in texts], np.int32
+        )
+        char_ids = jax.device_put(jnp.asarray(ids), self._sharding_rep)
+        n_chars = jax.device_put(jnp.asarray(n_chars), self._sharding_rep)
         frames = jax.device_put(frames, self._sharding_state)
-        return self._step(prev, frames, char_ids, n_chars)
+        args = (prev, frames, char_ids, n_chars)
+        if self._thr_map_dev is not None:
+            args += (self._thr_map_dev,)
+        return self._step(*args)

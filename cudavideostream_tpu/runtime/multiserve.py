@@ -186,11 +186,11 @@ class MultiStreamServer:
                         for b in range(self.B)
                     ])
                 elif self._sharded:
-                    # shared overlay text (multiserve renders the same status
-                    # string into every stream; per-stream text is a batched-
-                    # pipeline feature)
+                    # per-stream overlay text: the char ids shard along
+                    # the data axis with the streams (parity with the
+                    # batched single-chip path)
                     state, counts_d, xs_d, vals_d, _ = self.pipe.step(
-                        state, frames, text=texts[0] if texts else ""
+                        state, frames, text=texts
                     )
                     counts_np = np.asarray(counts_d).astype(np.int32)
                     n_space = self.pipe.n_space

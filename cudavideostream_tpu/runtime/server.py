@@ -216,10 +216,13 @@ def main(argv=None) -> int:
                    help="dump visualizer aux frames as PPMs here "
                         "(the headless SERVER_IMSHOW)")
     args = p.parse_args(argv)
-    if args.mesh and (args.threshold_map or args.pipelined or args.tiled
-                      or args.backend == "oracle"):
-        p.error("--mesh is exclusive with --threshold-map/--pipelined/"
-                "--tiled/--backend oracle")
+    # genuinely impossible combos only: --tiled is the single-chip emit
+    # mode (the sharded layout IS the mesh analogue) and the oracle is
+    # the single-host CPU reference. --threshold-map and --pipelined
+    # compose with --mesh (the map shards along rows like the frame;
+    # the pipelined executor wraps the sharded step identically).
+    if args.mesh and (args.tiled or args.backend == "oracle"):
+        p.error("--mesh is exclusive with --tiled/--backend oracle")
     if args.fetch != "auto" and not args.tiled:
         p.error("--fetch tiles/flat applies to --tiled payloads")
 
@@ -244,23 +247,34 @@ def main(argv=None) -> int:
         if tm.ndim == 2:  # per-pixel (H, W) -> per-byte
             tm = np.repeat(tm.ravel(), 3)
         thr_map = np.asarray(tm, dtype=np.uint8).ravel()
+    if thr_map is not None and args.backend == "oracle":
+        p.error("--threshold-map is not supported by --backend oracle")
     executor = None
     if args.mesh:
         from cudavideostream_tpu.runtime.sharded_executor import (
+            PipelinedShardedExecutor,
             ShardedStreamExecutor,
             make_mesh,
         )
 
         d, s = (int(x) for x in args.mesh.split(","))
-        executor = ShardedStreamExecutor(cfg, mesh=make_mesh(d, s))
+        cls = PipelinedShardedExecutor if args.pipelined else ShardedStreamExecutor
+        executor = cls(cfg, mesh=make_mesh(d, s), threshold_map=thr_map)
     elif args.backend == "oracle":
         from cudavideostream_tpu.runtime.oracle_executor import OracleExecutor
 
         executor = OracleExecutor(cfg)
     elif args.pipelined:
+        from cudavideostream_tpu.models import DeltaStreamPipeline
         from cudavideostream_tpu.runtime.executor import PipelinedExecutor
 
-        executor = PipelinedExecutor(cfg)
+        executor = PipelinedExecutor(
+            cfg,
+            pipeline=(
+                DeltaStreamPipeline(cfg, threshold_map=thr_map)
+                if thr_map is not None else None
+            ),
+        )
     if thr_map is not None and executor is None:
         from cudavideostream_tpu.models import DeltaStreamPipeline
 

@@ -11,9 +11,20 @@ With the default ``"sharded"`` payload layout there are zero payload
 collectives: each space-shard's locally-compacted block and count stay
 in place, and the shard axis is handed to the scatter-gather sender as
 the tile axis of a :class:`~cudavideostream_tpu.runtime.wire.TiledPayload`
-— the multi-chip analogue of the single-chip tiled emit. The
-``"replicated"`` layout assembles the flat payload on device with
-collectives instead (all_gather + psum of disjoint blocks).
+— the multi-chip analogue of the single-chip tiled emit. Landing uses
+the shared :class:`~cudavideostream_tpu.runtime.executor.TiledLander`
+over the shard axis (counts first, then per-shard block slices up to
+the last non-empty shard) — never a full-capacity ``(n_space, Ln)``
+fetch, which over the documented ~16 MB/s tunnel would cost seconds per
+frame. The ``"replicated"`` layout assembles the flat payload on device
+with collectives instead, and lands it through tiered ``pos``-prefix
+fetches like the solo executor.
+
+Feature parity with the solo executor (``--mesh`` must not silently
+drop flags): per-byte ``threshold_map`` shards along rows like the
+frame, and :class:`PipelinedShardedExecutor` overlaps frame N's compute
+with frame N-1's landing exactly like the single-chip
+``PipelinedExecutor``.
 """
 
 from __future__ import annotations
@@ -24,7 +35,12 @@ from typing import Optional, Tuple
 import numpy as np
 
 from cudavideostream_tpu.config import StreamConfig, Visualizer
-from cudavideostream_tpu.runtime.executor import ExecMetrics
+from cudavideostream_tpu.runtime.executor import (
+    ExecMetrics,
+    LinkStats,
+    TieredFetcher,
+    TiledLander,
+)
 
 
 def make_mesh(n_data: int, n_space: int):
@@ -46,7 +62,8 @@ class ShardedStreamExecutor:
     """
 
     def __init__(self, config: StreamConfig, mesh=None,
-                 payload_layout: str = "sharded"):
+                 payload_layout: str = "sharded",
+                 threshold_map: Optional[np.ndarray] = None):
         from cudavideostream_tpu.parallel.sharded import ShardedDeltaPipeline
 
         if mesh is None:
@@ -60,9 +77,18 @@ class ShardedStreamExecutor:
             )
         self.cfg = config
         self.pipe = ShardedDeltaPipeline(config, mesh,
-                                         payload_layout=payload_layout)
+                                         payload_layout=payload_layout,
+                                         threshold_map=threshold_map)
         self.payload_layout = payload_layout
         self._state = None
+        self.link = LinkStats()
+        # sharded layout: block landing over the shard axis ("tiles" —
+        # a device-side merge would gather every shard to one device,
+        # defeating the zero-payload-collective layout); replicated
+        # layout: tiered pos-prefix fetches like the solo executor
+        self._lander = TiledLander("tiles", self.link)
+        self._fetch_xs = TieredFetcher(config.frame_bytes, stats=self.link)
+        self._fetch_vals = TieredFetcher(config.frame_bytes, stats=self.link)
         self.metrics = ExecMetrics()
 
     def start(self, base_frame: np.ndarray) -> np.ndarray:
@@ -78,22 +104,58 @@ class ShardedStreamExecutor:
         t0 = time.perf_counter()
         out = self.pipe.step(self._state, frame, text=text)
         self._state = out[0]
-        aux_d = out[4]
+        return self._land(t0, out[1:])
+
+    def _land(self, t0, rest):
+        aux_d = rest[3]
         aux = (
             np.asarray(aux_d)[0]
             if self.cfg.visualizer != Visualizer.NONE
             else None
         )
         if self.payload_layout == "sharded":
-            counts, xs, vals = out[1], out[2], out[3]
-            payload = self.pipe.payload_tiles(counts, xs, vals, 0)
-            self.metrics.record(time.perf_counter() - t0, payload.pos)
-            return payload.pos, payload, None, aux
-        pos = int(np.asarray(out[1])[0])
-        xs = np.asarray(out[2])[0][:pos]
-        vals = np.asarray(out[3])[0][:pos]
+            counts_d, xs_d, vals_d = rest[0], rest[1], rest[2]
+            counts = np.asarray(counts_d).astype(np.int32)[0]
+            pos = int(counts.sum())
+            n_space, Ln = self.pipe.n_space, self.pipe.local_bytes
+            xs3 = xs_d.reshape(1, n_space, Ln)
+            vals3 = vals_d.reshape(1, n_space, Ln)
+            payload = self._lander.land(
+                pos, counts, counts_d[0], xs3[0], vals3[0]
+            )
+            self.metrics.record(time.perf_counter() - t0, pos)
+            return pos, payload, None, aux
+        pos = int(np.asarray(rest[0])[0])
+        xs = self._fetch_xs.fetch(rest[1][0], pos)
+        vals = self._fetch_vals.fetch(rest[2][0], pos)
         self.metrics.record(time.perf_counter() - t0, pos)
         return pos, xs, vals, aux
 
     def flush(self):
         return None
+
+
+class PipelinedShardedExecutor(ShardedStreamExecutor):
+    """One-frame-deep software pipeline over the sharded step: dispatch
+    frame N, land frame N-1's payload while N computes — identical
+    semantics to the single-chip ``PipelinedExecutor`` (output lags one
+    frame; call :meth:`flush` after the last frame)."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self._pending = None
+
+    def process(self, frame, text: str = ""):
+        if self._state is None:
+            raise RuntimeError("call start(base_frame) first")
+        t0 = time.perf_counter()
+        out = self.pipe.step(self._state, frame, text=text)
+        self._state = out[0]
+        prev, self._pending = self._pending, (t0, out[1:])
+        if prev is None:
+            return None
+        return self._land(*prev)
+
+    def flush(self):
+        prev, self._pending = self._pending, None
+        return self._land(*prev) if prev is not None else None

@@ -174,6 +174,81 @@ def test_sharded_payload_layout_zero_collectives(mesh8, viz):
             prev_ref[b] = exp_prev
 
 
+def test_threshold_map_sharded_matches_oracle(mesh8):
+    """--threshold-map under --mesh: the per-byte map shards along rows
+    like the frame (P('space') input, zero collectives) and must
+    reproduce the solo oracle byte-exactly."""
+    cfg = cfg_for(mesh8)
+    rng = np.random.default_rng(9)
+    tm = rng.integers(1, 60, cfg.frame_bytes, endpoint=True, dtype=np.uint8)
+    pipe = ShardedDeltaPipeline(cfg, mesh8, threshold_map=tm)
+    batch = 2
+    base = rng.integers(0, 255, (batch, cfg.frame_bytes), endpoint=True,
+                        dtype=np.uint8)
+    state = pipe.init_state(base)
+    prev_ref = [base[b].copy() for b in range(batch)]
+    text = "FPS: 9"
+    ids = fonts.encode_text(text)
+    for t in range(2):
+        frames = np.stack(
+            [make_frame_pair(rng, cfg.frame_bytes)[1] for _ in range(batch)]
+        )
+        state, pos, xs, vals, _ = pipe.step(state, frames, text=text)
+        for b in range(batch):
+            exp_prev, exp_pos, exp_xs, exp_vals, _ = ref.step_oracle(
+                prev_ref[b], frames[b], cfg, atlas=pipe.atlas_np,
+                char_ids=ids, threshold_map=tm,
+            )
+            assert int(np.asarray(pos)[b]) == exp_pos, (t, b)
+            np.testing.assert_array_equal(
+                np.asarray(xs)[b][:exp_pos], exp_xs
+            )
+            np.testing.assert_array_equal(
+                np.asarray(vals)[b][:exp_pos], exp_vals
+            )
+            np.testing.assert_array_equal(np.asarray(state)[b], exp_prev)
+            prev_ref[b] = exp_prev
+
+
+def test_threshold_map_bad_length_rejected(mesh8):
+    cfg = cfg_for(mesh8)
+    with pytest.raises(ValueError, match="threshold_map"):
+        ShardedDeltaPipeline(cfg, mesh8, threshold_map=np.zeros(7, np.uint8))
+
+
+def test_per_stream_overlay_texts(mesh8):
+    """Each data-shard stream renders its OWN overlay text (char ids ride
+    P('data')), byte-exact vs per-stream oracles."""
+    cfg = cfg_for(mesh8)
+    pipe = ShardedDeltaPipeline(cfg, mesh8)
+    rng = np.random.default_rng(3)
+    batch = 2
+    texts = ["FPS: 31", "BW: 77"]
+    base = rng.integers(0, 255, (batch, cfg.frame_bytes), endpoint=True,
+                        dtype=np.uint8)
+    state = pipe.init_state(base)
+    prev_ref = [base[b].copy() for b in range(batch)]
+    for t in range(2):
+        frames = np.stack(
+            [make_frame_pair(rng, cfg.frame_bytes)[1] for _ in range(batch)]
+        )
+        state, pos, xs, vals, _ = pipe.step(state, frames, text=texts)
+        for b in range(batch):
+            exp_prev, exp_pos, exp_xs, exp_vals, _ = ref.step_oracle(
+                prev_ref[b], frames[b], cfg, atlas=pipe.atlas_np,
+                char_ids=fonts.encode_text(texts[b]),
+            )
+            assert int(np.asarray(pos)[b]) == exp_pos, (t, b)
+            np.testing.assert_array_equal(
+                np.asarray(xs)[b][:exp_pos], exp_xs
+            )
+            np.testing.assert_array_equal(
+                np.asarray(vals)[b][:exp_pos], exp_vals
+            )
+            np.testing.assert_array_equal(np.asarray(state)[b], exp_prev)
+            prev_ref[b] = exp_prev
+
+
 class TestShardedExecutor:
     """Product wiring of the multi-chip pipeline: the server can run one
     stream sharded over a space mesh and must put the identical bytes on
@@ -228,6 +303,47 @@ class TestShardedExecutor:
         sharded = self._capture(cfg, executor=ex)
         assert baseline == sharded
         assert len(baseline) > cfg.frame_bytes
+
+    def test_pipelined_sharded_wire_identical(self):
+        """--mesh --pipelined: the one-frame-lag pipelined wrapper over
+        the sharded step ships identical wire bytes (the lag drains
+        through flush)."""
+        from cudavideostream_tpu.runtime.sharded_executor import (
+            PipelinedShardedExecutor,
+            make_mesh,
+        )
+
+        if len(jax.devices()) < 4:
+            pytest.skip("needs 4 virtual devices")
+        cfg = StreamConfig(height=48, width=64, overlay_scale=1, port=0)
+        baseline = self._capture(cfg)
+        ex = PipelinedShardedExecutor(cfg, mesh=make_mesh(1, 4))
+        assert self._capture(cfg, executor=ex) == baseline
+
+    def test_threshold_map_sharded_executor_wire(self):
+        """--mesh --threshold-map: the sharded executor with a map ships
+        the same bytes as the solo executor with the same map."""
+        from cudavideostream_tpu.models import DeltaStreamPipeline
+        from cudavideostream_tpu.runtime.executor import StreamExecutor
+        from cudavideostream_tpu.runtime.sharded_executor import (
+            ShardedStreamExecutor,
+            make_mesh,
+        )
+
+        if len(jax.devices()) < 4:
+            pytest.skip("needs 4 virtual devices")
+        cfg = StreamConfig(height=48, width=64, overlay_scale=1, port=0)
+        rng = np.random.default_rng(4)
+        tm = rng.integers(1, 60, cfg.frame_bytes, endpoint=True,
+                          dtype=np.uint8)
+        solo = StreamExecutor(
+            cfg, pipeline=DeltaStreamPipeline(cfg, threshold_map=tm)
+        )
+        baseline = self._capture(cfg, executor=solo)
+        ex = ShardedStreamExecutor(
+            cfg, mesh=make_mesh(1, 4), threshold_map=tm
+        )
+        assert self._capture(cfg, executor=ex) == baseline
 
     def test_mesh_cli_exclusive(self):
         from cudavideostream_tpu.runtime.server import main
