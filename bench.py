@@ -150,6 +150,9 @@ def main(argv=None) -> int:
                    help="payload layout for the headline (tiled = the "
                         "product wire path via wire_send_segments; flat = "
                         "the library API with the device merge epilogue)")
+    p.add_argument("--subtile", type=int, default=None,
+                   help="override config.subtile_rows for the headline "
+                        "(A/B the sub-tiled compaction granularity)")
     p.add_argument("--all-variants", action="store_true",
                    help="additionally bench every named pipeline variant; "
                         "writes benchmarks/variants_tpu_v5e.json")
@@ -164,6 +167,8 @@ def main(argv=None) -> int:
     on_tpu = jax.default_backend() not in ("cpu",)
     base_cfg = StreamConfig() if on_tpu else StreamConfig(height=48, width=64)
     cfg = dataclasses.replace(base_cfg, tiled_payload=(args.emit == "tiled"))
+    if args.subtile is not None:
+        cfg = dataclasses.replace(cfg, subtile_rows=args.subtile)
     print(
         f"bench: {cfg.height}x{cfg.width} on {jax.devices()[0].platform} "
         f"(emit={args.emit})",

@@ -93,6 +93,16 @@ class StreamConfig:
     # from measured link throughput and merge cost. Wire bytes are
     # identical either way.
     fetch_mode: str = "auto"
+    # Sub-tiled compaction granularity (tiled_payload + PALLAS only):
+    # each DMA block compacts as independent subtile_rows-row units, so
+    # the kernel's shift-pass loop shrinks from log2(tile_bytes) ~ 16 to
+    # log2(subtile_rows*128) passes — measured 0.39 -> 0.30 ms at
+    # 1080p/6% uniform (benchmarks/subtile_ab). Wire bytes identical.
+    # Cost: counts grow by tile_rows/subtile_rows (a few 10s of KB per
+    # frame on the host link) and the device-side "flat" merge becomes
+    # unit-serial (the auto lander starts pessimistic about it). 0 = one
+    # unit per DMA block (the round-2 kernel).
+    subtile_rows: int = 8
 
     # Text overlay (kernel2_char, kernels.cu:351-375): glyph cell scale,
     # and font style — "stroke" is a thin vector font in the visual
@@ -140,6 +150,10 @@ class StreamConfig:
             raise ValueError(f"unknown fetch_mode {self.fetch_mode!r}")
         if self.fetch_mode != "auto" and not self.tiled_payload:
             raise ValueError("fetch_mode tiles/flat applies to tiled_payload")
+        if self.subtile_rows < 0 or (
+            self.subtile_rows & (self.subtile_rows - 1)
+        ):
+            raise ValueError("subtile_rows must be 0 or a power of two")
 
 
 DEFAULT_CONFIG = StreamConfig()

@@ -176,6 +176,7 @@ class BatchedDeltaPipeline:
                 negative_feedback=cfg.negative_feedback,
                 interpret=self._solo._interpret,
                 threshold_map=self._solo._thr_map,
+                sub_rows=cfg.subtile_rows,
             ))
         if len(outs) == 1:
             pos, counts, xs_t, vals_t, new_prev = outs[0]

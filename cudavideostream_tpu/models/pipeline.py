@@ -156,6 +156,9 @@ class DeltaStreamPipeline:
         )
         if cfg.compaction.value == "pallas":
             if cfg.tiled_payload:
+                # sub-tiled compaction rides the tiled emit only: the
+                # flat emit's device merge is unit-serial and would pay
+                # tile_rows/subtile_rows more steps (benchmarks/subtile_ab)
                 pos, counts, xs_t, vals_t, new_prev = logcompact.fused_diff_compact(
                     cur,
                     prev,
@@ -165,6 +168,7 @@ class DeltaStreamPipeline:
                     emit="tiled",
                     overlay_region=overlay_region,
                     threshold_map=self._thr_map,
+                    sub_rows=cfg.subtile_rows,
                 )
                 payload = (pos, counts, xs_t, vals_t)
             else:

@@ -227,28 +227,58 @@ int64_t client_decode(const char *host, int port, int64_t n_bytes,
 /* ------------------------------------------------------------------ */
 
 #define V4L2_NBUF 4
+#define V4L2_ERR_FORMAT (-2000) /* no supported pixel format negotiated */
 static struct {
     int fd;
     void *buf[V4L2_NBUF];
     size_t len[V4L2_NBUF];
     int w, h;
+    uint32_t fourcc;
 } g_cam = {.fd = -1};
+
+/* Negotiate the pixel format: prefer raw BGR24, accept MJPEG (the
+ * reference captures 1080p as MJPG because raw BGR24 at 1080p30
+ * exceeds USB2 bandwidth, threads.cpp:34-38 — MJPG frames are decoded
+ * host-side by the Python layer). VIDIOC_S_FMT rewrites fmt with what
+ * the driver actually granted, so the result must be checked, not
+ * assumed. Returns 0 on success with *fourcc set, V4L2_ERR_FORMAT when
+ * the device offers neither format, -errno on ioctl failure. */
+static int v4l2_negotiate(int fd, int width, int height, uint32_t *fourcc) {
+    const uint32_t want[2] = {V4L2_PIX_FMT_BGR24, V4L2_PIX_FMT_MJPEG};
+    int err = V4L2_ERR_FORMAT;
+    for (int i = 0; i < 2; ++i) {
+        struct v4l2_format fmt;
+        memset(&fmt, 0, sizeof fmt);
+        fmt.type = V4L2_BUF_TYPE_VIDEO_CAPTURE;
+        fmt.fmt.pix.width = width;
+        fmt.fmt.pix.height = height;
+        fmt.fmt.pix.pixelformat = want[i];
+        fmt.fmt.pix.field = V4L2_FIELD_NONE;
+        if (ioctl(fd, VIDIOC_S_FMT, &fmt) < 0) {
+            err = -errno;
+            continue;
+        }
+        if (fmt.fmt.pix.pixelformat == want[i]
+            && fmt.fmt.pix.width == (uint32_t)width
+            && fmt.fmt.pix.height == (uint32_t)height) {
+            *fourcc = want[i];
+            return 0;
+        }
+        err = V4L2_ERR_FORMAT; /* driver substituted something else */
+    }
+    return err;
+}
 
 int v4l2_open(const char *dev, int width, int height) {
     if (g_cam.fd >= 0) return -1;
     int fd = open(dev, O_RDWR);
     if (fd < 0) return -errno;
 
-    struct v4l2_format fmt;
-    memset(&fmt, 0, sizeof fmt);
-    fmt.type = V4L2_BUF_TYPE_VIDEO_CAPTURE;
-    fmt.fmt.pix.width = width;
-    fmt.fmt.pix.height = height;
-    fmt.fmt.pix.pixelformat = V4L2_PIX_FMT_BGR24;
-    fmt.fmt.pix.field = V4L2_FIELD_NONE;
-    if (ioctl(fd, VIDIOC_S_FMT, &fmt) < 0) {
+    uint32_t fourcc = 0;
+    int rc = v4l2_negotiate(fd, width, height, &fourcc);
+    if (rc < 0) {
         close(fd);
-        return -errno;
+        return rc;
     }
 
     struct v4l2_requestbuffers req;
@@ -286,9 +316,13 @@ int v4l2_open(const char *dev, int width, int height) {
     g_cam.fd = fd;
     g_cam.w = width;
     g_cam.h = height;
-    return 0;
+    g_cam.fourcc = fourcc;
+    /* success: 0 = raw BGR24 frames, 1 = MJPEG (caller decodes) */
+    return fourcc == V4L2_PIX_FMT_MJPEG ? 1 : 0;
 }
 
+/* Returns the number of payload bytes copied (frame_bytes for BGR24,
+ * the compressed JPEG length for MJPEG), or -errno. */
 int v4l2_grab(int handle, uint8_t *out, int64_t out_len) {
     (void)handle;
     if (g_cam.fd < 0) return -1;
@@ -300,7 +334,7 @@ int v4l2_grab(int handle, uint8_t *out, int64_t out_len) {
     size_t n = b.bytesused < (size_t)out_len ? b.bytesused : (size_t)out_len;
     memcpy(out, g_cam.buf[b.index], n);
     if (ioctl(g_cam.fd, VIDIOC_QBUF, &b) < 0) return -errno;
-    return 0;
+    return (int)n;
 }
 
 void v4l2_close(int handle) {

@@ -8,9 +8,11 @@ Three schemes, all byte-exact against the oracle and each other:
 
 **element (default)** — per-element LSB-first bit-serial shifting. Every
 masked slot holds a packed payload ``holes*256 + delta`` in one int32
-(holes < tile bytes <= 512*128, so the packed value is at most
-2^24 - 1; empty slots hold 0, which no valid payload equals because
-delta 0 never ships) and must move
+(holes < unit bytes; for the swept default tiles that is 512*128 so
+packed <= 2^24 - 1, and for the huge-tile geometry past ~131 MB frames
+units reach ``ceil(2^31/128/MAX_GRID)*128`` bytes so packed stays below
+~2^28 — comfortably int32 either way; empty slots hold 0, which no
+valid payload equals because delta 0 never ships) and must move
 left by its hole count ``holes_i = flat_i - (incl_i - 1)``; the original
 index is recovered at the end as ``final_position + holes``. Holes are
 nondecreasing along the frame, so shifting one gap-bit at a time,
@@ -147,7 +149,7 @@ def _flat_roll_right(x, s: int, rows: int):
 def _kernel_v2(cur_ref, prev_ref, thr_ref, *rest,
                tile_rows: int, negfeed: bool, region_tiles: int = 0,
                thr_is_map: bool = False, skip_static: bool = True,
-               stream_tiles: int = 0):
+               stream_tiles: int = 0, sub_rows: int = 0):
     """Per-element LSB-first shift compaction — ~16 dense passes.
 
     Each masked element must move left by its hole count
@@ -172,6 +174,23 @@ def _kernel_v2(cur_ref, prev_ref, thr_ref, *rest,
     prefix), folding the overlay into this kernel's existing frame read
     at zero marginal HBM cost — the reference pays one kernel2_char
     launch per character (``kernels.cu:466-476``).
+
+    ``sub_rows > 0`` — SUB-TILED compaction: the block compacts as
+    ``tile_rows // sub_rows`` independent sub-tiles of ``sub_rows``
+    rows, emitting one count per sub-tile. The DMA/grid geometry is
+    untouched (same blocks, same pipelining), but the hole range drops
+    to ``sub_rows * 128``, so the pass loop shrinks from
+    ``log2(tile_rows*128)`` (~16) to ``log2(sub_rows*128)`` (10 at
+    sub_rows=8) — the shift passes are 75% of the kernel
+    (benchmarks/stage_breakdown_tpu_v5e), and every pass is a full
+    (tile_rows, 128) pass regardless of sub-tiling, so fewer passes is
+    a direct win. The wire bytes are IDENTICAL: the host's
+    scatter-gather sender concatenates per-sub-tile prefixes exactly as
+    it concatenates per-tile prefixes (ascending order is preserved at
+    both levels). The trade is more counts (host nonzero scan, iovec
+    entries — both trivial) and a slower device-side merge_tiles for
+    the "flat" landing (the density-adaptive lander measures and avoids
+    it). See benchmarks/subtile_ab for the measured sweep.
     """
     if region_tiles:
         reg_ref, new_prev_ref, xs_ref, vals_ref, cnt_ref = rest
@@ -230,7 +249,25 @@ def _kernel_v2(cur_ref, prev_ref, thr_ref, *rest,
         ).astype(jnp.float32)
         incl_f = jnp.dot(mi_f, lane_u)
         rowtot_f = jnp.broadcast_to(incl_f[:, LANES - 1 : LANES], (R, LANES))
-        if R <= 1024:
+        if sub_rows:
+            # sub-tiled: the row-phase prefix resets at sub-tile
+            # boundaries — the triangular matrix goes block-diagonal
+            # (same matmul shape/cost as the full-tile prefix)
+            rq = jax.lax.broadcasted_iota(jnp.int32, (R, R), 0)
+            cq = jax.lax.broadcasted_iota(jnp.int32, (R, R), 1)
+            row_t = (
+                (cq <= rq) & (cq // sub_rows == rq // sub_rows)
+            ).astype(jnp.float32)
+            rowpre_f = jnp.dot(row_t, rowtot_f)
+            incl = (incl_f + (rowpre_f - rowtot_f)).astype(jnp.int32)
+        elif R <= 512:
+            # matmul cutoff pinned to the hardware-validated tile range:
+            # the swept geometries never exceed 512 rows, and a 512<R
+            # tile (frames past ~131 MB) would put a 4 MB (R,R) f32
+            # matrix plus several (R,128) temporaries in VMEM — a
+            # configuration only ever exercised in interpret mode, where
+            # a hardware VMEM overflow could hide. Those rare huge-tile
+            # geometries take the roll fallback below instead.
             row_t = (
                 jax.lax.broadcasted_iota(jnp.int32, (R, R), 1)
                 <= jax.lax.broadcasted_iota(jnp.int32, (R, R), 0)
@@ -254,15 +291,19 @@ def _kernel_v2(cur_ref, prev_ref, thr_ref, *rest,
                 s *= 2
             incl = incl + (rowpre - rowtot)
 
-        # Pack ``holes*256 + delta`` into ONE int32 (holes < tile bytes
-        # <= 512*128 = 65536, so the packed value is at most
-        # 65535*256 + 255 = 2^24 - 1): the shift distance rides
-        # with the value, so each pass rolls a single array — half the
-        # vector work of carrying (payload, holes) side by side. The
+        # Pack ``holes*256 + delta`` into ONE int32 (holes < unit bytes:
+        # 2^16 for the swept <=512-row tiles, up to ~2^20 for the
+        # huge-tile geometry past ~131 MB frames — packed stays below
+        # ~2^28 < 2^31 in every supported case): the shift distance
+        # rides with the value, so each pass rolls a single array — half
+        # the vector work of carrying (payload, holes) side by side. The
         # original index needs no bits at all: an element that started
         # at flat index f lands at f - holes, so at the end
         # ``orig = final_position + holes`` recovers it exactly.
-        holes = jnp.where(m, flat - (incl - 1), 0)
+        # local flat index within the compaction unit (sub-tile or tile)
+        n_unit = sub_rows * LANES if sub_rows else n_flat
+        local = (sub % sub_rows) * LANES + lane if sub_rows else flat
+        holes = jnp.where(m, local - (incl - 1), 0)
         x = jnp.where(m, holes * 256 + jnp.bitwise_and(df, 255), 0)
 
         # (A rejected variant gated each pass on ``max(holes) >= b`` via
@@ -271,9 +312,11 @@ def _kernel_v2(cur_ref, prev_ref, thr_ref, *rest,
         # adversarial uniform scene ~30% and buys realistic scenes ~1%,
         # because the tile-level static skip already covers them.)
         b = 1
-        while b < n_flat:
+        while b < n_unit:
             rx = _flat_roll_left(x, b, R)
-            src_ok = flat + b < n_flat  # static pattern: no wrap-in
+            # static pattern: no wrap-in across the unit boundary (the
+            # array end for full tiles, every sub-tile edge otherwise)
+            src_ok = local + b < n_unit
             # occupancy tests are free: empty slots are exactly 0, so
             # "hole-bit b set" already implies the slot is occupied
             # (for the keep branch, an empty x passes 0 through either
@@ -288,10 +331,16 @@ def _kernel_v2(cur_ref, prev_ref, thr_ref, *rest,
         # unpack in-kernel, re-globalizing indices (a hole is exactly
         # x == 0 — a valid element with holes == 0 still has a nonzero
         # delta byte — so padding lanes stay 0): the caller never
-        # touches the packed form, no unpack pass over HBM is needed
+        # touches the packed form, no unpack pass over HBM is needed.
+        # orig = final + holes holds at any granularity: movement stays
+        # inside the unit, and holes are unit-local.
         xs_ref[:] = jnp.where(x != 0, flat + (x >> 8) + i_s * n_flat, 0)
         vals_ref[:] = jnp.bitwise_and(x, 255).astype(jnp.uint8)
-        cnt_ref[i, 0] = incl[R - 1, LANES - 1]
+        if sub_rows:
+            for s in range(R // sub_rows):
+                cnt_ref[i, s] = incl[(s + 1) * sub_rows - 1, LANES - 1]
+        else:
+            cnt_ref[i, 0] = incl[R - 1, LANES - 1]
 
     if not skip_static:
         _compact()
@@ -303,7 +352,8 @@ def _kernel_v2(cur_ref, prev_ref, thr_ref, *rest,
         def _static():
             xs_ref[:] = jnp.zeros((R, LANES), jnp.int32)
             vals_ref[:] = jnp.zeros((R, LANES), jnp.uint8)
-            cnt_ref[i, 0] = 0
+            for s in range(R // sub_rows if sub_rows else 1):
+                cnt_ref[i, s] = 0
 
 
 def _kernel(cur_ref, prev_ref, thr_ref, *rest,
@@ -405,7 +455,7 @@ def _kernel(cur_ref, prev_ref, thr_ref, *rest,
 
 def _run_kernel(cur2, prev2, thr, *, scheme, tile_rows, grid,
                 negfeed, interpret, region2=None, thr_is_map=False,
-                skip_static=True, stream_tiles=0):
+                skip_static=True, stream_tiles=0, sub_rows=0):
     """Dispatch one pallas_call; returns ``(new_prev, xs_t, vals_t,
     counts)`` with the tile blocks in ``(rows, LANES)`` layout.
     ``region2`` is an optional overlay-region prefix (a multiple of
@@ -435,11 +485,15 @@ def _run_kernel(cur2, prev2, thr, *, scheme, tile_rows, grid,
         # pass at B=8) — callers pre-substitute instead
         raise ValueError("overlay_region is solo-only; see models.batched")
     region_tiles = 0 if region2 is None else region2.shape[0] // tile_rows
+    if sub_rows and scheme != "element":
+        raise ValueError("sub_rows: element scheme only")
+    n_counts = tile_rows // sub_rows if sub_rows else 1
     if scheme == "element":
         kernel = functools.partial(
             _kernel_v2, tile_rows=tile_rows, negfeed=negfeed,
             region_tiles=region_tiles, thr_is_map=thr_is_map,
             skip_static=skip_static, stream_tiles=stream_tiles,
+            sub_rows=sub_rows,
         )
     else:
         kernel = functools.partial(
@@ -477,13 +531,14 @@ def _run_kernel(cur2, prev2, thr, *, scheme, tile_rows, grid,
             pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((grid, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((grid, n_counts), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((rows, LANES), jnp.uint8),
             jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
             jax.ShapeDtypeStruct((rows, LANES), jnp.uint8),
-            jax.ShapeDtypeStruct((grid, 1), jnp.int32),
+            jax.ShapeDtypeStruct((grid, n_counts), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
@@ -496,7 +551,7 @@ def _run_kernel(cur2, prev2, thr, *, scheme, tile_rows, grid,
 @functools.partial(
     jax.jit,
     static_argnames=("threshold", "negative_feedback", "interpret", "scheme",
-                     "emit", "skip_static"),
+                     "emit", "skip_static", "sub_rows"),
 )
 def fused_diff_compact(
     current: Array,
@@ -509,6 +564,7 @@ def fused_diff_compact(
     overlay_region: Array | None = None,
     threshold_map: Array | None = None,
     skip_static: bool = True,
+    sub_rows: int = 0,
 ):
     """Fused kernel2: diff + negative feedback + stream compaction.
 
@@ -546,9 +602,20 @@ def fused_diff_compact(
     ``|df_i| > threshold_map[i]`` — per-region sensitivity the
     reference's global ``#define`` cannot express. Overrides
     ``threshold``.
+
+    ``sub_rows`` (element scheme): compact in independent ``sub_rows``-row
+    sub-tiles inside each DMA block — fewer shift passes at identical
+    wire bytes (see ``_kernel_v2``). The emitted counts/blocks are then
+    per SUB-tile: ``counts (grid * tile_rows/sub_rows,)``, blocks
+    ``(n_sub_tiles, sub_rows*128)``. Silently ignored when it doesn't
+    divide the chosen tile geometry (huge frames) — the output shapes
+    follow whatever granularity actually ran.
     """
     n = current.shape[0]
     rows, tile_rows = _tile_geometry(-(-n // LANES))
+    if sub_rows and (tile_rows % sub_rows or tile_rows > 1024
+                     or scheme != "element"):
+        sub_rows = 0
     n_pad = rows * LANES
     # tile-LOCAL packing bounds the packed rep by the tile size, so the
     # frame itself is limited only by int32 byte indices
@@ -585,23 +652,27 @@ def fused_diff_compact(
     new_prev, xs_t, vals_t, counts = _run_kernel(
         cur2, prev2, thr, scheme=scheme, tile_rows=tile_rows, grid=grid,
         negfeed=negative_feedback, interpret=interpret, region2=region2,
-        thr_is_map=thr_is_map, skip_static=skip_static,
+        thr_is_map=thr_is_map, skip_static=skip_static, sub_rows=sub_rows,
     )
 
-    counts = counts.reshape(grid)
+    # emission granularity: sub-tiles when sub_rows ran, else tiles
+    unit_rows = sub_rows if sub_rows else tile_rows
+    n_units = rows // unit_rows
+    unit_bytes = unit_rows * LANES
+    counts = counts.reshape(n_units)
     offsets = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)]
     )
-    pos = offsets[grid]
+    pos = offsets[n_units]
     new_prev = new_prev.reshape(n_pad)[:n]
-    tile_bytes = tile_rows * LANES
 
     if emit == "tiled":
-        return (pos, counts, xs_t.reshape(grid, tile_bytes),
-                vals_t.reshape(grid, tile_bytes), new_prev)
+        return (pos, counts, xs_t.reshape(n_units, unit_bytes),
+                vals_t.reshape(n_units, unit_bytes), new_prev)
 
     xs, vals = _merge_tiles_impl(
-        counts, xs_t.reshape(grid, tile_bytes), vals_t.reshape(grid, tile_bytes)
+        counts, xs_t.reshape(n_units, unit_bytes),
+        vals_t.reshape(n_units, unit_bytes)
     )
     return pos, xs[:n], vals[:n], new_prev
 
@@ -609,7 +680,7 @@ def fused_diff_compact(
 @functools.partial(
     jax.jit,
     static_argnames=("n_streams", "threshold", "negative_feedback",
-                     "interpret", "scheme", "skip_static"),
+                     "interpret", "scheme", "skip_static", "sub_rows"),
 )
 def fused_diff_compact_batched(
     current: Array,
@@ -621,6 +692,7 @@ def fused_diff_compact_batched(
     scheme: str = "element",
     threshold_map: Array | None = None,
     skip_static: bool = True,
+    sub_rows: int = 0,
 ):
     """Batched kernel2: B independent streams in ONE pallas_call.
 
@@ -653,6 +725,9 @@ def fused_diff_compact_batched(
         raise ValueError("expect flat (B*n,) frames")
     n = current.shape[0] // B
     rows, tile_rows = _tile_geometry(-(-n // LANES))
+    if sub_rows and (tile_rows % sub_rows or tile_rows > 1024
+                     or scheme != "element"):
+        sub_rows = 0
     n_pad = rows * LANES
     if n_pad >= 1 << 31:
         raise ValueError("frame byte indices exceed int32")
@@ -702,8 +777,12 @@ def fused_diff_compact_batched(
         cur2, prev2, thr, scheme=scheme, tile_rows=tile_rows, grid=grid,
         negfeed=negative_feedback, interpret=interpret,
         thr_is_map=thr_is_map, skip_static=skip_static, stream_tiles=tps,
+        sub_rows=sub_rows,
     )
-    counts = counts.reshape(B, tps)
+    unit_rows = sub_rows if sub_rows else tile_rows
+    units_per_stream = rows // unit_rows
+    unit_bytes = unit_rows * LANES
+    counts = counts.reshape(B, units_per_stream)
     pos = jnp.sum(counts, axis=1)
     if n_pad != n:
         # 1-D slicing, again avoiding any (B, n)-shaped intermediate
@@ -716,8 +795,8 @@ def fused_diff_compact_batched(
     return (
         pos,
         counts,
-        xs_t.reshape(B, tps, tile_bytes),
-        vals_t.reshape(B, tps, tile_bytes),
+        xs_t.reshape(B, units_per_stream, unit_bytes),
+        vals_t.reshape(B, units_per_stream, unit_bytes),
         new_prev_flat,
     )
 

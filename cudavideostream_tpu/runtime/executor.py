@@ -241,7 +241,13 @@ class StreamExecutor:
         self.cfg = config
         self.pipe = pipeline or DeltaStreamPipeline(config)
         self._state = None
-        self.link = LinkStats()
+        # sub-tiled payloads make the device-side merge unit-serial
+        # (~tile_rows/subtile_rows slower, benchmarks/subtile_ab): start
+        # the merge-cost EMA pessimistic so "auto" doesn't pay a slow
+        # first flat landing to find out; a forced --fetch flat still
+        # measures the real cost and takes over
+        merge_init = 50e-3 if config.subtile_rows else 1.5e-3
+        self.link = LinkStats(merge_s_init=merge_init)
         self._fetch_xs = TieredFetcher(config.capacity, stats=self.link)
         self._fetch_vals = TieredFetcher(config.capacity, stats=self.link)
         self._lander = TiledLander(config.fetch_mode, self.link)

@@ -77,8 +77,13 @@ class MultiStreamServer:
         # collectives — a device-side merge_tiles over space-sharded
         # blocks would gather every shard to one device per frame, so
         # the lander is pinned to the block path there
+        from cudavideostream_tpu.runtime.executor import LinkStats
+
         self._lander = TiledLander(
-            "tiles" if self._sharded else config.fetch_mode
+            "tiles" if self._sharded else config.fetch_mode,
+            LinkStats(
+                merge_s_init=50e-3 if config.subtile_rows else 1.5e-3
+            ),
         )
         self.metrics = ExecMetrics()
 

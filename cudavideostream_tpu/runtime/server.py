@@ -197,6 +197,10 @@ def main(argv=None) -> int:
                         "fetch; flat = device merge + pos-prefix fetch "
                         "(fewest bytes over the link); auto = pick per "
                         "frame from measured link/merge times")
+    p.add_argument("--subtile", type=int, default=None,
+                   help="sub-tiled compaction granularity in rows "
+                        "(tiled payloads; 0 = whole-tile units, default "
+                        "8 — see benchmarks/subtile_ab)")
     p.add_argument("--backend", default="device", choices=["device", "oracle"],
                    help="device = JAX/Pallas pipeline; oracle = pure-NumPy "
                         "CPU reference (the #ifdef CPU path, but complete)")
@@ -239,6 +243,10 @@ def main(argv=None) -> int:
         wire_format=args.wire,
         host=args.host,
         port=args.port,
+        **(
+            {"subtile_rows": args.subtile}
+            if args.subtile is not None else {}
+        ),
     )
     source = make_source(args.source, cfg, path=args.path, seed=args.seed)
     thr_map = None

@@ -113,11 +113,46 @@ class FileSource(FrameSource):
         return f
 
 
-class V4L2Source(FrameSource):
-    """Camera capture through the native helper (see native/csrc/v4l2.c).
+def decode_mjpg_frame(data: bytes, height: int, width: int) -> np.ndarray:
+    """Decode one MJPG (JPEG) camera frame to flat BGR24 bytes.
 
-    Raises ``RuntimeError`` when the device or the helper is unavailable —
-    callers fall back to Synthetic/File sources.
+    The reference captures 1080p as MJPG because raw BGR24 at 1080p30
+    exceeds USB2 bandwidth (``threads.cpp:34-38``) and lets OpenCV
+    decode; here the decode is Pillow (baked into the image). Raises
+    ``RuntimeError`` on a geometry mismatch or undecodable frame.
+    """
+    import io
+
+    try:
+        from PIL import Image
+    except ImportError as e:  # pragma: no cover - PIL is baked in
+        raise RuntimeError(
+            "MJPG camera stream needs Pillow to decode; install PIL or "
+            "use a BGR24-capable device"
+        ) from e
+    try:
+        img = Image.open(io.BytesIO(data))
+        rgb = np.asarray(img.convert("RGB"), dtype=np.uint8)
+    except Exception as e:
+        raise RuntimeError(f"MJPG frame decode failed: {e}") from e
+    if rgb.shape[:2] != (height, width):
+        raise RuntimeError(
+            f"MJPG frame is {rgb.shape[1]}x{rgb.shape[0]}, "
+            f"expected {width}x{height}"
+        )
+    return rgb[..., ::-1].reshape(-1).copy()  # RGB -> BGR, flat
+
+
+class V4L2Source(FrameSource):
+    """Camera capture through the native helper (see native/csrc/cvstpu.c).
+
+    The helper negotiates the pixel format: raw BGR24 preferred, MJPEG
+    accepted (decoded host-side via :func:`decode_mjpg_frame` — real
+    1080p30 USB cameras only do MJPG, like the reference's,
+    ``threads.cpp:34-38``). Any other format is a hard error, never
+    silently-garbage frames. Raises ``RuntimeError`` when the device or
+    the helper is unavailable — callers fall back to Synthetic/File
+    sources.
     """
 
     def __init__(self, config: StreamConfig, device: str = "/dev/video0"):
@@ -130,23 +165,36 @@ class V4L2Source(FrameSource):
         if lib is None or not hasattr(lib, "v4l2_open"):
             raise RuntimeError("native v4l2 helper not built")
         self._lib = lib
-        self._handle = lib.v4l2_open(
-            device.encode(), config.width, config.height
-        )
-        if self._handle < 0:
-            raise RuntimeError(f"v4l2_open({device}) failed: {self._handle}")
+        rc = lib.v4l2_open(device.encode(), config.width, config.height)
+        if rc == -2000:
+            raise RuntimeError(
+                f"{device} offers neither BGR24 nor MJPG at "
+                f"{config.width}x{config.height}"
+            )
+        if rc < 0:
+            raise RuntimeError(f"v4l2_open({device}) failed: {rc}")
+        self._mjpg = rc == 1
+        self._handle = 0
         self._buf = np.empty(config.frame_bytes, dtype=np.uint8)
 
     def __next__(self) -> np.ndarray:
         import ctypes
 
-        rc = self._lib.v4l2_grab(
+        n = self._lib.v4l2_grab(
             self._handle,
             self._buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             self._buf.size,
         )
-        if rc != 0:
-            raise RuntimeError(f"v4l2_grab failed: {rc}")
+        if n < 0:
+            raise RuntimeError(f"v4l2_grab failed: {n}")
+        if self._mjpg:
+            return decode_mjpg_frame(
+                self._buf[:n].tobytes(), self.cfg.height, self.cfg.width
+            )
+        if n != self.cfg.frame_bytes:
+            raise RuntimeError(
+                f"short BGR24 frame: {n} of {self.cfg.frame_bytes} bytes"
+            )
         return self._buf.copy()
 
     def close(self) -> None:
