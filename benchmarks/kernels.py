@@ -77,6 +77,14 @@ def run(out_path: str | None = None):
         )
         return b, new_prev, acc + xs_t[0, 0] + vals_t[0, 0].astype(jnp.int32)
 
+    def chain_diff_compact_subtiled(c):
+        # the product configuration (config.subtile_rows default 8)
+        a, b, acc = c
+        _, counts, xs_t, vals_t, new_prev = logcompact.fused_diff_compact(
+            a, b, emit="tiled", sub_rows=8
+        )
+        return b, new_prev, acc + xs_t[0, 0] + vals_t[0, 0].astype(jnp.int32)
+
     def make_chain_scheme(scheme):
         def chain(c):
             a, b, acc = c
@@ -111,6 +119,10 @@ def run(out_path: str | None = None):
     acc0 = jnp.int32(0)
     entries = [
         ("diff+compact_tiled", 3.42, chain_diff_compact_tiled, (cur, prev, acc0)),
+        ("diff+compact_subtiled8", 3.42, chain_diff_compact_subtiled,
+         (cur, prev, acc0)),
+        ("diff+compact_subtiled8_clustered", 3.42, chain_diff_compact_subtiled,
+         (clus, prev, acc0)),
         ("diff+compact_tiled_clustered", 3.42, chain_diff_compact_tiled,
          (clus, prev, acc0)),
         ("diff+compact_pallas", 3.42, chain_diff_compact, (cur, prev, acc0)),

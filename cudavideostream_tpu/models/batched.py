@@ -134,12 +134,20 @@ class BatchedDeltaPipeline:
                 )
                 for b in range(B)
             ])
+        # one concatenate pass instead of B dynamic_update_slice ops:
+        # XLA fuses a handful of disjoint DUS into one select pass, but
+        # past B~16 the fusion breaks and each DUS becomes a full-buffer
+        # copy (measured: per-stream step 0.35 ms at B=8 but 0.68 at
+        # B=20 with the DUS chain; linear with the concat)
+        pieces = []
         for b in range(B):
             s = jax.lax.slice(cur, (b * n,), (b * n + strip,))
             r = overlay_ops.overlay_blit(
                 s, self._solo.atlas, ids[b], n_chars[b], cell_h, cfg.width
             )
-            cur = jax.lax.dynamic_update_slice(cur, r, (b * n,))
+            pieces.append(r)
+            pieces.append(jax.lax.slice(cur, (b * n + strip,), ((b + 1) * n,)))
+        cur = jnp.concatenate(pieces)
 
         # Visualizers that read the overlaid current frame: heatmap and
         # grayscale are per-pixel, so the flat super-frame IS the stacked

@@ -614,7 +614,10 @@ def fused_diff_compact(
     n = current.shape[0]
     rows, tile_rows = _tile_geometry(-(-n // LANES))
     if sub_rows and (tile_rows % sub_rows or tile_rows > 1024
-                     or scheme != "element"):
+                     or scheme != "element" or emit == "flat"):
+        # flat emit: the merge epilogue is unit-serial, so sub-tiling
+        # would trade 6 cheap passes for thousands of serial merge
+        # steps — the sub-tiled layout exists for the tiled emit
         sub_rows = 0
     n_pad = rows * LANES
     # tile-LOCAL packing bounds the packed rep by the tile size, so the
@@ -801,6 +804,113 @@ def fused_diff_compact_batched(
     )
 
 
+def _kernel_pair(xs_ref, vals_ref, out_xs_ref, out_vals_ref, cnt_ref, *,
+                 tile_rows: int):
+    """Pair compaction: compact ``(xs, vals)`` by ``vals != 0``.
+
+    The device half of the FAST merge for finely-tiled payloads (see
+    :func:`merge_tiles`): the element scheme's LSB-first shift passes,
+    but moving TWO arrays — the packed ``holes*256 + delta`` drives the
+    decisions and the global ``xs`` value rides along under the same
+    takes/keeps (it cannot be packed in: byte indices need up to 31
+    bits themselves). Validity is exactly ``vals != 0`` — a shipped
+    delta is never 0 and tile blocks are zero past their counts.
+    """
+    i = pl.program_id(0)
+    R = tile_rows
+
+    v = vals_ref[:].astype(jnp.int32)
+    m = v != 0
+    mi = m.astype(jnp.int32)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
+    flat = sub * LANES + lane
+
+    mi_f = mi.astype(jnp.float32)
+    lane_u = (
+        jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+        <= jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+    ).astype(jnp.float32)
+    incl_f = jnp.dot(mi_f, lane_u)
+    rowtot_f = jnp.broadcast_to(incl_f[:, LANES - 1 : LANES], (R, LANES))
+    row_t = (
+        jax.lax.broadcasted_iota(jnp.int32, (R, R), 1)
+        <= jax.lax.broadcasted_iota(jnp.int32, (R, R), 0)
+    ).astype(jnp.float32)
+    rowpre_f = jnp.dot(row_t, rowtot_f)
+    incl = (incl_f + (rowpre_f - rowtot_f)).astype(jnp.int32)
+
+    holes = jnp.where(m, flat - (incl - 1), 0)
+    x = jnp.where(m, holes * 256 + v, 0)
+    x2 = xs_ref[:]
+    n_flat = R * LANES
+    b = 1
+    while b < n_flat:
+        rx = _flat_roll_left(x, b, R)
+        rx2 = _flat_roll_left(x2, b, R)
+        src_ok = flat + b < n_flat
+        take = src_ok & (jnp.bitwise_and(rx, b * 256) != 0)
+        keep = jnp.bitwise_and(x, b * 256) == 0
+        x = jnp.where(take, rx, jnp.where(keep, x, 0))
+        x2 = jnp.where(take, rx2, jnp.where(keep, x2, 0))
+        b *= 2
+
+    out_vals_ref[:] = jnp.bitwise_and(x, 255).astype(jnp.uint8)
+    # xs validity follows x's (an xs VALUE of 0 — byte index 0 — is
+    # legitimate; x != 0 is the occupancy flag)
+    out_xs_ref[:] = jnp.where(x != 0, x2, 0)
+    cnt_ref[i, 0] = incl[R - 1, LANES - 1]
+
+
+def _pair_compact(xs_flat: Array, vals_flat: Array, interpret: bool = False):
+    """Compact flat ``(xs, vals)`` by ``vals != 0`` into per-tile blocks
+    ``(grid, tile_bytes)`` + counts, at the whole-tile grid geometry."""
+    n = xs_flat.shape[0]
+    rows, tile_rows = _tile_geometry(-(-n // LANES))
+    n_pad = rows * LANES
+    if n_pad != n:
+        xs_flat = jnp.pad(xs_flat, (0, n_pad - n))
+        vals_flat = jnp.pad(vals_flat, (0, n_pad - n))
+    grid = rows // tile_rows
+    xs_t, vals_t, counts = pl.pallas_call(
+        functools.partial(_kernel_pair, tile_rows=tile_rows),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((grid, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((rows, LANES), jnp.uint8),
+            jax.ShapeDtypeStruct((grid, 1), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(xs_flat.reshape(rows, LANES), vals_flat.reshape(rows, LANES))
+    tile_bytes = tile_rows * LANES
+    return (counts.reshape(grid), xs_t.reshape(grid, tile_bytes),
+            vals_t.reshape(grid, tile_bytes))
+
+
+# unit count above which the serial DUS-chain merge loses to the
+# two-stage pair-compaction merge (each DUS step costs ~0.1 ms of
+# serial latency; the pair kernel costs ~2x the flagship kernel's
+# passes — see benchmarks/subtile_ab's 12 ms serial row at 6075 units)
+MERGE_SERIAL_MAX_UNITS = 256
+
+
 def _merge_tiles_impl(counts: Array, xs_t: Array, vals_t: Array):
     """Concatenate per-tile compacted prefixes into flat (xs, vals).
 
@@ -835,7 +945,32 @@ def _merge_tiles_impl(counts: Array, xs_t: Array, vals_t: Array):
     )
 
 
-merge_tiles = jax.jit(_merge_tiles_impl)
-"""Jitted device-side tile merge for executors that fetched a tiled
-payload but face a link where the flat prefix moves far fewer bytes
-(runtime.executor's density-adaptive fetch)."""
+_merge_tiles_serial = jax.jit(_merge_tiles_impl)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _merge_tiles_two_stage(counts, xs_t, vals_t, interpret=False):
+    """Sub-tiled (many-unit) merge: a serial DUS chain over thousands of
+    units costs ~milliseconds of pure dependency latency (measured 12 ms
+    at 6075 units, benchmarks/subtile_ab), so first re-compact the
+    flattened blocks with the PAIR kernel (validity = ``vals != 0``, the
+    blocks' own invariant) down to the coarse whole-tile granularity,
+    then run the short serial merge over those ~100 tiles."""
+    U, ub = xs_t.shape
+    c2, xs2, vals2 = _pair_compact(
+        xs_t.reshape(U * ub), vals_t.reshape(U * ub), interpret=interpret
+    )
+    return _merge_tiles_impl(c2, xs2, vals2)
+
+
+def merge_tiles(counts, xs_t, vals_t):
+    """Device-side tile merge for executors that fetched a tiled payload
+    but face a link where the flat prefix moves far fewer bytes
+    (runtime.executor's density-adaptive fetch). Output arrays are
+    zero past ``pos``; their padded length may exceed ``U * ub`` on the
+    two-stage path — callers slice ``[:pos]`` prefixes."""
+    if xs_t.shape[0] <= MERGE_SERIAL_MAX_UNITS:
+        return _merge_tiles_serial(counts, xs_t, vals_t)
+    return _merge_tiles_two_stage(
+        counts, xs_t, vals_t, interpret=jax.default_backend() == "cpu"
+    )

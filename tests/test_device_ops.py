@@ -311,6 +311,94 @@ class TestCompactionSchemesAgree:
             assert int(xs_t[t, counts[t]:].sum()) == 0
             assert int(vals_t[t, counts[t]:].sum()) == 0
 
+    @pytest.mark.parametrize("sub", [1, 2, 4, 8, 16])
+    def test_subtiled_emit_matches_flat(self, pair, sub):
+        """Sub-tiled compaction (fewer shift passes, counts/blocks per
+        sub-tile unit — benchmarks/subtile_ab): concatenating the unit
+        prefixes must reproduce the flat payload exactly, at every
+        granularity, with the zero-padding invariant per unit."""
+        from cudavideostream_tpu.ops import logcompact
+
+        prev, cur = pair
+        epos, exs, evals, eprev = ref.diff_encode(cur, prev)
+        pos, counts, xs_t, vals_t, new_prev = logcompact.fused_diff_compact(
+            jnp.asarray(cur), jnp.asarray(prev), interpret=True,
+            emit="tiled", sub_rows=sub,
+        )
+        assert int(pos) == epos
+        counts = np.asarray(counts)
+        xs_t, vals_t = np.asarray(xs_t), np.asarray(vals_t)
+        # units really are sub-tiles — unless sub doesn't divide the
+        # tile geometry, where the documented silent fallback keeps
+        # whole-tile units (here: 72-row tiles, so sub=16 falls back)
+        rows = -(-cur.shape[0] // 128)
+        from cudavideostream_tpu.ops.logcompact import _tile_geometry
+
+        _, tile_rows = _tile_geometry(rows)
+        expect_unit = sub if tile_rows % sub == 0 else tile_rows
+        assert xs_t.shape[1] == expect_unit * 128
+        xs = np.concatenate([xs_t[t, : counts[t]] for t in range(len(counts))])
+        vals = np.concatenate([vals_t[t, : counts[t]] for t in range(len(counts))])
+        np.testing.assert_array_equal(xs, exs)
+        np.testing.assert_array_equal(vals, evals)
+        np.testing.assert_array_equal(np.asarray(new_prev), eprev)
+        for t in range(len(counts)):
+            assert int(xs_t[t, counts[t]:].sum()) == 0
+            assert int(vals_t[t, counts[t]:].sum()) == 0
+
+    def test_merge_two_stage_matches_serial(self, rng):
+        """Past MERGE_SERIAL_MAX_UNITS, merge_tiles switches to the
+        pair-compaction kernel + coarse serial merge; the flat payload
+        must match the serial DUS-chain merge (and the oracle) exactly."""
+        from cudavideostream_tpu.ops import logcompact
+
+        n = 600_000
+        prev = rng.integers(0, 255, n, endpoint=True, dtype=np.uint8)
+        cur = np.where(
+            rng.random(n) < 0.06,
+            (prev.astype(np.int32) + 100) % 256, prev
+        ).astype(np.uint8)
+        epos, exs, evals, _ = ref.diff_encode(cur, prev)
+        pos, counts, xs_t, vals_t, _ = logcompact.fused_diff_compact(
+            jnp.asarray(cur), jnp.asarray(prev), interpret=True,
+            emit="tiled", sub_rows=8,
+        )
+        assert counts.shape[0] > logcompact.MERGE_SERIAL_MAX_UNITS
+        xs2, vals2 = logcompact._merge_tiles_two_stage(
+            counts, xs_t, vals_t, interpret=True
+        )
+        assert int(pos) == epos
+        np.testing.assert_array_equal(np.asarray(xs2)[:epos], exs)
+        np.testing.assert_array_equal(np.asarray(vals2)[:epos], evals)
+        assert not np.asarray(xs2)[epos:].any()
+        assert not np.asarray(vals2)[epos:].any()
+        # and the public dispatcher picks it (same bytes)
+        xs3, vals3 = logcompact.merge_tiles(counts, xs_t, vals_t)
+        np.testing.assert_array_equal(np.asarray(xs3)[:epos], exs)
+        np.testing.assert_array_equal(np.asarray(vals3)[:epos], evals)
+
+    def test_subtiled_dense_and_static(self, rng):
+        """Worst case (all bytes changed) and no-op frames at sub-tiled
+        granularity."""
+        from cudavideostream_tpu.ops import logcompact
+
+        n = 9216
+        prev = rng.integers(0, 255, n, endpoint=True, dtype=np.uint8)
+        allchg = ((prev.astype(np.int32) + 100) % 256).astype(np.uint8)
+        for cur in (allchg, prev.copy()):
+            epos, exs, evals, eprev = ref.diff_encode(cur, prev)
+            pos, counts, xs_t, vals_t, new_prev = logcompact.fused_diff_compact(
+                jnp.asarray(cur), jnp.asarray(prev), interpret=True,
+                emit="tiled", sub_rows=8,
+            )
+            assert int(pos) == epos
+            counts = np.asarray(counts)
+            fx = (np.concatenate([np.asarray(xs_t)[t, :c]
+                                  for t, c in enumerate(counts)])
+                  if epos else np.zeros(0, np.int32))
+            np.testing.assert_array_equal(fx, exs)
+            np.testing.assert_array_equal(np.asarray(new_prev), eprev)
+
 
 class TestBatchedKernel:
     """fused_diff_compact_batched: B streams in one super-frame grid must
