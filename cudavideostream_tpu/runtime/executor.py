@@ -241,12 +241,12 @@ class StreamExecutor:
         self.cfg = config
         self.pipe = pipeline or DeltaStreamPipeline(config)
         self._state = None
-        # sub-tiled payloads make the device-side merge unit-serial
-        # (~tile_rows/subtile_rows slower, benchmarks/subtile_ab): start
-        # the merge-cost EMA pessimistic so "auto" doesn't pay a slow
-        # first flat landing to find out; a forced --fetch flat still
-        # measures the real cost and takes over
-        merge_init = 50e-3 if config.subtile_rows else 1.5e-3
+        # sub-tiled payloads merge through the two-stage pair-compaction
+        # path (flat emit re-measured at 0.80 ms at 1080p either layout,
+        # benchmarks/subtile_ab — the 12 ms unit-serial chain is gone);
+        # start the merge-cost EMA at a mildly pessimistic prior for the
+        # extra pair-kernel passes and let measurements take over
+        merge_init = 4e-3 if config.subtile_rows else 1.5e-3
         self.link = LinkStats(merge_s_init=merge_init)
         self._fetch_xs = TieredFetcher(config.capacity, stats=self.link)
         self._fetch_vals = TieredFetcher(config.capacity, stats=self.link)
