@@ -112,6 +112,7 @@ def run(out_path: str | None = None, batches=(1, 2, 4, 8)):
     # super-frame kernel calls — there must be no vmap-path cliff
     if on_tpu:
         rows.append(("plain (chunked)", 24, _bench_one(cfg, 24, "plain (chunked)")))
+        rows.append(("plain (chunked)", 40, _bench_one(cfg, 40, "plain (chunked)")))
 
     if out_path:
         with open(out_path, "w") as f:
