@@ -67,6 +67,7 @@ class ClientSender:
         while True:
             buf = self.q.get()
             if buf is None or self.dead:
+                # None = graceful finish (queue drained); dead = abort
                 return
             try:
                 self.conn.sendall(buf)
@@ -88,6 +89,19 @@ class ClientSender:
             self.dead = True
             self.drop_reason = f"backlog exceeded {self.MAX_QUEUE} frames"
             return False
+
+    def finish(self) -> None:
+        """Ask the writer to exit AFTER draining everything queued.
+        Unlike :meth:`close` this loses no frames: the sentinel rides
+        the queue behind the remaining payloads. A queue too full to
+        take the sentinel means a hopeless backlog — abort instead."""
+        try:
+            self.q.put_nowait(None)
+        except queue.Full:
+            self.dead = True
+
+    def join(self, timeout: Optional[float] = None) -> None:
+        self._thread.join(timeout)
 
     def close(self) -> None:
         self.dead = True
@@ -248,13 +262,25 @@ class BroadcastServer:
                 if self.verbose:
                     print("\r" + line + f"  CLIENTS: {len(self._clients)}",
                           end="", flush=True)
-        self.close()
+        self.close(drain=True)
         return n
 
-    def close(self) -> None:
+    def close(self, drain: bool = False) -> None:
+        """Stop serving. ``drain=True`` (end-of-stream) lets every
+        writer flush its queued frames before the sockets close — an
+        abrupt close here would cut the last frames off live clients,
+        which is exactly the stall-drop behavior reserved for clients
+        that EARNED it. Stalled writers are aborted after a shared
+        5 s deadline."""
         self._stop.set()
         if self._sock:
             self._sock.close()
+        if drain:
+            for c in self._clients:
+                c.finish()
+            deadline = time.monotonic() + 5.0
+            for c in self._clients:
+                c.join(timeout=max(0.0, deadline - time.monotonic()))
         for c in self._clients:
             c.close()
         self._clients.clear()

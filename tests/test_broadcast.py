@@ -172,3 +172,39 @@ def test_dead_client_dropped(small_config):
         cli1.read_frame()
     cli1.close()
     t.join(timeout=30)
+
+
+def test_shutdown_drains_queued_frames(small_config):
+    """End-of-stream close must flush every queued frame before the
+    sockets go down: a live-but-slow client that reads NOTHING until
+    ``serve`` returns still decodes the whole stream byte-exactly.
+    (Regression: close() used to abort writer threads mid-queue, so the
+    tail of the stream was lost whenever the producer outran a reader —
+    the intermittent 'peer closed mid-message' in the late-joiner test.)"""
+    cfg = dataclasses.replace(small_config, port=0)
+    n_frames = 8
+    server = BroadcastServer(
+        cfg,
+        SyntheticSource(cfg, seed=5),
+        verbose=False,
+        overlay_status=False,
+    )
+    server.listen()
+    t = threading.Thread(
+        target=server.serve, kwargs={"max_frames": n_frames}, daemon=True
+    )
+    t.start()
+    cli = DeltaStreamClient("127.0.0.1", server.port, cfg.height, cfg.width)
+    cli.connect()
+    t.join(timeout=30)  # server produces + closes while we read nothing
+    assert not t.is_alive()
+
+    replay = SyntheticSource(cfg, seed=5)
+    prev = next(replay).copy()
+    np.testing.assert_array_equal(cli.frame, prev)
+    for _ in range(n_frames):
+        frame = next(replay)
+        prev, *_ = ref.step_oracle(prev, frame, cfg)
+        _, recon = cli.read_frame()
+    np.testing.assert_array_equal(recon, prev)
+    cli.close()
