@@ -9,9 +9,19 @@ DMA/grid geometry: 10 passes at sub_rows=8, 9 at sub_rows=4. Wire bytes
 are identical (the scatter-gather sender concatenates sub-tile prefixes
 exactly like tile prefixes). The trades measured here:
 
-* more SMEM count writes per grid step (scalar vector-extracts);
+* more SMEM count writes per grid step (scalar vector-extracts) — this
+  trade is GONE since counts moved to a per-tile (R, 1) VMEM column
+  (one vector store regardless of granularity; the caller slices each
+  unit's last row), which is what re-opened sub=2/1;
+* at sub_rows == 1 the kernel drops the row phase entirely: the
+  lane-cumsum matmul is the whole prefix sum and every shift pass is a
+  single circular lane roll (the generic flat roll pays 2 extra rolls
+  + a select for row crossings that cannot happen);
 * more host-side segments (nonzero scan + iovec entries — not timed
-  here; host cost is linear in non-empty units and tiny);
+  here; host cost is linear in non-empty units and tiny), and more
+  counts BYTES to land per frame (tile_rows/sub_rows x; at sub=1 that
+  is one int32 per 128-byte row — negligible on PCIe, material on
+  this bench env's ~16 MB/s tunnel, so serving defaults stay coarser);
 * a slower device-side merge_tiles for the flat landing (also timed).
 
 The candidates the ROADMAP named are analytically dead and are NOT run:
@@ -97,7 +107,7 @@ def run(out_path=None):
     ]
     print("\n".join(lines))
     results = {}
-    for sub in (0, 16, 8, 4):
+    for sub in (0, 16, 8, 4, 2, 1):
         for scene_name, a in (("uniform", cur), ("clustered", clus)):
             try:
                 reps = [

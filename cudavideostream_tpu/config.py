@@ -96,13 +96,17 @@ class StreamConfig:
     # Sub-tiled compaction granularity (tiled_payload + PALLAS only):
     # each DMA block compacts as independent subtile_rows-row units, so
     # the kernel's shift-pass loop shrinks from log2(tile_bytes) ~ 16 to
-    # log2(subtile_rows*128) passes — measured 0.39 -> 0.30 ms at
-    # 1080p/6% uniform (benchmarks/subtile_ab). Wire bytes identical.
-    # Cost: counts grow by tile_rows/subtile_rows (a few 10s of KB per
-    # frame on the host link) and the device-side "flat" merge becomes
-    # unit-serial (the auto lander starts pessimistic about it). 0 = one
-    # unit per DMA block (the round-2 kernel).
-    subtile_rows: int = 8
+    # log2(subtile_rows*128) passes. At 1 — the default — the row phase
+    # disappears entirely (the lane-cumsum matmul IS the prefix sum,
+    # every shift is one circular lane roll): measured 0.39 -> 0.18 ms
+    # at 1080p/6% uniform, the reference's own real-webcam density
+    # (benchmarks/subtile_ab; report.tex:2594 measures 5.93% changed).
+    # Wire BYTES are identical at any granularity. Cost: finer per-unit
+    # counts metadata on the host link (48 KB/frame at 1080p sub=1 —
+    # counts ship in the narrowest dtype that fits a unit) and more
+    # host iovec segments; on tunnel-class (sub-PCIe) links set 8.
+    # 0 = one unit per DMA block (the round-2 kernel).
+    subtile_rows: int = 1
 
     # Text overlay (kernel2_char, kernels.cu:351-375): glyph cell scale,
     # and font style — "stroke" is a thin vector font in the visual

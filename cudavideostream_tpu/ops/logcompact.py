@@ -69,8 +69,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
-# Pallas grid bound: per-tile counts are a (grid, 1) SMEM output window
-# padded to ~512 B per grid step; past ~2000 steps it exceeds SMEM.
+# Pallas grid bound. For the segment/register schemes per-tile counts
+# are a (grid, 1) SMEM output window padded to ~512 B per grid step, so
+# past ~2000 steps it exceeds SMEM. The element scheme's counts ride a
+# per-tile VMEM column instead (no SMEM window), but the bound is kept
+# uniform: per-step DMA setup makes >2000-step grids a losing geometry
+# anyway, and one bound keeps the huge-frame tile geometry scheme-
+# agnostic.
 MAX_GRID = 2000
 
 
@@ -249,7 +254,12 @@ def _kernel_v2(cur_ref, prev_ref, thr_ref, *rest,
         ).astype(jnp.float32)
         incl_f = jnp.dot(mi_f, lane_u)
         rowtot_f = jnp.broadcast_to(incl_f[:, LANES - 1 : LANES], (R, LANES))
-        if sub_rows:
+        if sub_rows == 1:
+            # pure lane compaction: each row is its own unit, so the
+            # lane-phase matmul IS the whole cumsum — no row phase at
+            # all (and below, every shift pass is a single lane roll)
+            incl = incl_f.astype(jnp.int32)
+        elif sub_rows:
             # sub-tiled: the row-phase prefix resets at sub-tile
             # boundaries — the triangular matrix goes block-diagonal
             # (same matmul shape/cost as the full-tile prefix)
@@ -313,7 +323,15 @@ def _kernel_v2(cur_ref, prev_ref, thr_ref, *rest,
         # because the tile-level static skip already covers them.)
         b = 1
         while b < n_unit:
-            rx = _flat_roll_left(x, b, R)
+            # sub_rows == 1: movement never crosses a row, so the shift
+            # is a single circular lane roll (the generic flat roll pays
+            # two extra rolls + a select to stitch row crossings that
+            # src_ok would discard anyway)
+            rx = (
+                pltpu.roll(x, (-b) % LANES, 1)
+                if sub_rows == 1
+                else _flat_roll_left(x, b, R)
+            )
             # static pattern: no wrap-in across the unit boundary (the
             # array end for full tiles, every sub-tile edge otherwise)
             src_ok = local + b < n_unit
@@ -336,11 +354,12 @@ def _kernel_v2(cur_ref, prev_ref, thr_ref, *rest,
         # inside the unit, and holes are unit-local.
         xs_ref[:] = jnp.where(x != 0, flat + (x >> 8) + i_s * n_flat, 0)
         vals_ref[:] = jnp.bitwise_and(x, 255).astype(jnp.uint8)
-        if sub_rows:
-            for s in range(R // sub_rows):
-                cnt_ref[i, s] = incl[(s + 1) * sub_rows - 1, LANES - 1]
-        else:
-            cnt_ref[i, 0] = incl[R - 1, LANES - 1]
+        # counts ride a (R, 1) VMEM column — one vector store per tile
+        # instead of tile_rows/sub_rows scalar SMEM extract+writes (the
+        # measured cost that made fine sub-tilings regress,
+        # benchmarks/subtile_ab). Row r holds the unit-LOCAL inclusive
+        # count at its lane end; the caller slices each unit's last row.
+        cnt_ref[:] = incl[:, LANES - 1 : LANES]
 
     if not skip_static:
         _compact()
@@ -352,8 +371,7 @@ def _kernel_v2(cur_ref, prev_ref, thr_ref, *rest,
         def _static():
             xs_ref[:] = jnp.zeros((R, LANES), jnp.int32)
             vals_ref[:] = jnp.zeros((R, LANES), jnp.uint8)
-            for s in range(R // sub_rows if sub_rows else 1):
-                cnt_ref[i, s] = 0
+            cnt_ref[:] = jnp.zeros((R, 1), jnp.int32)
 
 
 def _kernel(cur_ref, prev_ref, thr_ref, *rest,
@@ -457,11 +475,13 @@ def _run_kernel(cur2, prev2, thr, *, scheme, tile_rows, grid,
                 negfeed, interpret, region2=None, thr_is_map=False,
                 skip_static=True, stream_tiles=0, sub_rows=0):
     """Dispatch one pallas_call; returns ``(new_prev, xs_t, vals_t,
-    counts)`` with the tile blocks in ``(rows, LANES)`` layout.
-    ``region2`` is an optional overlay-region prefix (a multiple of
-    ``tile_rows`` rows) blended over the leading tiles in-kernel.
-    ``thr`` is an SMEM scalar, or a per-byte ``(rows, LANES)`` uint8 map
-    when ``thr_is_map``. ``stream_tiles`` > 0 marks a batched
+    counts)`` with the tile blocks in ``(rows, LANES)`` layout and
+    ``counts`` normalized to one int32 per compaction unit
+    (``grid * tile_rows/sub_rows`` entries when sub-tiled, ``grid``
+    otherwise). ``region2`` is an optional overlay-region prefix (a
+    multiple of ``tile_rows`` rows) blended over the leading tiles
+    in-kernel. ``thr`` is an SMEM scalar, or a per-byte ``(rows, LANES)``
+    uint8 map when ``thr_is_map``. ``stream_tiles`` > 0 marks a batched
     super-frame: every ``stream_tiles`` tiles are one independent
     stream — indices rebase per stream and the region (stacked
     per-stream blocks) applies to each stream's leading tiles."""
@@ -523,6 +543,18 @@ def _run_kernel(cur2, prev2, thr, *, scheme, tile_rows, grid,
             )
         )
         inputs.append(region2)
+    if scheme == "element":
+        # counts ride a per-tile (tile_rows, 1) VMEM column (row r =
+        # unit-local inclusive count at r's lane end) — one vector store
+        # per tile, no SMEM window at all; normalized below by slicing
+        # each unit's last row
+        cnt_spec = pl.BlockSpec((tile_rows, 1), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+        cnt_shape = jax.ShapeDtypeStruct((rows, 1), jnp.int32)
+    else:
+        cnt_spec = pl.BlockSpec((grid, n_counts), lambda i: (0, 0),
+                                memory_space=pltpu.SMEM)
+        cnt_shape = jax.ShapeDtypeStruct((grid, n_counts), jnp.int32)
     new_prev, xs_t, vals_t, counts = pl.pallas_call(
         kernel,
         grid=(grid,),
@@ -531,20 +563,24 @@ def _run_kernel(cur2, prev2, thr, *, scheme, tile_rows, grid,
             pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((grid, n_counts), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
+            cnt_spec,
         ],
         out_shape=[
             jax.ShapeDtypeStruct((rows, LANES), jnp.uint8),
             jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
             jax.ShapeDtypeStruct((rows, LANES), jnp.uint8),
-            jax.ShapeDtypeStruct((grid, n_counts), jnp.int32),
+            cnt_shape,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
     )(*inputs)
+    if scheme == "element":
+        unit_rows = sub_rows if sub_rows else tile_rows
+        counts = counts.reshape(rows // unit_rows, unit_rows)[:, -1]
+    else:
+        counts = counts.reshape(grid)
     return new_prev, xs_t, vals_t, counts
 
 
@@ -610,6 +646,11 @@ def fused_diff_compact(
     ``(n_sub_tiles, sub_rows*128)``. Silently ignored when it doesn't
     divide the chosen tile geometry (huge frames) — the output shapes
     follow whatever granularity actually ran.
+
+    Tiled-emit ``counts`` ship in the narrowest dtype that holds a full
+    unit (uint8 at ``sub_rows=1``, int16 below 256-row units, else
+    int32) — see ``_narrow_counts``. Consumers must not sum them without
+    upcasting; ``pos`` is the pre-computed int32 total.
     """
     n = current.shape[0]
     rows, tile_rows = _tile_geometry(-(-n // LANES))
@@ -670,7 +711,8 @@ def fused_diff_compact(
     new_prev = new_prev.reshape(n_pad)[:n]
 
     if emit == "tiled":
-        return (pos, counts, xs_t.reshape(n_units, unit_bytes),
+        return (pos, _narrow_counts(counts, unit_bytes),
+                xs_t.reshape(n_units, unit_bytes),
                 vals_t.reshape(n_units, unit_bytes), new_prev)
 
     xs, vals = _merge_tiles_impl(
@@ -751,10 +793,11 @@ def fused_diff_compact_batched(
     grid = B * tps
     tile_bytes = tile_rows * LANES
     if grid > MAX_GRID:
-        # per-tile counts live in a (grid, 1) SMEM window (~512 B/step);
-        # past ~2000 steps it exceeds SMEM — a hardware-only failure the
-        # CPU interpreter cannot catch, so refuse loudly here
-        # (models.batched falls back to the vmap path instead)
+        # see MAX_GRID: an SMEM-window hard limit for the segment/
+        # register schemes, a deliberate uniform bound for element —
+        # refuse loudly here rather than risk a hardware-only failure
+        # the CPU interpreter cannot catch
+        # (models.batched chunks into multiple calls instead)
         raise ValueError(
             f"batched grid {grid} (= {B} streams x {tps} tiles) exceeds "
             f"the ~{MAX_GRID}-step SMEM counts-window bound; use fewer "
@@ -787,6 +830,7 @@ def fused_diff_compact_batched(
     unit_bytes = unit_rows * LANES
     counts = counts.reshape(B, units_per_stream)
     pos = jnp.sum(counts, axis=1)
+    counts = _narrow_counts(counts, unit_bytes)
     if n_pad != n:
         # 1-D slicing, again avoiding any (B, n)-shaped intermediate
         lin = new_prev.reshape(B * n_pad)
@@ -909,6 +953,21 @@ def _pair_compact(xs_flat: Array, vals_flat: Array, interpret: bool = False):
 # serial latency; the pair kernel costs ~2x the flagship kernel's
 # passes — see benchmarks/subtile_ab's 12 ms serial row at 6075 units)
 MERGE_SERIAL_MAX_UNITS = 256
+
+
+def _narrow_counts(counts: Array, unit_bytes: int) -> Array:
+    """Emit tiled-payload counts in the narrowest dtype that holds a
+    full unit (a count never exceeds ``unit_bytes``). The host fetches
+    counts every tiled frame, and at fine sub-tilings the int32 array is
+    the largest metadata item — 190 KB at 1080p ``sub_rows=1`` vs 48 KB
+    as uint8. Device consumers upcast for free (``jnp.cumsum(...,
+    dtype=int32)``); the native sender coerces host-side
+    (``native.wire_send_segments_fd``)."""
+    if unit_bytes < 256:
+        return counts.astype(jnp.uint8)
+    if unit_bytes < 32768:
+        return counts.astype(jnp.int16)
+    return counts
 
 
 def _merge_tiles_impl(counts: Array, xs_t: Array, vals_t: Array):

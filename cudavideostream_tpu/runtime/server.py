@@ -199,8 +199,10 @@ def main(argv=None) -> int:
                         "frame from measured link/merge times")
     p.add_argument("--subtile", type=int, default=None,
                    help="sub-tiled compaction granularity in rows "
-                        "(tiled payloads; 0 = whole-tile units, default "
-                        "8 — see benchmarks/subtile_ab)")
+                        "(tiled payloads; 0 = whole-tile units; default "
+                        "1 = pure lane compaction, fastest kernel; use "
+                        "8 on tunnel-class host links — see "
+                        "benchmarks/subtile_ab)")
     p.add_argument("--backend", default="device", choices=["device", "oracle"],
                    help="device = JAX/Pallas pipeline; oracle = pure-NumPy "
                         "CPU reference (the #ifdef CPU path, but complete)")
