@@ -337,6 +337,13 @@ class TestCompactionSchemesAgree:
         _, tile_rows = _tile_geometry(rows)
         expect_unit = sub if tile_rows % sub == 0 else tile_rows
         assert xs_t.shape[1] == expect_unit * 128
+        # counts ship in the narrowest dtype that fits a unit (the
+        # host fetches them every tiled frame — _narrow_counts)
+        unit_bytes = expect_unit * 128
+        expect_dtype = (np.uint8 if unit_bytes < 256
+                        else np.int16 if unit_bytes < 32768 else np.int32)
+        assert counts.dtype == expect_dtype
+        assert counts.max() <= unit_bytes  # a count never exceeds a unit
         xs = np.concatenate([xs_t[t, : counts[t]] for t in range(len(counts))])
         vals = np.concatenate([vals_t[t, : counts[t]] for t in range(len(counts))])
         np.testing.assert_array_equal(xs, exs)
