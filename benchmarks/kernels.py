@@ -77,13 +77,17 @@ def run(out_path: str | None = None):
         )
         return b, new_prev, acc + xs_t[0, 0] + vals_t[0, 0].astype(jnp.int32)
 
-    def chain_diff_compact_subtiled(c):
-        # the product configuration (config.subtile_rows default 8)
-        a, b, acc = c
-        _, counts, xs_t, vals_t, new_prev = logcompact.fused_diff_compact(
-            a, b, emit="tiled", sub_rows=8
-        )
-        return b, new_prev, acc + xs_t[0, 0] + vals_t[0, 0].astype(jnp.int32)
+    def make_chain_subtiled(sub):
+        # sub=1 is the product configuration (config.subtile_rows
+        # default); sub=8 the tunnel-link serving recommendation
+        def chain(c):
+            a, b, acc = c
+            _, counts, xs_t, vals_t, new_prev = logcompact.fused_diff_compact(
+                a, b, emit="tiled", sub_rows=sub
+            )
+            return b, new_prev, acc + xs_t[0, 0] + vals_t[0, 0].astype(jnp.int32)
+
+        return chain
 
     def make_chain_scheme(scheme):
         def chain(c):
@@ -119,9 +123,13 @@ def run(out_path: str | None = None):
     acc0 = jnp.int32(0)
     entries = [
         ("diff+compact_tiled", 3.42, chain_diff_compact_tiled, (cur, prev, acc0)),
-        ("diff+compact_subtiled8", 3.42, chain_diff_compact_subtiled,
+        ("diff+compact_subtiled1", 3.42, make_chain_subtiled(1),
          (cur, prev, acc0)),
-        ("diff+compact_subtiled8_clustered", 3.42, chain_diff_compact_subtiled,
+        ("diff+compact_subtiled1_clustered", 3.42, make_chain_subtiled(1),
+         (clus, prev, acc0)),
+        ("diff+compact_subtiled8", 3.42, make_chain_subtiled(8),
+         (cur, prev, acc0)),
+        ("diff+compact_subtiled8_clustered", 3.42, make_chain_subtiled(8),
          (clus, prev, acc0)),
         ("diff+compact_tiled_clustered", 3.42, chain_diff_compact_tiled,
          (clus, prev, acc0)),

@@ -82,13 +82,17 @@ def run(out_path: str | None = None):
         )
         return b, np_, acc + xs_t[0, 0] + vals_t[0, 0].astype(jnp.int32)
 
-    def chain_kernel_subtiled(c):
-        # the product configuration (config.subtile_rows default 8)
-        a, b, acc = c
-        _, counts, xs_t, vals_t, np_ = logcompact.fused_diff_compact(
-            a, b, interpret=interp, emit="tiled", sub_rows=8
-        )
-        return b, np_, acc + xs_t[0, 0] + vals_t[0, 0].astype(jnp.int32)
+    def make_chain_subtiled(sub):
+        # sub=1 is the product configuration (config.subtile_rows
+        # default); sub=8 is the tunnel-link serving recommendation
+        def chain(c):
+            a, b, acc = c
+            _, counts, xs_t, vals_t, np_ = logcompact.fused_diff_compact(
+                a, b, interpret=interp, emit="tiled", sub_rows=sub
+            )
+            return b, np_, acc + xs_t[0, 0] + vals_t[0, 0].astype(jnp.int32)
+
+        return chain
 
     def chain_kernel_flat(c):
         a, b, acc = c
@@ -116,7 +120,8 @@ def run(out_path: str | None = None):
         ("overlay", chain_overlay),
         ("diff_mask", chain_mask),
         ("kernel_tiled", chain_kernel_tiled),
-        ("kernel_subtiled8", chain_kernel_subtiled),
+        ("kernel_subtiled8", make_chain_subtiled(8)),
+        ("kernel_subtiled1", make_chain_subtiled(1)),
         ("kernel_flat", chain_kernel_flat),
         ("step_tiled", make_step(True)),
         ("step_flat", make_step(False)),
@@ -143,12 +148,12 @@ def run(out_path: str | None = None):
     attributions = [
         ("merge_epilogue = kernel_flat - kernel_tiled",
          d["kernel_flat"] - d["kernel_tiled"]),
-        ("compaction_passes = kernel_subtiled8 - diff_mask",
-         d["kernel_subtiled8"] - d["diff_mask"]),
-        ("subtile_gain = kernel_tiled - kernel_subtiled8",
-         d["kernel_tiled"] - d["kernel_subtiled8"]),
-        ("overlay_marginal = step_tiled - kernel_subtiled8",
-         d["step_tiled"] - d["kernel_subtiled8"]),
+        ("compaction_passes = kernel_subtiled1 - diff_mask",
+         d["kernel_subtiled1"] - d["diff_mask"]),
+        ("subtile_gain = kernel_tiled - kernel_subtiled1",
+         d["kernel_tiled"] - d["kernel_subtiled1"]),
+        ("overlay_marginal = step_tiled - kernel_subtiled1",
+         d["step_tiled"] - d["kernel_subtiled1"]),
         ("elementwise_floor = frame_xor", d["frame_xor"]),
     ]
     print()
