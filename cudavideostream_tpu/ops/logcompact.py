@@ -185,9 +185,10 @@ def _kernel_v2(cur_ref, prev_ref, thr_ref, *rest,
     rows, emitting one count per sub-tile. The DMA/grid geometry is
     untouched (same blocks, same pipelining), but the hole range drops
     to ``sub_rows * 128``, so the pass loop shrinks from
-    ``log2(tile_rows*128)`` (~16) to ``log2(sub_rows*128)`` (10 at
-    sub_rows=8) — the shift passes are 75% of the kernel
-    (benchmarks/stage_breakdown_tpu_v5e), and every pass is a full
+    ``log2(tile_rows*128)`` (~16) to ``log2(sub_rows*128)`` (7 at
+    sub_rows=1, the product default, where the row phase vanishes and
+    each pass is one circular lane roll) — the shift passes are most of
+    the kernel (benchmarks/stage_breakdown_tpu_v5e), and every pass is a full
     (tile_rows, 128) pass regardless of sub-tiling, so fewer passes is
     a direct win. The wire bytes are IDENTICAL: the host's
     scatter-gather sender concatenates per-sub-tile prefixes exactly as
