@@ -148,7 +148,7 @@ class StreamConfig:
                 raise ValueError("tiled_payload requires the PALLAS backend")
             if self.payload_capacity is not None:
                 raise ValueError("tiled_payload is always worst-case capacity")
-        if self.wire_format not in ("v1", "v2"):
+        if self.wire_format not in ("v1", "v2", "v3"):
             raise ValueError(f"unknown wire_format {self.wire_format!r}")
         if self.fetch_mode not in ("auto", "tiles", "flat"):
             raise ValueError(f"unknown fetch_mode {self.fetch_mode!r}")

@@ -138,6 +138,7 @@ class BroadcastServer:
         self._retired_sent = 0
         self._sent_snapshot = 0
         self.drops: List[str] = []  # logged reasons, for observability
+        self._v3enc: Optional[wire.V3Encoder] = None
 
     def listen(self) -> None:
         srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
@@ -181,6 +182,8 @@ class BroadcastServer:
             head = state_bytes.tobytes()
             if self.cfg.wire_format == "v2":
                 head = wire.MAGIC_V2 + head
+            elif self.cfg.wire_format == "v3":
+                head = wire.MAGIC_V3 + head
             sender.offer(head)
             self._clients.append(sender)
             if self.verbose:
@@ -188,6 +191,10 @@ class BroadcastServer:
 
     def _pack(self, pos: int, xs, vals) -> bytes:
         """One frame's wire bytes, shared by every client's queue."""
+        if self.cfg.wire_format == "v3":
+            # encode() also applies the payload to the shared shadow
+            # (aliased to the joiner state in serve()) — exactly once
+            return self._v3enc.encode(pos, xs, vals)
         tiled = isinstance(xs, wire.TiledPayload)
         if self.cfg.wire_format == "v2":
             fx, fv = xs.to_flat() if tiled else (xs, vals)
@@ -227,8 +234,13 @@ class BroadcastServer:
             self.listen()
         base = self.executor.start(self.source.base_frame())
         # joiner reconstruction: a private buffer updated *in place* per
-        # frame — O(pos) host work, not an O(frame) copy+scatter
-        state = base.copy()
+        # frame — O(pos) host work, not an O(frame) copy+scatter. In v3
+        # mode the encoder's client-state shadow IS that buffer (encode()
+        # applies each payload once; serve() must not re-apply).
+        self._v3enc = (
+            wire.V3Encoder(base) if self.cfg.wire_format == "v3" else None
+        )
+        state = self._v3enc.frame if self._v3enc is not None else base.copy()
         if wait_first_client:
             while self._pending.empty() and not self._stop.is_set():
                 time.sleep(0.01)
@@ -245,13 +257,15 @@ class BroadcastServer:
             if result is None:
                 continue
             pos, xs, vals, _ = result
-            # track reconstruction for future joiners (in-place scatter)
-            if isinstance(xs, wire.TiledPayload):
-                fx, fv = xs.to_flat()
-                if fx.size:
-                    native.client_apply_np(state, fx, fv)
-            elif np.asarray(xs).size:
-                native.client_apply_np(state, xs, vals)
+            # track reconstruction for future joiners (in-place scatter);
+            # v3's encoder does this itself inside _pack
+            if self._v3enc is None:
+                if isinstance(xs, wire.TiledPayload):
+                    fx, fv = xs.to_flat()
+                    if fx.size:
+                        native.client_apply_np(state, fx, fv)
+                elif np.asarray(xs).size:
+                    native.client_apply_np(state, xs, vals)
             self._fanout(self._pack(pos, xs, vals))
             n += 1
             self._record_wire_bytes(pos)
@@ -300,7 +314,7 @@ def main(argv=None) -> int:
     p.add_argument("--height", type=int, default=1080)
     p.add_argument("--width", type=int, default=1920)
     p.add_argument("--frames", type=int, default=None)
-    p.add_argument("--wire", default="v1", choices=["v1", "v2"])
+    p.add_argument("--wire", default="v1", choices=["v1", "v2", "v3"])
     p.add_argument("--tiled", action="store_true",
                    help="per-tile payload blocks + scatter-gather send "
                         "(skips the device merge epilogue)")

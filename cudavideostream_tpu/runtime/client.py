@@ -44,14 +44,20 @@ class DeltaStreamClient:
 
     def connect(self) -> None:
         self.sock = socket.create_connection((self.host, self.port))
-        if self.wire_format == "v2":
-            magic = self._read_exact(len(wire.MAGIC_V2))
-            if magic != wire.MAGIC_V2:
-                raise ValueError("server did not send the v2 wire magic")
+        if self.wire_format in ("v2", "v3"):
+            magic = {"v2": wire.MAGIC_V2, "v3": wire.MAGIC_V3}[self.wire_format]
+            got = self._read_exact(len(magic))
+            if got != magic:
+                raise ValueError(
+                    f"server did not send the {self.wire_format} wire magic"
+                )
         elif self.wire_format == "auto":
             head = self._read_exact(len(wire.MAGIC_V2))
             if head == wire.MAGIC_V2:
                 self.wire_format = "v2"
+                head = b""
+            elif head == wire.MAGIC_V3:
+                self.wire_format = "v3"
                 head = b""
             else:
                 self.wire_format = "v1"
@@ -64,13 +70,31 @@ class DeltaStreamClient:
 
     def read_frame(self) -> tuple[int, np.ndarray]:
         """Read and apply one delta; returns (pos, reconstructed frame)."""
-        if self.wire_format == "v2":
-            pos, n_exc = np.frombuffer(self._read_exact(8), dtype="<u4")
-            pos, n_exc = int(pos), int(n_exc)
-            gaps = np.frombuffer(self._read_exact(2 * pos), dtype="<u2")
-            exc = np.frombuffer(self._read_exact(4 * n_exc), dtype="<u4")
-            vals = np.frombuffer(self._read_exact(pos), dtype=np.uint8)
-            xs = wire.decode_gaps(gaps, exc)
+        if self.wire_format == "v3":
+            mode = self._read_exact(1)[0]
+            if mode == wire.MODE_RAW:
+                self.frame = np.frombuffer(
+                    self._read_exact(self.n_bytes), dtype=np.uint8
+                ).copy()
+                return self.n_bytes, self.frame
+            if mode == wire.MODE_BITMASK:
+                (pos,) = np.frombuffer(self._read_exact(4), dtype="<u4")
+                pos = int(pos)
+                mask = np.frombuffer(
+                    self._read_exact((self.n_bytes + 7) // 8), dtype=np.uint8
+                )
+                vals = np.frombuffer(self._read_exact(pos), dtype=np.uint8)
+                xs = wire.decode_bitmask(mask, self.n_bytes)
+                if xs.size != pos:
+                    raise ValueError(
+                        f"v3 bitmask popcount {xs.size} != pos {pos}"
+                    )
+            elif mode == wire.MODE_DELTA16:
+                pos, xs, vals = self._read_v2_body()
+            else:
+                raise ValueError(f"unknown v3 mode {mode}")
+        elif self.wire_format == "v2":
+            pos, xs, vals = self._read_v2_body()
         else:
             (pos,) = np.frombuffer(self._read_exact(4), dtype="<u4")
             pos = int(pos)
@@ -81,6 +105,14 @@ class DeltaStreamClient:
                 raise ValueError("payload index out of range")
             native.client_apply_np(self.frame, xs, vals)  # uint8 wrap-add
         return pos, self.frame
+
+    def _read_v2_body(self) -> tuple[int, np.ndarray, np.ndarray]:
+        pos, n_exc = np.frombuffer(self._read_exact(8), dtype="<u4")
+        pos, n_exc = int(pos), int(n_exc)
+        gaps = np.frombuffer(self._read_exact(2 * pos), dtype="<u2")
+        exc = np.frombuffer(self._read_exact(4 * n_exc), dtype="<u4")
+        vals = np.frombuffer(self._read_exact(pos), dtype=np.uint8)
+        return pos, wire.decode_gaps(gaps, exc), vals
 
     def close(self) -> None:
         if self.sock:
@@ -113,8 +145,9 @@ def main(argv=None) -> int:
     p.add_argument("--ppm-every", type=int, default=30)
     p.add_argument("--record", help="tee the raw wire stream to this file "
                                     "(replay with runtime.replay)")
-    p.add_argument("--wire", default="auto", choices=["auto", "v1", "v2"],
-                   help="auto sniffs the v2 magic; v1 = reference wire")
+    p.add_argument("--wire", default="auto",
+                   choices=["auto", "v1", "v2", "v3"],
+                   help="auto sniffs the v2/v3 magic; v1 = reference wire")
     args = p.parse_args(argv)
 
     cli = DeltaStreamClient(args.host, args.port, args.height, args.width,

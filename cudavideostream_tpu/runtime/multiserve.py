@@ -125,6 +125,8 @@ class MultiStreamServer:
                     self._clients[b].close()  # latest client wins
                 if self.cfg.wire_format == "v2":
                     conn.sendall(wire.MAGIC_V2)
+                elif self.cfg.wire_format == "v3":
+                    conn.sendall(wire.MAGIC_V3)
                 conn.sendall(recon.tobytes())
                 self._clients[b] = conn
                 if self.verbose:
@@ -231,7 +233,13 @@ class MultiStreamServer:
                     if conn is None:
                         continue
                     try:
-                        if self.cfg.wire_format == "v2":
+                        if self.cfg.wire_format == "v3":
+                            # recon[b] was updated above = post-apply
+                            # client state, so raw mode is exact
+                            buf = wire.encode_frame_v3(p, xs, vals, recon[b])
+                            wire_total += len(buf)
+                            conn.sendall(buf)
+                        elif self.cfg.wire_format == "v2":
                             buf = wire.pack_payload_v2(p, xs, vals)
                             wire_total += len(buf)
                             conn.sendall(buf)
@@ -307,7 +315,7 @@ def main(argv=None) -> int:
                    help="stream b listens on port+b")
     p.add_argument("--height", type=int, default=1080)
     p.add_argument("--width", type=int, default=1920)
-    p.add_argument("--wire", default="v1", choices=["v1", "v2"])
+    p.add_argument("--wire", default="v1", choices=["v1", "v2", "v3"])
     p.add_argument("--visualizer", type=int, default=0,
                    help="0 none, 1 heatmap, 2 red-black, 3 red-overlap, "
                         "4 grayscale, 5 binarize (per stream; rides the "

@@ -38,18 +38,24 @@ class ReplayServer:
             self.data = f.read()
         from cudavideostream_tpu.runtime import wire
 
-        # v2 sessions (delta16) start with the wire magic; frame framing
+        # v2/v3 sessions start with their wire magic; frame framing
         # differs, but replay just forwards the captured bytes either way
         self.v2 = self.data.startswith(wire.MAGIC_V2)
-        hdr = len(wire.MAGIC_V2) if self.v2 else 0
+        self.v3 = self.data.startswith(wire.MAGIC_V3)
+        hdr = len(wire.MAGIC_V2) if (self.v2 or self.v3) else 0
         if len(self.data) < hdr + frame_bytes:
             raise ValueError(f"{path}: shorter than one base frame")
         self.base_end = hdr + frame_bytes
         # pre-scan payload boundaries
         self.marks = []
         off = self.base_end
-        while off + (8 if self.v2 else 4) <= len(self.data):
-            if self.v2:
+        min_hdr = 9 if self.v3 else (8 if self.v2 else 4)
+        while off + min_hdr <= len(self.data):
+            if self.v3:
+                end = self._v3_frame_end(off)
+                if end is None:
+                    break
+            elif self.v2:
                 pos, n_exc = struct.unpack_from("<II", self.data, off)
                 end = off + 8 + 2 * pos + 4 * n_exc + pos
             else:
@@ -59,6 +65,25 @@ class ReplayServer:
                 break  # truncated tail: ignore
             self.marks.append((off, end))
             off = end
+
+    def _v3_frame_end(self, off: int):
+        """Offset one past the v3 frame starting at ``off`` (None = short)."""
+        from cudavideostream_tpu.runtime import wire
+
+        mode = self.data[off]
+        if mode == wire.MODE_RAW:
+            return off + 1 + self.frame_bytes
+        if mode == wire.MODE_BITMASK:
+            if off + 5 > len(self.data):
+                return None
+            (pos,) = struct.unpack_from("<I", self.data, off + 1)
+            return off + 5 + (self.frame_bytes + 7) // 8 + pos
+        if mode == wire.MODE_DELTA16:
+            if off + 9 > len(self.data):
+                return None
+            pos, n_exc = struct.unpack_from("<II", self.data, off + 1)
+            return off + 9 + 2 * pos + 4 * n_exc + pos
+        raise ValueError(f"unknown v3 mode {mode} at offset {off}")
 
     def listen(self) -> None:
         srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)

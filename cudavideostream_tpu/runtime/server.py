@@ -91,8 +91,12 @@ class DeltaStreamServer:
     def _stream_to(self, conn: socket.socket, max_frames: int | None) -> int:
         conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
         base = self.executor.start(self.source.base_frame())
+        v3enc = None
         if self.cfg.wire_format == "v2":
             conn.sendall(wire.MAGIC_V2)
+        elif self.cfg.wire_format == "v3":
+            conn.sendall(wire.MAGIC_V3)
+            v3enc = wire.V3Encoder(base)
         conn.sendall(base.tobytes())
         text = ""
         n = 0
@@ -105,8 +109,10 @@ class DeltaStreamServer:
             read_s = time.perf_counter() - t0
             result = self.executor.process(frame, text=text)
             if result is not None:  # pipelined executors lag one frame
-                sent = self._send_payload(conn, result, self.cfg.wire_format)
-                if sent is not None:  # v2: correct the wire-bytes stat
+                sent = self._send_payload(
+                    conn, result, self.cfg.wire_format, v3enc
+                )
+                if sent is not None:  # v2/v3: correct the wire-bytes stat
                     self.executor.metrics.wire_bytes += sent - (4 + 5 * result[0])
                 aux = result[3]
                 if self.aux_dir and aux is not None and n % self.aux_every == 0:
@@ -125,14 +131,22 @@ class DeltaStreamServer:
                     print("\r" + line, end="", flush=True)
         tail = self.executor.flush()
         if tail is not None:
-            self._send_payload(conn, tail, self.cfg.wire_format)
+            self._send_payload(conn, tail, self.cfg.wire_format, v3enc)
         if self.verbose:
             print()
         return n
 
     @staticmethod
-    def _send_payload(conn: socket.socket, result, wire_format: str = "v1") -> None:
+    def _send_payload(conn: socket.socket, result, wire_format: str = "v1",
+                      v3enc: "wire.V3Encoder | None" = None) -> None:
         pos, xs, vals, aux = result
+        if wire_format == "v3":
+            # adaptive: per-frame cheapest of delta16/bitmask/raw — the
+            # encoder keeps the client-state shadow, so this composes
+            # with every executor (incl. pipelined one-frame lag)
+            buf = v3enc.encode(pos, xs, vals)
+            conn.sendall(buf)
+            return len(buf)
         if wire_format == "v2":
             # delta16: host-side encode (one tiny numpy pass over the
             # payload); the scatter-gather zero-copy path is a v1-only
@@ -183,10 +197,12 @@ def main(argv=None) -> int:
     p.add_argument("--conv-k", type=int, default=3)
     p.add_argument("--compaction", default="pallas",
                    choices=[b.value for b in CompactionBackend])
-    p.add_argument("--wire", default="v1", choices=["v1", "v2"],
+    p.add_argument("--wire", default="v1", choices=["v1", "v2", "v3"],
                    help="v1 = reference-compatible wire (default); "
                         "v2 = delta16 index compression (~40%% fewer "
-                        "bytes; client must also use --wire v2/auto)")
+                        "bytes); v3 = adaptive delta16/bitmask/raw — "
+                        "worst-case wire bytes capped at ~one raw frame "
+                        "(client must also use --wire v2/v3/auto)")
     p.add_argument("--tiled", action="store_true",
                    help="ship per-tile payload blocks straight from the "
                         "kernel through the scatter-gather sender "

@@ -22,9 +22,32 @@ u16 gaps instead of i32 absolutes cuts the dominant index stream from
   and a gap of ``0xFFFF`` means "take the next absolute index from the
   exception stream" (first index > 65534 or a sparse-frame jump).
 
-Both ends must opt in (``--wire v2``); the reference client speaks v1
-only, which stays the default. The recorded-session tooling and the
-HTML viewer understand both (the magic prefix disambiguates files).
+**v3 "adaptive" (opt-in, beyond the reference).** v1's cost is
+``5*pos`` bytes — at high change density (scene cuts, camera pans,
+lighting flips) that is up to 5x the *raw frame size* (~31 MB at
+1080p), the same unbounded worst case the reference has. v3 caps the
+worst case at ~one raw frame by picking, per frame, the cheapest of
+three encodings (1-byte mode prefix each):
+
+* mode 0 "delta16": the v2 body — wins on sparse frames;
+* mode 1 "bitmask": ``[u32 pos][u8 bitmask[ceil(n/8)]][u8 vals[pos]]``
+  — a per-byte changed-bit mask (LSB-first, the
+  :func:`cudavideostream_tpu.ops.diff.pack_bitmask` layout) plus the
+  wrap-delta values in ascending index order; wins past ~6% density
+  (indices cost n/8 fixed instead of 2-4 bytes each);
+* mode 2 "raw": the full reconstructed frame (the server's shadow of
+  the client state) — wins past ~87% density.
+
+Selection is exact (all three sizes are computed from ``pos``/gaps),
+so v3 wire bytes per frame are ``min(delta16, bitmask, raw) <= n + 1``.
+The server maintains a client-state shadow via the same wrap-add the
+client runs (:class:`V3Encoder`), which keeps raw mode correct under
+any executor, including pipelined ones whose payloads lag a frame.
+
+Both ends must opt in (``--wire v2``/``v3``); the reference client
+speaks v1 only, which stays the default. The recorded-session tooling
+and the HTML viewer understand all three (the magic prefix
+disambiguates files).
 """
 
 from __future__ import annotations
@@ -43,7 +66,13 @@ _2U32 = struct.Struct("<II")
 # an opted-in client (v1 clients never see it — the server only emits it
 # in v2 mode)
 MAGIC_V2 = b"CVSTPU-WIRE-V2\x00\x01"
+MAGIC_V3 = b"CVSTPU-WIRE-V3\x00\x01"
 _GAP_ESC = 0xFFFF
+
+# v3 per-frame mode prefix (one byte)
+MODE_DELTA16 = 0
+MODE_BITMASK = 1
+MODE_RAW = 2
 
 
 def pack_payload_v2(pos: int, xs: np.ndarray, vals: np.ndarray) -> bytes:
@@ -93,6 +122,149 @@ def decode_gaps(gaps: np.ndarray, exc: np.ndarray) -> np.ndarray:
     for k, i in enumerate(idx):
         xs[i:] += int(exc[k]) - xs[i]
     return xs.astype(np.int32)
+
+
+def pack_bitmask_from_xs(xs: np.ndarray, n_bytes: int) -> np.ndarray:
+    """LSB-first changed-byte bitmask from ascending indices.
+
+    Bit ``i % 8`` of byte ``i // 8`` is set iff ``i`` is in ``xs`` — the
+    same layout :func:`cudavideostream_tpu.ops.diff.pack_bitmask` emits
+    on device and ``cvstpu.c:compact_bitmask`` consumes on host.
+    """
+    bits = np.zeros(n_bytes, dtype=np.uint8)
+    bits[np.asarray(xs, dtype=np.int64)] = 1
+    return np.packbits(bits, bitorder="little")
+
+
+def v3_sizes(pos: int, n_exc: int, n_bytes: int) -> Tuple[int, int, int]:
+    """Exact per-mode wire bytes (mode prefix included) for one frame."""
+    return (
+        1 + 8 + 3 * pos + 4 * n_exc,          # delta16
+        1 + 4 + (n_bytes + 7) // 8 + pos,     # bitmask
+        1 + n_bytes,                          # raw
+    )
+
+
+class V3Encoder:
+    """Per-connection adaptive encoder for the v3 wire.
+
+    Maintains a shadow of the client's frame state by applying every
+    payload with the client's own uint8 wrap-add, so mode 2 (raw) can
+    ship the exact post-apply state regardless of which executor
+    produced the payload (pipelined executors lag a frame; a device
+    snapshot would be off by one). The shadow also makes v3 immune to
+    capacity-truncated payloads: shadow and client see the same bytes.
+    """
+
+    def __init__(self, base_frame: np.ndarray):
+        self.frame = np.asarray(base_frame, dtype=np.uint8).ravel().copy()
+        self.last_mode: int = MODE_DELTA16
+
+    def encode(self, pos: int, xs, vals) -> bytes:
+        """One frame -> ``[u8 mode][body]`` bytes, cheapest mode."""
+        if isinstance(xs, TiledPayload):
+            xs, vals = xs.to_flat()
+        xs = np.asarray(xs, dtype=np.int64)[:pos]
+        vals = np.asarray(vals, dtype=np.uint8)[:pos]
+        if pos:
+            self.frame[xs] = self.frame[xs] + vals  # uint8 wrap-add
+        buf = encode_frame_v3(pos, xs, vals, self.frame)
+        self.last_mode = buf[0]
+        return buf
+
+
+def encode_frame_v3(pos: int, xs: np.ndarray, vals: np.ndarray,
+                    frame_after: np.ndarray) -> bytes:
+    """Stateless v3 frame encode (cheapest of the three modes).
+
+    ``frame_after`` is the client state *after* applying this payload —
+    callers that already maintain a reconstruction buffer (broadcast
+    joiner state, multiserve per-stream recon) pass it directly; others
+    use :class:`V3Encoder`, which maintains one.
+    """
+    n = frame_after.size
+    xs = np.asarray(xs, dtype=np.int64)[:pos]
+    vals = np.asarray(vals, dtype=np.uint8)[:pos]
+    n_exc = int(np.count_nonzero(np.diff(xs, prepend=-1) >= _GAP_ESC))
+    size_d, size_b, size_r = v3_sizes(pos, n_exc, n)
+    if size_d <= size_b and size_d <= size_r:
+        return bytes([MODE_DELTA16]) + pack_payload_v2(pos, xs, vals)
+    if size_b <= size_r:
+        mask = pack_bitmask_from_xs(xs, n)
+        return (
+            bytes([MODE_BITMASK])
+            + _U32.pack(pos)
+            + mask.tobytes()
+            + vals.tobytes()
+        )
+    return bytes([MODE_RAW]) + np.ascontiguousarray(
+        frame_after, dtype=np.uint8
+    ).tobytes()
+
+
+def unpack_frame_v3(buf: bytes, offset: int, n_bytes: int):
+    """Parse one v3 frame from a buffer.
+
+    Returns ``(pos, xs, vals, raw, consumed)`` — ``raw`` is the full
+    replacement frame for mode 2 (``xs``/``vals`` empty), else None.
+    """
+    if len(buf) - offset < 1:
+        raise ValueError("short buffer: v3 mode byte")
+    mode = buf[offset]
+    o = offset + 1
+    if mode == MODE_DELTA16:
+        pos, xs, vals, used = unpack_payload_v2(buf, o)
+        return pos, xs, vals, None, 1 + used
+    if mode == MODE_BITMASK:
+        mb = (n_bytes + 7) // 8
+        if len(buf) - o < 4:
+            raise ValueError("short buffer: v3 bitmask header")
+        (pos,) = _U32.unpack_from(buf, o)
+        need = 4 + mb + pos
+        if len(buf) - o < need:
+            raise ValueError("short buffer: v3 bitmask body")
+        mask = np.frombuffer(buf, dtype=np.uint8, count=mb, offset=o + 4)
+        vals = np.frombuffer(
+            buf, dtype=np.uint8, count=pos, offset=o + 4 + mb
+        ).copy()
+        xs = decode_bitmask(mask, n_bytes)
+        if xs.size != pos:
+            raise ValueError(f"v3 bitmask popcount {xs.size} != pos {pos}")
+        return pos, xs, vals, None, 1 + need
+    if mode == MODE_RAW:
+        if len(buf) - o < n_bytes:
+            raise ValueError("short buffer: v3 raw body")
+        raw = np.frombuffer(buf, dtype=np.uint8, count=n_bytes, offset=o).copy()
+        return n_bytes, None, None, raw, 1 + n_bytes
+    raise ValueError(f"unknown v3 mode {mode}")
+
+
+def decode_bitmask(mask: np.ndarray, n_bytes: int) -> np.ndarray:
+    """Ascending changed indices from an LSB-first bitmask."""
+    bits = np.unpackbits(np.asarray(mask, dtype=np.uint8), bitorder="little")
+    return np.nonzero(bits[:n_bytes])[0].astype(np.int32)
+
+
+def read_frame_v3(sock: socket.socket, n_bytes: int):
+    """Blocking read of one v3 frame: ``(pos, xs, vals, raw)``."""
+    mode = read_exact(sock, 1)[0]
+    if mode == MODE_DELTA16:
+        pos, xs, vals = read_payload_v2(sock)
+        return pos, xs, vals, None
+    if mode == MODE_BITMASK:
+        (pos,) = _U32.unpack(read_exact(sock, 4))
+        mask = np.frombuffer(
+            read_exact(sock, (n_bytes + 7) // 8), dtype=np.uint8
+        )
+        vals = np.frombuffer(read_exact(sock, pos), dtype=np.uint8).copy()
+        xs = decode_bitmask(mask, n_bytes)
+        if xs.size != pos:
+            raise ValueError(f"v3 bitmask popcount {xs.size} != pos {pos}")
+        return pos, xs, vals, None
+    if mode == MODE_RAW:
+        raw = np.frombuffer(read_exact(sock, n_bytes), dtype=np.uint8).copy()
+        return n_bytes, None, None, raw
+    raise ValueError(f"unknown v3 mode {mode}")
 
 
 def pack_payload(pos: int, xs: np.ndarray, vals: np.ndarray) -> bytes:

@@ -208,3 +208,71 @@ def test_shutdown_drains_queued_frames(small_config):
         _, recon = cli.read_frame()
     np.testing.assert_array_equal(recon, prev)
     cli.close()
+
+
+def test_v3_mode_flips_and_late_joiner(small_config, tmp_path):
+    """v3 over broadcast: a density schedule flips delta16->bitmask->raw
+    while a late joiner (admitted after the raw frame) stays byte-exact —
+    the encoder's shadow doubles as the joiner base."""
+    from cudavideostream_tpu.runtime.sources import FileSource
+    from tests.test_runtime import TestWireV3Loopback
+
+    rng = np.random.default_rng(77)
+    cfg = dataclasses.replace(small_config, port=0, wire_format="v3")
+    stack = TestWireV3Loopback._density_stack(cfg, rng)
+    # repeat the schedule so a late joiner sees every mode too
+    stack = np.concatenate([stack, stack[1:]])
+    path = str(tmp_path / "stack.npy")
+    np.save(path, stack)
+    n_frames = len(stack) - 1
+    server = BroadcastServer(
+        cfg, FileSource(path, cfg, loop=False), verbose=False,
+        overlay_status=False,
+    )
+    server.listen()
+    port = server.port
+    t = threading.Thread(
+        target=server.serve, kwargs={"max_frames": n_frames}, daemon=True
+    )
+    t.start()
+
+    cli1 = DeltaStreamClient("127.0.0.1", port, cfg.height, cfg.width)
+    cli1.connect()
+    assert cli1.wire_format == "v3"
+    prev = stack[0].copy()
+    np.testing.assert_array_equal(cli1.frame, prev)
+
+    state2 = {}
+
+    def late_reader():
+        cli2 = DeltaStreamClient("127.0.0.1", port, cfg.height, cfg.width)
+        cli2.connect()
+        assert cli2.wire_format == "v3"
+        state2["base"] = cli2.frame.copy()
+        n = 0
+        try:
+            while True:
+                _, recon2 = cli2.read_frame()
+                state2["last"] = recon2.copy()
+                n += 1
+        except (ConnectionError, ValueError, OSError):
+            pass
+        state2["count"] = n
+        cli2.close()
+
+    reader = None
+    for k in range(n_frames):
+        prev, *_ = ref.step_oracle(prev, stack[k + 1], cfg)
+        _, recon1 = cli1.read_frame()
+        np.testing.assert_array_equal(recon1, prev)
+        if k == 3:  # after the raw frame: joiner base = post-raw shadow
+            reader = threading.Thread(target=late_reader, daemon=True)
+            reader.start()
+            time.sleep(0.2)
+
+    t.join(timeout=30)
+    reader.join(timeout=30)
+    np.testing.assert_array_equal(recon1, prev)
+    assert state2["count"] >= 1
+    np.testing.assert_array_equal(state2["last"], prev)
+    cli1.close()

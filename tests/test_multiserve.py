@@ -37,6 +37,9 @@ def _sync_oracle_to_base(base, cfg, replay, max_skip=16):
         ("v1", None, True, "flat"),   # forced merge+prefix landing
         ("v1", (2, 4), False, "auto"),
         ("v2", (2, 4), False, "auto"),
+        ("v3", None, False, "auto"),
+        ("v3", None, True, "auto"),   # v3 over the batched fast path
+        ("v3", (2, 4), False, "auto"),
     ],
 )
 def test_two_streams_byte_exact(small_config, wire_format, mesh_shape, tiled,

@@ -495,3 +495,138 @@ class TestWireV2Loopback:
             np.testing.assert_array_equal(recon, f)
         cli2.close()
         t2.join(timeout=30)
+
+
+class TestWireV3Loopback:
+    """v3 adaptive wire: a scripted density schedule must flip through
+    all three modes, reconstruct byte-exactly, and cap the wire bytes."""
+
+    @staticmethod
+    def _density_stack(cfg, rng):
+        """[base, sparse, dense, full-change] frame stack: each regime
+        lands in a different v3 mode at cfg.threshold=20."""
+        n = cfg.frame_bytes
+        base = rng.integers(0, 255, n, endpoint=True, dtype=np.uint8)
+        sparse = base.copy()
+        idx = rng.choice(n, size=n // 100, replace=False)
+        sparse[idx] = sparse[idx] + 100  # ~1% -> delta16
+        dense = sparse.copy()
+        idx = rng.choice(n, size=n // 4, replace=False)
+        dense[idx] = dense[idx] + 100  # ~25% -> bitmask
+        full = ((dense.astype(np.int16) + 130) % 256).astype(np.uint8)
+        return np.stack([base, sparse, dense, full])
+
+    def _serve_and_check(self, cfg, stack, tmp_path, rec_name="v3.cvs"):
+        import dataclasses
+
+        path = str(tmp_path / "stack.npy")
+        np.save(path, stack)
+        cfg = dataclasses.replace(cfg, port=0, wire_format="v3")
+        server = DeltaStreamServer(
+            cfg, FileSource(path, cfg, loop=False), verbose=False,
+            overlay_status=False,
+        )
+        server.listen()
+        t = threading.Thread(
+            target=server.serve, kwargs={"max_frames": len(stack) - 1},
+            daemon=True,
+        )
+        t.start()
+        rec = str(tmp_path / rec_name)
+        cli = DeltaStreamClient("127.0.0.1", server.port, cfg.height,
+                                cfg.width, record=rec)
+        cli.connect()
+        assert cli.wire_format == "v3"  # auto-sniffed the magic
+        prev = stack[0].copy()
+        np.testing.assert_array_equal(cli.frame, prev)
+        for k in range(1, len(stack)):
+            prev, _, _, _, _ = ref.step_oracle(prev, stack[k], cfg)
+            _, recon = cli.read_frame()
+            np.testing.assert_array_equal(recon, prev)
+        cli.close()
+        t.join(timeout=30)
+        return rec
+
+    def test_modes_reconstruction_and_cap(self, small_config, rng, tmp_path):
+        from cudavideostream_tpu.runtime import wire
+
+        cfg = small_config
+        stack = self._density_stack(cfg, rng)
+        rec = self._serve_and_check(cfg, stack, tmp_path)
+        data = open(rec, "rb").read()
+        assert data.startswith(wire.MAGIC_V3)
+        n = cfg.frame_bytes
+        off = len(wire.MAGIC_V3) + n
+        modes, sizes = [], []
+        while off < len(data):
+            _, _, _, _, used = wire.unpack_frame_v3(data, off, n)
+            modes.append(data[off])
+            sizes.append(used)
+            off += used
+        assert modes == [wire.MODE_DELTA16, wire.MODE_BITMASK, wire.MODE_RAW]
+        assert all(s <= n + 1 for s in sizes)  # the worst-case cap
+        # v1 would ship 5*pos for the full-change frame = 5x the raw frame
+        assert sizes[-1] == n + 1 < 5 * n
+
+    def test_v3_record_replay_roundtrip(self, small_config, rng, tmp_path):
+        """A mixed-mode v3 recording replays byte-identically."""
+        from cudavideostream_tpu.runtime.replay import ReplayServer
+
+        cfg = small_config
+        stack = self._density_stack(cfg, rng)
+        rec = self._serve_and_check(cfg, stack, tmp_path)
+        rp = ReplayServer(rec, cfg.frame_bytes, port=0, verbose=False)
+        rp.listen()
+        assert rp.v3 and len(rp.marks) == 3
+        t2 = threading.Thread(target=rp.serve, daemon=True)
+        t2.start()
+        cli = DeltaStreamClient("127.0.0.1", rp.port, cfg.height, cfg.width)
+        cli.connect()
+        prev = stack[0].copy()
+        for k in range(1, len(stack)):
+            prev, _, _, _, _ = ref.step_oracle(prev, stack[k], cfg)
+            _, recon = cli.read_frame()
+            np.testing.assert_array_equal(recon, prev)
+        cli.close()
+        t2.join(timeout=30)
+
+    def test_v3_pipelined_and_tiled_executors(self, small_config, rng,
+                                              tmp_path):
+        """raw mode stays correct when payloads lag a frame (pipelined)
+        and when they arrive as per-tile blocks (tiled)."""
+        import dataclasses
+
+        from cudavideostream_tpu.runtime.executor import PipelinedExecutor
+
+        cfg = small_config
+        stack = self._density_stack(cfg, rng)
+        for variant in ("tiled", "pipelined"):
+            vcfg = dataclasses.replace(
+                cfg, port=0, wire_format="v3",
+                tiled_payload=(variant == "tiled"),
+            )
+            path = str(tmp_path / f"stack_{variant}.npy")
+            np.save(path, stack)
+            executor = (
+                PipelinedExecutor(vcfg) if variant == "pipelined" else None
+            )
+            server = DeltaStreamServer(
+                vcfg, FileSource(path, vcfg, loop=False), executor=executor,
+                verbose=False, overlay_status=False,
+            )
+            server.listen()
+            t = threading.Thread(
+                target=server.serve, kwargs={"max_frames": len(stack) - 1},
+                daemon=True,
+            )
+            t.start()
+            cli = DeltaStreamClient("127.0.0.1", server.port, vcfg.height,
+                                    vcfg.width, wire_format="v3")
+            cli.connect()
+            prev = stack[0].copy()
+            for k in range(1, len(stack)):
+                prev, _, _, _, _ = ref.step_oracle(prev, stack[k], vcfg)
+                _, recon = cli.read_frame()
+                np.testing.assert_array_equal(recon, prev)
+            cli.close()
+            t.join(timeout=30)

@@ -133,3 +133,103 @@ class TestWireV2:
         buf = wire.pack_payload_v2(0, np.empty(0, np.int32), np.empty(0, np.uint8))
         pos, xs, vals, used = wire.unpack_payload_v2(buf)
         assert pos == 0 and xs.size == 0 and used == 8
+
+
+class TestWireV3:
+    """Adaptive wire: per-frame cheapest of delta16/bitmask/raw, worst
+    case capped at ~one raw frame (v1's worst case is 5x the frame)."""
+
+    def _roundtrip(self, enc_buf, n_bytes, shadow_before):
+        """Decode one encoded frame and apply it like the client would."""
+        pos, xs, vals, raw, used = wire.unpack_frame_v3(enc_buf, 0, n_bytes)
+        assert used == len(enc_buf)
+        frame = shadow_before.copy()
+        if raw is not None:
+            frame = raw.copy()
+        elif pos:
+            frame[xs] = frame[xs] + vals  # uint8 wrap-add
+        return frame, enc_buf[0]
+
+    def test_mode_selection_and_reconstruction(self, rng):
+        n = 9216
+        base = rng.integers(0, 255, n, endpoint=True, dtype=np.uint8)
+        enc = wire.V3Encoder(base)
+        client = base.copy()
+        # (changed fraction, expected mode)
+        plans = [
+            (0.01, wire.MODE_DELTA16),
+            (0.25, wire.MODE_BITMASK),
+            (1.00, wire.MODE_RAW),
+            (0.00, wire.MODE_DELTA16),  # static frame: 9-byte header
+        ]
+        for frac, want_mode in plans:
+            k = int(n * frac)
+            xs = np.sort(rng.choice(n, size=k, replace=False)).astype(np.int32)
+            vals = rng.integers(1, 255, k, endpoint=True, dtype=np.uint8)
+            expect = enc.frame.copy()
+            expect[xs] = expect[xs] + vals
+            buf = enc.encode(k, xs, vals)
+            assert buf[0] == want_mode == enc.last_mode
+            client, mode = self._roundtrip(buf, n, client)
+            np.testing.assert_array_equal(client, expect)
+            np.testing.assert_array_equal(enc.frame, expect)
+            # selection is exact: the emitted size is the min of the three
+            n_exc = int(np.count_nonzero(np.diff(xs, prepend=-1) >= 0xFFFF))
+            assert len(buf) == min(wire.v3_sizes(k, n_exc, n))
+            assert len(buf) <= n + 1  # the cap
+
+    def test_bitmask_layout_matches_device_packer(self, rng):
+        """The wire bitmask uses the same LSB-first layout as the device
+        op (ops.diff.pack_bitmask) and the C packer consumes."""
+        import jax.numpy as jnp
+
+        from cudavideostream_tpu.ops import diff
+
+        n = 2048
+        mask = rng.random(n) < 0.3
+        xs = np.nonzero(mask)[0]
+        host = wire.pack_bitmask_from_xs(xs, n)
+        dev = np.asarray(diff.pack_bitmask(jnp.asarray(mask)))
+        np.testing.assert_array_equal(host, dev)
+        np.testing.assert_array_equal(wire.decode_bitmask(host, n), xs)
+
+    def test_tiled_payload_accepted(self, rng):
+        n = 4096
+        base = rng.integers(0, 255, n, endpoint=True, dtype=np.uint8)
+        k = 64
+        xs = np.sort(rng.choice(n, size=k, replace=False)).astype(np.int32)
+        vals = rng.integers(1, 255, k, endpoint=True, dtype=np.uint8)
+        counts = np.array([40, 24], np.int32)
+        xs_t = np.zeros((2, 40), np.int32)
+        vals_t = np.zeros((2, 40), np.uint8)
+        xs_t[0, :40], xs_t[1, :24] = xs[:40], xs[40:]
+        vals_t[0, :40], vals_t[1, :24] = vals[:40], vals[40:]
+        tp = wire.TiledPayload(k, counts, xs_t, vals_t)
+        flat = wire.V3Encoder(base).encode(k, xs, vals)
+        tiled = wire.V3Encoder(base).encode(k, tp, None)
+        assert flat == tiled
+
+    def test_short_buffer_raises(self):
+        n = 1024
+        enc = wire.V3Encoder(np.zeros(n, np.uint8))
+        xs = np.arange(0, n, 2, dtype=np.int32)
+        buf = enc.encode(xs.size, xs, np.full(xs.size, 7, np.uint8))
+        assert buf[0] == wire.MODE_BITMASK
+        for cut in (0, 1, 4, len(buf) - 1):
+            with pytest.raises(ValueError):
+                wire.unpack_frame_v3(buf[:cut], 0, n)
+
+    def test_mode_crossovers_are_exact(self):
+        """Brute-force the density sweep: the encoder always emits the
+        smallest of the three encodings."""
+        n = 4096
+        rng = np.random.default_rng(5)
+        for frac in (0.0, 0.02, 0.05, 0.0625, 0.07, 0.2, 0.5, 0.86, 0.9, 1.0):
+            k = int(n * frac)
+            xs = np.sort(rng.choice(n, size=k, replace=False)).astype(np.int32)
+            vals = np.full(k, 9, np.uint8)
+            enc = wire.V3Encoder(np.zeros(n, np.uint8))
+            buf = enc.encode(k, xs, vals)
+            n_exc = int(np.count_nonzero(np.diff(xs, prepend=-1) >= 0xFFFF))
+            sizes = wire.v3_sizes(k, n_exc, n)
+            assert len(buf) == min(sizes), (frac, len(buf), sizes)
