@@ -82,6 +82,16 @@ class DeltaStreamPipeline:
             self._thr_map_min = int(tm.min())
         # Mosaic kernels need the interpreter off-TPU (tests run on CPU)
         self._interpret = jax.default_backend() == "cpu"
+        # HOST backend fast path: the host already owns the source frame,
+        # so it can extract the payload values itself from a prev shadow
+        # and the device ships only the n/8-byte bitmask (vs the n-byte
+        # dense delta). The shadow mirrors the DEVICE prev (negative
+        # feedback included). Gated off under noise_filter: the conv
+        # runs on device and the host copy would not match it.
+        self._host_fast = (
+            config.compaction.value == "host" and not config.noise_filter
+        )
+        self._host_prev: Optional[np.ndarray] = None
         # use the fast VPU sine colormap only when this backend provably
         # reproduces the float64 LUT for all 766 inputs
         self._heatmap_sine = (
@@ -101,6 +111,9 @@ class DeltaStreamPipeline:
         base = np.asarray(base_frame, dtype=np.uint8).ravel()
         if base.size != self.config.frame_bytes:
             raise ValueError("base frame size mismatch")
+        if self._host_fast:
+            # (re)sync the host prev shadow — load_state funnels here too
+            self._host_prev = base.copy()
         return jnp.asarray(base)
 
     # -- the fused step ---------------------------------------------------
@@ -197,8 +210,12 @@ class DeltaStreamPipeline:
         elif cfg.compaction.value == "host":
             # HOST backend: the device does only the O(n) elementwise work
             # (dense delta + a packed bitmask, n/8 bytes); the C packer
-            # (cvstpu.c:compact_bitmask, ctz word scans) compacts on the
-            # host. See DeltaStreamPipeline.step for the host half.
+            # compacts on the host. Fast path (no noise filter): only the
+            # bitmask is fetched — the host re-derives the values from
+            # its own source frame + a prev shadow
+            # (cvstpu.c:compact_update); otherwise the dense delta is
+            # fetched too (cvstpu.c:compact_bitmask, ctz word scans).
+            # See DeltaStreamPipeline.step for the host half.
             mask, raw_vals, new_prev = diff_ops.diff_mask(
                 cur, prev, thr, cfg.negative_feedback
             )
@@ -243,7 +260,8 @@ class DeltaStreamPipeline:
         ids = fonts.encode_text(text, MAX_OVERLAY_CHARS)
         char_ids = jnp.asarray(ids, dtype=jnp.int32)
         n_chars = jnp.int32(min(len(text), MAX_OVERLAY_CHARS))
-        frame = jnp.asarray(np.asarray(frame, dtype=np.uint8).ravel())
+        frame_np = np.asarray(frame, dtype=np.uint8).ravel()
+        frame = jnp.asarray(frame_np)
         out = self._step(prev, frame, char_ids, n_chars)
 
         if cfg.compaction.value == "host":
@@ -251,9 +269,27 @@ class DeltaStreamPipeline:
             aux = out[3] if len(out) > 3 else None
             from cudavideostream_tpu import native
 
-            xs, vals = native.compact_bitmask_np(
-                np.asarray(delta), np.asarray(bitmask)
-            )
+            if self._host_fast and self._host_prev is not None:
+                # host-source packer: values from the host's own frame +
+                # prev shadow; only the n/8-byte bitmask leaves the
+                # device (the dense delta stays there, unfetched)
+                cur_host = frame_np
+                nc = int(n_chars)
+                if nc:
+                    cur_host = reference_cpu.overlay_blit(
+                        cur_host, self.atlas_np, ids[:nc],
+                        cfg.height, cfg.width,
+                    )
+                xs, vals = native.compact_update_np(
+                    cur_host, self._host_prev, np.asarray(bitmask)
+                )
+                if not cfg.negative_feedback:
+                    # new_prev = cur everywhere, not just at masked bytes
+                    np.copyto(self._host_prev, cur_host)
+            else:
+                xs, vals = native.compact_bitmask_np(
+                    np.asarray(delta), np.asarray(bitmask)
+                )
             pos = xs.size
             if cfg.capacity != cfg.frame_bytes:
                 xs, vals = xs[: cfg.capacity], vals[: cfg.capacity]

@@ -71,6 +71,11 @@ def load_native() -> Optional[ctypes.CDLL]:
         c.POINTER(c.c_int32), c.POINTER(c.c_uint8),
     ]
     lib.compact_bitmask.restype = c.c_int64
+    lib.compact_update.argtypes = [
+        c.POINTER(c.c_uint8), c.POINTER(c.c_uint8), c.POINTER(c.c_uint8),
+        c.c_int64, c.POINTER(c.c_int32), c.POINTER(c.c_uint8),
+    ]
+    lib.compact_update.restype = c.c_int64
     lib.client_apply.argtypes = [
         c.POINTER(c.c_uint8), c.POINTER(c.c_int32), c.POINTER(c.c_uint8), c.c_int64
     ]
@@ -108,6 +113,37 @@ def compact_bitmask_np(delta, bitmask):
         delta.ctypes.data_as(c.POINTER(c.c_uint8)),
         bitmask.ctypes.data_as(c.POINTER(c.c_uint8)),
         delta.size,
+        xs.ctypes.data_as(c.POINTER(c.c_int32)),
+        vals.ctypes.data_as(c.POINTER(c.c_uint8)),
+    )
+    return xs[:n], vals[:n]
+
+
+def compact_update_np(cur, prev, bitmask):
+    """Host-source packer: ``vals = cur - prev`` (uint8 wrap) at masked
+    bytes, ``prev`` updated in place to ``cur`` there (the negative-
+    feedback state update). Returns ``(xs, vals)``. ``prev`` must be a
+    writable contiguous uint8 array; falls back to numpy if unbuilt."""
+    import numpy as np
+
+    cur = np.ascontiguousarray(cur, dtype=np.uint8)
+    assert prev.dtype == np.uint8 and prev.flags.c_contiguous
+    bitmask = np.ascontiguousarray(bitmask, dtype=np.uint8)
+    lib = load_native()
+    if lib is None:
+        bits = np.unpackbits(bitmask, bitorder="little")[: cur.size].astype(bool)
+        xs = np.nonzero(bits)[0].astype(np.int32)
+        vals = cur[xs] - prev[xs]
+        prev[xs] = cur[xs]
+        return xs, vals
+    xs = np.empty(cur.size, dtype=np.int32)
+    vals = np.empty(cur.size, dtype=np.uint8)
+    c = ctypes
+    n = lib.compact_update(
+        cur.ctypes.data_as(c.POINTER(c.c_uint8)),
+        prev.ctypes.data_as(c.POINTER(c.c_uint8)),
+        bitmask.ctypes.data_as(c.POINTER(c.c_uint8)),
+        cur.size,
         xs.ctypes.data_as(c.POINTER(c.c_int32)),
         vals.ctypes.data_as(c.POINTER(c.c_uint8)),
     )

@@ -135,6 +135,41 @@ int64_t compact_bitmask(const uint8_t *delta, const uint8_t *bitmask,
     return out;
 }
 
+/* Host-source packer: like compact_bitmask, but the values come from
+ * the host's own buffers — vals[i] = cur[x] - prev[x] (uint8 wrap) —
+ * and prev is updated in place to cur at every masked byte (the
+ * negative-feedback state update). The device then only ships the
+ * n/8-byte bitmask instead of the n-byte dense delta. */
+int64_t compact_update(const uint8_t *cur, uint8_t *prev,
+                       const uint8_t *bitmask, int64_t n,
+                       int32_t *xs_out, uint8_t *vals_out) {
+    int64_t out = 0;
+    int64_t words = n / 64;
+    const uint64_t *bm = (const uint64_t *)bitmask;
+    for (int64_t w = 0; w < words; ++w) {
+        uint64_t m = bm[w];
+        int64_t base = w * 64;
+        while (m) {
+            int b = __builtin_ctzll(m);
+            int64_t i = base + b;
+            xs_out[out] = (int32_t)i;
+            vals_out[out] = (uint8_t)(cur[i] - prev[i]);
+            prev[i] = cur[i];
+            ++out;
+            m &= m - 1;
+        }
+    }
+    for (int64_t i = words * 64; i < n; ++i) {
+        if (bitmask[i / 8] >> (i % 8) & 1) {
+            xs_out[out] = (int32_t)i;
+            vals_out[out] = (uint8_t)(cur[i] - prev[i]);
+            prev[i] = cur[i];
+            ++out;
+        }
+    }
+    return out;
+}
+
 /* frame[xs[i]] += vals[i] (uint8 wraparound). */
 void client_apply(uint8_t *frame, const int32_t *xs, const uint8_t *vals,
                   int64_t pos) {

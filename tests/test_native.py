@@ -123,3 +123,48 @@ def test_c_client_decodes_server_stream(lib, small_config):
     for _ in range(n_frames):
         prev, *_ = ref.step_oracle(prev, next(replay), cfg)
     np.testing.assert_array_equal(final, prev)
+
+
+def test_compact_update_matches_oracle_and_updates_prev(lib, rng):
+    """The host-source packer: vals from (cur, prev shadow), shadow
+    updated in place to the negative-feedback new_prev."""
+    n = 6144
+    prev = rng.integers(0, 255, n, endpoint=True, dtype=np.uint8)
+    cur = np.where(
+        rng.random(n) < 0.1, (prev.astype(np.int32) + 99) % 256, prev
+    ).astype(np.uint8)
+    # sub-threshold noise on some unchanged bytes (negfeed must NOT
+    # update the shadow there)
+    noise = rng.random(n) < 0.2
+    cur = np.where(
+        noise & (cur == prev), (cur.astype(np.int32) + 5) % 256, cur
+    ).astype(np.uint8)
+    pos_r, xs_r, vals_r, new_prev_r = ref.diff_encode(cur, prev)
+    mask = np.abs(cur.astype(np.int32) - prev.astype(np.int32)) > 20
+    bitmask = np.packbits(mask, bitorder="little")
+    shadow = prev.copy()
+    xs, vals = native.compact_update_np(cur, shadow, bitmask)
+    assert xs.size == pos_r
+    np.testing.assert_array_equal(xs, xs_r)
+    np.testing.assert_array_equal(vals, vals_r)
+    np.testing.assert_array_equal(shadow, new_prev_r)
+
+
+def test_compact_update_c_equals_numpy_fallback(lib, rng):
+    n = 777  # non-multiple of 64: exercises the tail loop
+    prev = rng.integers(0, 255, n, endpoint=True, dtype=np.uint8)
+    cur = rng.integers(0, 255, n, endpoint=True, dtype=np.uint8)
+    mask = rng.random(n) < 0.3
+    bitmask = np.packbits(mask, bitorder="little")
+    s1, s2 = prev.copy(), prev.copy()
+    xs_c, vals_c = native.compact_update_np(cur, s1, bitmask)
+    # force the numpy fallback
+    saved = native._lib
+    native._lib, native._tried = None, True
+    try:
+        xs_n, vals_n = native.compact_update_np(cur, s2, bitmask)
+    finally:
+        native._lib, native._tried = saved, True
+    np.testing.assert_array_equal(xs_c, xs_n)
+    np.testing.assert_array_equal(vals_c, vals_n)
+    np.testing.assert_array_equal(s1, s2)

@@ -630,3 +630,80 @@ class TestWireV3Loopback:
                 np.testing.assert_array_equal(recon, prev)
             cli.close()
             t.join(timeout=30)
+
+
+class TestHostBackendFastPath:
+    """HOST compaction: the host-source packer extracts values from its
+    own frame + prev shadow; only the n/8 bitmask leaves the device."""
+
+    def _run(self, cfg, frames, texts, monkeypatch=None):
+        import dataclasses
+
+        from cudavideostream_tpu import native
+        from cudavideostream_tpu.config import CompactionBackend
+        from cudavideostream_tpu.models import DeltaStreamPipeline
+        from cudavideostream_tpu.utils import fonts
+
+        cfg = dataclasses.replace(cfg, compaction=CompactionBackend("host"))
+        pipe = DeltaStreamPipeline(cfg)
+        assert pipe._host_fast
+        if monkeypatch is not None:
+            # the dense-delta path must never run on the fast path
+            def boom(*a, **k):
+                raise AssertionError("dense delta fetched on fast path")
+
+            monkeypatch.setattr(native, "compact_bitmask_np", boom)
+        state = pipe.init_state(frames[0])
+        prev = frames[0].copy()
+        for frame, text in zip(frames[1:], texts):
+            state, pos, xs, vals, _ = pipe.step(state, frame, text=text)
+            cid = fonts.encode_text(text) if text else None
+            prev, e_pos, e_xs, e_vals, _ = ref.step_oracle(
+                prev, frame, cfg, atlas=pipe.atlas_np if text else None,
+                char_ids=cid,
+            )
+            assert pos == e_pos
+            np.testing.assert_array_equal(xs, e_xs)
+            np.testing.assert_array_equal(vals, e_vals)
+            np.testing.assert_array_equal(np.asarray(state), prev)
+            np.testing.assert_array_equal(pipe._host_prev, prev)
+
+    def test_byte_exact_with_overlay_and_negfeed(self, small_config, rng,
+                                                 monkeypatch):
+        src = SyntheticSource(small_config, seed=5)
+        frames = [next(src) for _ in range(5)]
+        texts = ["", "FPS: 12 BW: 900 kbps", "FPS: 13 BW: 901 kbps",
+                 "FPS: 13 BW: 901 kbps"]
+        self._run(small_config, frames, texts, monkeypatch)
+
+    def test_byte_exact_without_negative_feedback(self, small_config, rng,
+                                                  monkeypatch):
+        import dataclasses
+
+        cfg = dataclasses.replace(small_config, negative_feedback=False)
+        src = SyntheticSource(cfg, seed=6)
+        frames = [next(src) for _ in range(4)]
+        self._run(cfg, frames, ["", "FPS: 1", ""], monkeypatch)
+
+    def test_noise_filter_takes_dense_path(self, small_config):
+        import dataclasses
+
+        from cudavideostream_tpu.config import CompactionBackend
+        from cudavideostream_tpu.models import DeltaStreamPipeline
+
+        cfg = dataclasses.replace(
+            small_config, compaction=CompactionBackend("host"),
+            noise_filter=True,
+        )
+        pipe = DeltaStreamPipeline(cfg)
+        assert not pipe._host_fast
+        src = SyntheticSource(cfg, seed=7)
+        base = next(src)
+        state = pipe.init_state(base)
+        prev = base.copy()
+        frame = next(src)
+        state, pos, xs, vals, _ = pipe.step(state, frame)
+        prev, e_pos, e_xs, e_vals, _ = ref.step_oracle(prev, frame, cfg)
+        assert pos == e_pos
+        np.testing.assert_array_equal(xs, e_xs)
+        np.testing.assert_array_equal(vals, e_vals)
