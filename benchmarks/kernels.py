@@ -104,6 +104,15 @@ def run(out_path: str | None = None):
         m, v, np_ = diff.diff_mask(a, b, 20)
         return b, np_
 
+    def chain_host_offload(c):
+        # the HOST backend's whole device step: mask + n/8 bitmask +
+        # negfeed update — no compaction on device at all (the host
+        # packs from its own frame + prev shadow, cvstpu.c:compact_update)
+        a, b, acc = c
+        m, v, np_ = diff.diff_mask(a, b, 20)
+        bm = diff.pack_bitmask(m)
+        return b, np_, acc + bm[0].astype(jnp.int32)
+
     def chain_heatmap(c):
         a, b = c
         return b, filters.heatmap(a, b, use_sine=sine_ok)
@@ -139,6 +148,7 @@ def run(out_path: str | None = None):
         ("diff+compact_segment", 3.42, make_chain_scheme("segment"),
          (cur, prev, acc0)),
         ("diff_mask_only", 3.42, chain_diff_mask, (cur, prev)),
+        ("host_offload_step", 3.42, chain_host_offload, (cur, prev, acc0)),
         ("grayscale_avg", None, filters.grayscale_average, cur),
         ("grayscale_weighted", None, filters.grayscale_weighted, cur),
         ("histogram", None, chain_hist, cur),

@@ -132,7 +132,49 @@ def record_session(n_frames: int = 36) -> None:
     )
 
 
+def record_session_v3(n_frames: int = 36) -> None:
+    """The same scene over the v3 adaptive wire, with a mid-stream scene
+    inversion (~85% density -> bitmask mode; note even full inversion
+    stays under raw's ~87.5% crossover because bytes in [118..137] move
+    by <= 20) and a lighting flip (+130 on every byte -> 100% -> raw).
+    Plays in examples/viewer.html like the v1 session."""
+    cfg = StreamConfig(height=270, width=480, overlay_scale=2)
+    rng = np.random.default_rng(5)
+    atlas = fonts.make_atlas(cfg.overlay_scale)
+    base = demo_scene(cfg, 0, rng)
+    chunks = [wire.MAGIC_V3, base.tobytes()]
+    prev = base.copy()
+    enc = wire.V3Encoder(base)
+    modes = []
+    for t in range(1, n_frames + 1):
+        cur = demo_scene(cfg, t, rng)
+        if t == n_frames // 3:
+            cur = 255 - cur  # scene inversion: ~85% -> bitmask
+        elif t == 2 * n_frames // 3:
+            # lighting flip: every byte moves by 130 (mod 256) -> raw
+            cur = ((cur.astype(np.int16) + 130) % 256).astype(np.uint8)
+        ids = fonts.encode_text(f"FPS: {60 + t}")
+        prev, pos, xs, vals, _ = ref.step_oracle(
+            prev, cur, cfg, atlas=atlas, char_ids=ids
+        )
+        chunks.append(enc.encode(pos, xs, vals))
+        modes.append(enc.last_mode)
+    np.testing.assert_array_equal(enc.frame, prev)  # session self-check
+    assert set(modes) == {wire.MODE_DELTA16, wire.MODE_BITMASK,
+                          wire.MODE_RAW}, modes
+    raw = b"".join(chunks)
+    path = os.path.join(OUT, "session_v3.cvs.gz")
+    with gzip.open(path, "wb", compresslevel=9) as f:
+        f.write(raw)
+    print(
+        f"wrote artifacts/session_v3.cvs.gz ({len(raw)} wire bytes, "
+        f"{os.path.getsize(path)} gz; modes "
+        f"{[m for m in modes]})"
+    )
+
+
 if __name__ == "__main__":
     os.makedirs(OUT, exist_ok=True)
     render_visualizers()
     record_session()
+    record_session_v3()
