@@ -173,12 +173,13 @@ def run(out_path: str | None = None):
     rows = []
     for name, ref_ms, fn, init in entries:
         ms = _bench_scan(fn, init, k=K, iters=ITERS)
-        if ms < 0.1:
-            # sub-0.1 ms ops: at K=24x4 the whole timed region is a few
-            # ms against a ~30 ms subtracted RTT, so RTT jitter swamps
-            # the signal (can even clamp to 0). Re-chain long enough
-            # that device time dominates.
-            ms = _bench_scan(fn, init, k=320, iters=2)
+        if ms < 0.35:
+            # small ops: at K=24x4 the timed region is a few ms against
+            # a ~30 ms subtracted RTT, so RTT jitter and transient
+            # tenant contention swamp the signal (a 0.034 ms op once
+            # read 0.32). Re-chain long enough that device time
+            # dominates and keep the min — contention only ever adds.
+            ms = min(ms, _bench_scan(fn, init, k=320, iters=2))
         speedup = f"{ref_ms/ms:7.1f}x" if ref_ms and ms > 1e-6 else "      -"
         rows.append((name, ms, ref_ms))
         print(f"{name:24s} {ms:8.3f} ms   jetson {ref_ms or float('nan'):8.3f} ms  {speedup}",

@@ -284,7 +284,8 @@ class TestShardedExecutor:
 
     @pytest.mark.parametrize(
         "layout,wire_format",
-        [("sharded", "v1"), ("replicated", "v1"), ("sharded", "v2")],
+        [("sharded", "v1"), ("replicated", "v1"), ("sharded", "v2"),
+         ("sharded", "v3"), ("replicated", "v3")],
     )
     def test_wire_bytes_identical_to_single_device(self, layout, wire_format):
         from cudavideostream_tpu.runtime.sharded_executor import (

@@ -233,3 +233,19 @@ class TestWireV3:
             n_exc = int(np.count_nonzero(np.diff(xs, prepend=-1) >= 0xFFFF))
             sizes = wire.v3_sizes(k, n_exc, n)
             assert len(buf) == min(sizes), (frac, len(buf), sizes)
+
+
+def test_pack_bitmask_matmul_path_equals_fallback(rng):
+    """The (M,384) MXU packing (used at frame sizes) must equal the
+    generic reshape path and the host packer bit-for-bit."""
+    import jax.numpy as jnp
+
+    from cudavideostream_tpu.ops import diff
+
+    n = 384 * 24  # divisible by 384: takes the matmul fast path
+    mask = rng.random(n) < 0.37
+    dev = np.asarray(diff.pack_bitmask(jnp.asarray(mask)))
+    host = wire.pack_bitmask_from_xs(np.nonzero(mask)[0], n)
+    np.testing.assert_array_equal(dev, host)
+    np.testing.assert_array_equal(wire.decode_bitmask(dev, n),
+                                  np.nonzero(mask)[0])
