@@ -101,6 +101,28 @@ class TestSources:
         assert f.shape == (small_config.frame_bytes,)
         assert f.dtype == np.uint8
 
+    def test_device_synthetic_noise_bank(self, small_config):
+        """Bank mode: frames are a pure function of (seed, t), same shape/
+        dtype contract, same per-byte noise distribution class (banked
+        planes reuse the hash), and consecutive frames differ."""
+        import jax
+
+        from cudavideostream_tpu.runtime.sources import device_synthetic_frames
+
+        init_a, nf_a = device_synthetic_frames(small_config, seed=0,
+                                               noise_bank=4)
+        init_b, nf_b = device_synthetic_frames(small_config, seed=0,
+                                               noise_bank=4)
+        np.testing.assert_array_equal(np.asarray(init_a), np.asarray(init_b))
+        k = jax.random.PRNGKey(1)
+        f3a = np.asarray(nf_a(k, 3))
+        f3b = np.asarray(nf_b(k, 3))
+        np.testing.assert_array_equal(f3a, f3b)  # pure in (seed, t)
+        assert f3a.shape == (small_config.frame_bytes,)
+        assert f3a.dtype == np.uint8
+        f4 = np.asarray(nf_a(k, 4))
+        assert (f3a != f4).any()  # adjacent planes are independent
+
 
 class TestTieredFetcher:
     def test_tiers_cover_capacity(self):
