@@ -126,6 +126,12 @@ def run(out_path: str | None = None):
         hist = filters.gray_histogram(frame)
         return frame ^ jnp.bitwise_and(hist[0], 1).astype(jnp.uint8)
 
+    def chain_hist_mxu(frame):
+        # nibble-factorized MXU candidate (analytic negative: lane
+        # padding of the (N,16) indicators — see gray_histogram)
+        hist = filters.gray_histogram(frame, mxu=True)
+        return frame ^ jnp.bitwise_and(hist[0], 1).astype(jnp.uint8)
+
     atlas = jnp.asarray(fonts.make_atlas(cfg.overlay_scale))
     ids = jnp.asarray(fonts.encode_text("FPS: 30 BW: 5 kbps", 28), jnp.int32)
 
@@ -152,6 +158,7 @@ def run(out_path: str | None = None):
         ("grayscale_avg", None, filters.grayscale_average, cur),
         ("grayscale_weighted", None, filters.grayscale_weighted, cur),
         ("histogram", None, chain_hist, cur),
+        ("histogram_mxu", None, chain_hist_mxu, cur),
         ("binarize_pipeline", None, filters.binarize_pipeline, cur),
         ("heatmap" + ("_sine" if sine_ok else "_lut"), 20.99, chain_heatmap, (cur, prev)),
         ("red_overlap", 0.915, chain_red, (prev, cur)),

@@ -129,18 +129,43 @@ def grayscale_weighted(frame: Array) -> Array:
     return _replicate(g).astype(jnp.uint8).reshape(-1)
 
 
-def gray_histogram(gray_frame: Array) -> Array:
+def gray_histogram(gray_frame: Array, mxu: bool = False) -> Array:
     """256-bin per-pixel histogram (samples channel 0 of the 3-channel
     gray buffer, like ``generate_histogram`` kernels.cu:147-149).
 
-    Fused compare-and-sum over bin chunks: counts accumulate in int32
-    without scatter-adds; the comparison broadcast fuses into the
-    reduction.
+    Default: fused compare-and-sum over bin chunks — counts accumulate
+    in int32 without scatter-adds; the comparison broadcast fuses into
+    the reduction. ~256 VPU compare+add per pixel, compute-bound
+    (0.51 ms at 1080p) but entirely in registers.
+
+    ``mxu=True``: nibble-factorized MXU histogram, kept as a measured
+    candidate and exactness cross-check. With ``hi = g >> 4`` and
+    ``lo = g & 15``, ``H[hi, lo] = HIᵀ @ LO`` where HI/LO are (N, 16)
+    one-hot nibble indicators — all 256 bins in ONE matmul and only 32
+    compares per pixel. NOT the default because the XLA-level
+    formulation must materialize the indicators, and a (N, 16) operand
+    pads its 16-wide minor dim to 128 lanes (the same trap as (B, n)
+    sublane padding, but in lanes): 8x memory amplification makes the
+    traffic ~1 GB at 1080p, losing to the compare-reduce's zero
+    materialization. A win would need the indicators built per-tile in
+    VMEM inside a Pallas kernel (open lead — ROADMAP). Exactness at
+    DEFAULT matmul precision regardless: indicator inputs are 0/1
+    (bf16-safe) and the f32 accumulator is exact to 2^24; bin counts
+    are bounded by the pixel count, so frames up to 16.7M pixels take
+    the matmul and larger ones (8K+) fall back to compare-reduce.
     """
     if _layout_ok(gray_frame):
         g = _per_pixel(gray_frame, (1, 0, 0)).astype(jnp.int32)  # (M,128)
     else:
         g = gray_frame.reshape(-1, 3)[:, 0].astype(jnp.int32)
+    n_px = int(np.prod(g.shape))
+    if mxu and n_px < (1 << 24):
+        nib = jax.lax.broadcasted_iota(jnp.int32, (1, 16), 1)
+        g2 = g.reshape(-1, 1)
+        hi = ((g2 >> 4) == nib).astype(jnp.bfloat16)   # (N, 16)
+        lo = ((g2 & 15) == nib).astype(jnp.bfloat16)   # (N, 16)
+        h = jnp.dot(hi.T, lo, preferred_element_type=jnp.float32)
+        return h.reshape(256).astype(jnp.int32)
     chunk = 64
     parts = []
     for b0 in range(0, 256, chunk):

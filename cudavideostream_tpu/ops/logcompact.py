@@ -154,7 +154,8 @@ def _flat_roll_right(x, s: int, rows: int):
 def _kernel_v2(cur_ref, prev_ref, thr_ref, *rest,
                tile_rows: int, negfeed: bool, region_tiles: int = 0,
                thr_is_map: bool = False, skip_static: bool = True,
-               stream_tiles: int = 0, sub_rows: int = 0):
+               stream_tiles: int = 0, sub_rows: int = 0,
+               pack16: bool = False):
     """Per-element LSB-first shift compaction — ~16 dense passes.
 
     Each masked element must move left by its hole count
@@ -316,6 +317,13 @@ def _kernel_v2(cur_ref, prev_ref, thr_ref, *rest,
         local = (sub % sub_rows) * LANES + lane if sub_rows else flat
         holes = jnp.where(m, local - (incl - 1), 0)
         x = jnp.where(m, holes * 256 + jnp.bitwise_and(df, 255), 0)
+        # At sub_rows == 1 the unit is one 128-lane row, so holes < 128
+        # and the packed value fits 15 bits: the shift passes run in
+        # int16, processing two values per 32-bit VPU lane. (The ROADMAP
+        # int16 rejection covers the row phase, where holes reach 2^16+
+        # — at pure lane granularity there is no row phase.)
+        if pack16:
+            x = x.astype(jnp.int16)
 
         # (A rejected variant gated each pass on ``max(holes) >= b`` via
         # a VMEM scratch + pl.when so dense-prefix tiles skip passes; the
@@ -353,8 +361,9 @@ def _kernel_v2(cur_ref, prev_ref, thr_ref, *rest,
         # touches the packed form, no unpack pass over HBM is needed.
         # orig = final + holes holds at any granularity: movement stays
         # inside the unit, and holes are unit-local.
-        xs_ref[:] = jnp.where(x != 0, flat + (x >> 8) + i_s * n_flat, 0)
-        vals_ref[:] = jnp.bitwise_and(x, 255).astype(jnp.uint8)
+        xi = x.astype(jnp.int32) if pack16 else x
+        xs_ref[:] = jnp.where(xi != 0, flat + (xi >> 8) + i_s * n_flat, 0)
+        vals_ref[:] = jnp.bitwise_and(xi, 255).astype(jnp.uint8)
         # counts ride a (R, 1) VMEM column — one vector store per tile
         # instead of tile_rows/sub_rows scalar SMEM extract+writes (the
         # measured cost that made fine sub-tilings regress,
@@ -474,7 +483,8 @@ def _kernel(cur_ref, prev_ref, thr_ref, *rest,
 
 def _run_kernel(cur2, prev2, thr, *, scheme, tile_rows, grid,
                 negfeed, interpret, region2=None, thr_is_map=False,
-                skip_static=True, stream_tiles=0, sub_rows=0):
+                skip_static=True, stream_tiles=0, sub_rows=0,
+                pack16=False):
     """Dispatch one pallas_call; returns ``(new_prev, xs_t, vals_t,
     counts)`` with the tile blocks in ``(rows, LANES)`` layout and
     ``counts`` normalized to one int32 per compaction unit
@@ -508,13 +518,15 @@ def _run_kernel(cur2, prev2, thr, *, scheme, tile_rows, grid,
     region_tiles = 0 if region2 is None else region2.shape[0] // tile_rows
     if sub_rows and scheme != "element":
         raise ValueError("sub_rows: element scheme only")
+    if pack16 and sub_rows != 1:
+        raise ValueError("pack16 needs sub_rows == 1 (holes < 128)")
     n_counts = tile_rows // sub_rows if sub_rows else 1
     if scheme == "element":
         kernel = functools.partial(
             _kernel_v2, tile_rows=tile_rows, negfeed=negfeed,
             region_tiles=region_tiles, thr_is_map=thr_is_map,
             skip_static=skip_static, stream_tiles=stream_tiles,
-            sub_rows=sub_rows,
+            sub_rows=sub_rows, pack16=pack16,
         )
     else:
         kernel = functools.partial(
@@ -588,7 +600,7 @@ def _run_kernel(cur2, prev2, thr, *, scheme, tile_rows, grid,
 @functools.partial(
     jax.jit,
     static_argnames=("threshold", "negative_feedback", "interpret", "scheme",
-                     "emit", "skip_static", "sub_rows"),
+                     "emit", "skip_static", "sub_rows", "pack16"),
 )
 def fused_diff_compact(
     current: Array,
@@ -602,6 +614,7 @@ def fused_diff_compact(
     threshold_map: Array | None = None,
     skip_static: bool = True,
     sub_rows: int = 0,
+    pack16: bool = False,
 ):
     """Fused kernel2: diff + negative feedback + stream compaction.
 
@@ -698,6 +711,7 @@ def fused_diff_compact(
         cur2, prev2, thr, scheme=scheme, tile_rows=tile_rows, grid=grid,
         negfeed=negative_feedback, interpret=interpret, region2=region2,
         thr_is_map=thr_is_map, skip_static=skip_static, sub_rows=sub_rows,
+        pack16=pack16 and sub_rows == 1,
     )
 
     # emission granularity: sub-tiles when sub_rows ran, else tiles

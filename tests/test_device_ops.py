@@ -92,6 +92,11 @@ class TestFilters:
             np.asarray(filters.gray_histogram(jnp.asarray(g))),
             ref.gray_histogram(g),
         )
+        # nibble-factorized MXU path == compare-reduce path, exactly
+        np.testing.assert_array_equal(
+            np.asarray(filters.gray_histogram(jnp.asarray(g), mxu=True)),
+            np.asarray(filters.gray_histogram(jnp.asarray(g), mxu=False)),
+        )
 
     @pytest.mark.parametrize(
         "hist_fn",
@@ -352,6 +357,34 @@ class TestCompactionSchemesAgree:
         for t in range(len(counts)):
             assert int(xs_t[t, counts[t]:].sum()) == 0
             assert int(vals_t[t, counts[t]:].sum()) == 0
+
+    def test_pack16_matches_oracle(self, pair):
+        """sub_rows=1 int16 shift passes (holes < 128 so the packed
+        value fits 15 bits — benchmarks/pack16_ab): byte-exact vs the
+        oracle and dtype-invariant vs the int32 path."""
+        from cudavideostream_tpu.ops import logcompact
+
+        prev, cur = pair
+        epos, exs, evals, eprev = ref.diff_encode(cur, prev)
+        out16 = logcompact.fused_diff_compact(
+            jnp.asarray(cur), jnp.asarray(prev), interpret=True,
+            emit="tiled", sub_rows=1, pack16=True,
+        )
+        out32 = logcompact.fused_diff_compact(
+            jnp.asarray(cur), jnp.asarray(prev), interpret=True,
+            emit="tiled", sub_rows=1, pack16=False,
+        )
+        for a, b in zip(out16, out32):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        pos, counts, xs_t, vals_t, new_prev = out16
+        assert int(pos) == epos
+        counts = np.asarray(counts)
+        xs_t, vals_t = np.asarray(xs_t), np.asarray(vals_t)
+        xs = np.concatenate([xs_t[t, : counts[t]] for t in range(len(counts))])
+        vals = np.concatenate([vals_t[t, : counts[t]] for t in range(len(counts))])
+        np.testing.assert_array_equal(xs, exs)
+        np.testing.assert_array_equal(vals, evals)
+        np.testing.assert_array_equal(np.asarray(new_prev), eprev)
 
     def test_merge_two_stage_matches_serial(self, rng):
         """Past MERGE_SERIAL_MAX_UNITS, merge_tiles switches to the
