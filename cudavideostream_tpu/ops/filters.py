@@ -147,8 +147,19 @@ def gray_histogram(gray_frame: Array, mxu: bool = False) -> Array:
     pads its 16-wide minor dim to 128 lanes (the same trap as (B, n)
     sublane padding, but in lanes): 8x memory amplification makes the
     traffic ~1 GB at 1080p, losing to the compare-reduce's zero
-    materialization. A win would need the indicators built per-tile in
-    VMEM inside a Pallas kernel (open lead — ROADMAP). Exactness at
+    materialization. A Pallas variant that builds the indicators
+    per-tile in VMEM dodges the HBM amplification but not the MXU's
+    shape economics: a (16, K) @ (K, 16) matmul streams the contraction
+    dim through a 128x128 systolic array using 16x16 of it — ~K cycles
+    regardless, so K = 2M pixels is ~2 ms of MXU time (4x WORSE than
+    the compare-reduce). Packing 8 sublane-groups onto each side as
+    (128, K/8) @ (K/8, 128) and reading only the 16x16 diagonal blocks
+    cuts that to ~0.27 ms, which still loses once the 32 compares/px of
+    indicator build (~0.07 ms) and the group bookkeeping are added:
+    the exact-256-bin histogram is compute-bound on ANY unit and the
+    compare-reduce is already within ~2x of the VPU's 1 op/lane/cycle
+    bound — an analytic negative, recorded here so the lead stays
+    closed (ROADMAP). Exactness at
     DEFAULT matmul precision regardless: indicator inputs are 0/1
     (bf16-safe) and the f32 accumulator is exact to 2^24; bin counts
     are bounded by the pixel count, so frames up to 16.7M pixels take
