@@ -386,6 +386,68 @@ class TestCompactionSchemesAgree:
         np.testing.assert_array_equal(vals, evals)
         np.testing.assert_array_equal(np.asarray(new_prev), eprev)
 
+    def test_pack16_int16_ceiling(self):
+        """The packed value's true maximum IS int16 max: a row whose
+        only change sits in the last lane with delta byte 255
+        (cur=255, prev=0 → df=+255) packs 127*256 + 255 = 32767.
+        Craft that row, plus all-changed (holes=0) and empty rows, and
+        a non-(128*8)-aligned tail; pack16 must stay byte-exact."""
+        from cudavideostream_tpu.ops import logcompact
+
+        n = 128 * 11 + 57  # ragged tail exercises internal padding
+        prev = np.zeros(n, dtype=np.uint8)
+        cur = prev.copy()
+        cur[127] = 255            # row 0: holes=127, delta=255 -> 32767
+        cur[128:256] = 200        # row 1: all changed, holes=0
+        # rows 2-3 empty; row 4: sparse interior pattern
+        cur[4 * 128 + 5] = 30
+        cur[4 * 128 + 126] = 99
+        cur[-1] = 255             # last ragged row's final byte
+        epos, exs, evals, eprev = ref.diff_encode(cur, prev)
+        pos, counts, xs_t, vals_t, new_prev = logcompact.fused_diff_compact(
+            jnp.asarray(cur), jnp.asarray(prev), interpret=True,
+            emit="tiled", sub_rows=1, pack16=True,
+        )
+        assert int(pos) == epos
+        counts = np.asarray(counts)
+        xs_t, vals_t = np.asarray(xs_t), np.asarray(vals_t)
+        xs = np.concatenate([xs_t[t, : counts[t]] for t in range(len(counts))])
+        vals = np.concatenate([vals_t[t, : counts[t]] for t in range(len(counts))])
+        np.testing.assert_array_equal(xs, exs)
+        np.testing.assert_array_equal(vals, evals)
+        np.testing.assert_array_equal(np.asarray(new_prev), eprev)
+
+    @pytest.mark.parametrize("density,seed", [(0.01, 1), (0.3, 2), (0.95, 3)])
+    def test_pack16_density_fuzz(self, density, seed):
+        """pack16 == pack32 == oracle across sparse/mixed/dense scenes
+        at an unaligned geometry."""
+        from cudavideostream_tpu.ops import logcompact
+
+        rng = np.random.default_rng(seed)
+        n = 128 * 40 + 19
+        prev = rng.integers(0, 256, n, dtype=np.uint8)
+        delta = rng.integers(21, 236, n, dtype=np.uint8)
+        chg = rng.random(n) < density
+        cur = np.where(chg, (prev.astype(np.int32) + delta) % 256, prev
+                       ).astype(np.uint8)
+        epos, exs, evals, eprev = ref.diff_encode(cur, prev)
+        for p16 in (True, False):
+            pos, counts, xs_t, vals_t, new_prev = (
+                logcompact.fused_diff_compact(
+                    jnp.asarray(cur), jnp.asarray(prev), interpret=True,
+                    emit="tiled", sub_rows=1, pack16=p16,
+                ))
+            assert int(pos) == epos, p16
+            counts = np.asarray(counts)
+            xs_t, vals_t = np.asarray(xs_t), np.asarray(vals_t)
+            xs = np.concatenate(
+                [xs_t[t, : counts[t]] for t in range(len(counts))])
+            vals = np.concatenate(
+                [vals_t[t, : counts[t]] for t in range(len(counts))])
+            np.testing.assert_array_equal(xs, exs)
+            np.testing.assert_array_equal(vals, evals)
+            np.testing.assert_array_equal(np.asarray(new_prev), eprev)
+
     def test_merge_two_stage_matches_serial(self, rng):
         """Past MERGE_SERIAL_MAX_UNITS, merge_tiles switches to the
         pair-compaction kernel + coarse serial merge; the flat payload
