@@ -180,13 +180,17 @@ def run(out_path: str | None = None):
     rows = []
     for name, ref_ms, fn, init in entries:
         ms = _bench_scan(fn, init, k=K, iters=ITERS)
-        if ms < 0.35:
+        if ms < 0.15:
             # small ops: at K=24x4 the timed region is a few ms against
-            # a ~30 ms subtracted RTT, so RTT jitter and transient
-            # tenant contention swamp the signal (a 0.034 ms op once
-            # read 0.32). Re-chain long enough that device time
-            # dominates and keep the min — contention only ever adds.
-            ms = min(ms, _bench_scan(fn, init, k=320, iters=2))
+            # a ~30 ms subtracted RTT, so RTT jitter swamps the signal
+            # (a 0.034 ms op once read 0.32 — and the subtraction can
+            # also err LOW when the calibration window is slower than
+            # the timed one, so min(short, long) is biased low, not
+            # robust). Re-chain until device time dominates the RTT and
+            # take THAT reading unconditionally; 960 steps puts the
+            # region at ~1x RTT even for the 0.03 ms ops, shrinking the
+            # RTT-jitter term to ~±0.003 ms.
+            ms = _bench_scan(fn, init, k=320, iters=3)
         speedup = f"{ref_ms/ms:7.1f}x" if ref_ms and ms > 1e-6 else "      -"
         rows.append((name, ms, ref_ms))
         print(f"{name:24s} {ms:8.3f} ms   jetson {ref_ms or float('nan'):8.3f} ms  {speedup}",

@@ -237,7 +237,10 @@ class TestWireV3:
 
 def test_pack_bitmask_matmul_path_equals_fallback(rng):
     """The (M,384) MXU packing (used at frame sizes) must equal the
-    generic reshape path and the host packer bit-for-bit."""
+    generic reshape path and the host packer bit-for-bit — asserted
+    DIRECTLY: the same prefix of one mask goes through both paths
+    (384*24 bytes → matmul; that minus 8 bytes → 384-indivisible →
+    reshape fallback), and both must agree with the host packer."""
     import jax.numpy as jnp
 
     from cudavideostream_tpu.ops import diff
@@ -249,3 +252,8 @@ def test_pack_bitmask_matmul_path_equals_fallback(rng):
     np.testing.assert_array_equal(dev, host)
     np.testing.assert_array_equal(wire.decode_bitmask(dev, n),
                                   np.nonzero(mask)[0])
+    # forced fallback on the shared prefix: byte-aligned but not a
+    # multiple of 384, so pack_bitmask takes the generic reshape path
+    m = n - 8
+    fb = np.asarray(diff.pack_bitmask(jnp.asarray(mask[:m])))
+    np.testing.assert_array_equal(fb, dev[: m // 8])
