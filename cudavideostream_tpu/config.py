@@ -49,6 +49,18 @@ class CompactionBackend(enum.Enum):
     HOST = "host"          # device emits dense delta + bitmask; C/numpy host packs
 
 
+class PayloadOverflowError(RuntimeError):
+    """A frame changed more bytes than ``payload_capacity`` allows.
+
+    ``payload_capacity`` is an explicit opt-in memory bound (the default,
+    None, is the worst case and can never overflow — the reference's
+    ``atomicInc`` bound of 6220801, kernels.cu:313). Exceeding it cannot
+    be silently truncated: dropped deltas would already be absorbed into
+    the server's previous-frame state, so the v1/v2 client would diverge
+    permanently. Raise ``payload_capacity`` (or leave it None).
+    """
+
+
 @dataclasses.dataclass(frozen=True)
 class StreamConfig:
     """Static configuration of the delta-stream pipeline.

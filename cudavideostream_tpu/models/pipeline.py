@@ -28,7 +28,11 @@ import jax.numpy as jnp
 import numpy as np
 from jax import Array
 
-from cudavideostream_tpu.config import StreamConfig, Visualizer
+from cudavideostream_tpu.config import (
+    PayloadOverflowError,
+    StreamConfig,
+    Visualizer,
+)
 from cudavideostream_tpu.ops import compact as compact_ops
 from cudavideostream_tpu.ops import convolve as conv_ops
 from cudavideostream_tpu.ops import diff as diff_ops
@@ -219,7 +223,13 @@ class DeltaStreamPipeline:
             mask, raw_vals, new_prev = diff_ops.diff_mask(
                 cur, prev, thr, cfg.negative_feedback
             )
-            payload = (diff_ops.pack_bitmask(mask), raw_vals)
+            if self._host_fast:
+                # host-source packer: the dense delta is DCE'd out of the
+                # jit entirely — emitting it as an output would pay an
+                # n-byte HBM write nothing reads
+                payload = (diff_ops.pack_bitmask(mask),)
+            else:
+                payload = (diff_ops.pack_bitmask(mask), raw_vals)
         else:
             mask, raw_vals, new_prev = diff_ops.diff_mask(
                 cur, prev, thr, cfg.negative_feedback
@@ -250,8 +260,15 @@ class DeltaStreamPipeline:
         host-side (see runtime.executor) — except:
 
         * HOST backend: ``xs``/``vals`` are host numpy arrays (exactly
-          ``pos`` long, capacity-capped), packed by the native C packer
-          from the device's (bitmask, dense delta) pair;
+          ``pos`` long), packed by the native C packer from the device's
+          (bitmask[, dense delta]) output. NOTE: unlike the device
+          backends this makes the pipeline STATEFUL — the fast path
+          keeps a host previous-frame shadow, so one HOST pipeline
+          serves exactly one stream (interleaving two streams through it
+          corrupts both shadows; ``BatchedDeltaPipeline`` rejects HOST
+          for the same reason) and ``init_state`` must run before the
+          first ``step``. Raises :class:`PayloadOverflowError` when a
+          frame changes more than ``payload_capacity`` bytes;
         * tiled payload: returns ``(new_prev, pos, counts, xs_t, vals_t,
           aux)`` with per-tile device blocks (see
           ``logcompact.fused_diff_compact(emit="tiled")``).
@@ -265,14 +282,21 @@ class DeltaStreamPipeline:
         out = self._step(prev, frame, char_ids, n_chars)
 
         if cfg.compaction.value == "host":
-            new_prev, bitmask, delta = out[:3]
-            aux = out[3] if len(out) > 3 else None
             from cudavideostream_tpu import native
 
-            if self._host_fast and self._host_prev is not None:
+            if self._host_fast:
                 # host-source packer: values from the host's own frame +
                 # prev shadow; only the n/8-byte bitmask leaves the
-                # device (the dense delta stays there, unfetched)
+                # device (the dense delta is not even computed as a jit
+                # output — see _step_impl)
+                new_prev, bitmask = out[:2]
+                aux = out[2] if len(out) > 2 else None
+                if self._host_prev is None:
+                    raise RuntimeError(
+                        "HOST backend: call init_state(base_frame) before "
+                        "step() — the host packer derives payload values "
+                        "from its previous-frame shadow"
+                    )
                 cur_host = frame_np
                 nc = int(n_chars)
                 if nc:
@@ -287,12 +311,17 @@ class DeltaStreamPipeline:
                     # new_prev = cur everywhere, not just at masked bytes
                     np.copyto(self._host_prev, cur_host)
             else:
+                new_prev, bitmask, delta = out[:3]
+                aux = out[3] if len(out) > 3 else None
                 xs, vals = native.compact_bitmask_np(
                     np.asarray(delta), np.asarray(bitmask)
                 )
             pos = xs.size
-            if cfg.capacity != cfg.frame_bytes:
-                xs, vals = xs[: cfg.capacity], vals[: cfg.capacity]
+            if pos > cfg.capacity:
+                raise PayloadOverflowError(
+                    f"frame changed {pos} bytes > payload_capacity "
+                    f"{cfg.capacity}"
+                )
             return new_prev, pos, xs, vals, aux
 
         if cfg.tiled_payload:

@@ -127,7 +127,13 @@ def compact_update_np(cur, prev, bitmask):
     import numpy as np
 
     cur = np.ascontiguousarray(cur, dtype=np.uint8)
-    assert prev.dtype == np.uint8 and prev.flags.c_contiguous
+    # hard errors, not asserts: the C packer writes through a raw pointer
+    # into prev, so a read-only page or a strided view would segfault or
+    # silently corrupt (and asserts vanish under python -O)
+    if prev.dtype != np.uint8 or not prev.flags.c_contiguous:
+        raise ValueError("prev must be a contiguous uint8 array")
+    if not prev.flags.writeable:
+        raise ValueError("prev must be writable (it is updated in place)")
     bitmask = np.ascontiguousarray(bitmask, dtype=np.uint8)
     lib = load_native()
     if lib is None:

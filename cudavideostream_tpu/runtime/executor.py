@@ -113,7 +113,15 @@ class TieredFetcher:
         for t in self.tiers:
             if pos <= t:
                 return self._get(arr[:t])[:pos]
-        return self._get(arr)[:pos]
+        # pos exceeds every tier, i.e. the configured payload_capacity:
+        # the true changed count no longer fits the arrays. Truncating
+        # would silently desync v1/v2 clients (the dropped deltas are
+        # already folded into the server's prev state) — fail loudly.
+        from cudavideostream_tpu.config import PayloadOverflowError
+
+        raise PayloadOverflowError(
+            f"frame changed {pos} bytes > payload_capacity {self.capacity}"
+        )
 
 
 class TiledLander:

@@ -152,8 +152,12 @@ class V3Encoder:
     payload with the client's own uint8 wrap-add, so mode 2 (raw) can
     ship the exact post-apply state regardless of which executor
     produced the payload (pipelined executors lag a frame; a device
-    snapshot would be off by one). The shadow also makes v3 immune to
-    capacity-truncated payloads: shadow and client see the same bytes.
+    snapshot would be off by one). Payloads are never truncated —
+    ``payload_capacity`` overflow raises
+    :class:`cudavideostream_tpu.config.PayloadOverflowError` upstream
+    (truncation would corrupt content in every wire mode: the dropped
+    deltas are already folded into the server's prev, so the client —
+    and this shadow with it — would track ``cur + error`` forever).
     """
 
     def __init__(self, base_frame: np.ndarray):

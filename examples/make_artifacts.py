@@ -120,7 +120,9 @@ def record_session(n_frames: int = 36) -> None:
     np.testing.assert_array_equal(client, prev)  # session self-check
     raw = b"".join(chunks)
     path = os.path.join(OUT, "session.cvs.gz")
-    with gzip.open(path, "wb", compresslevel=9) as f:
+    with open(path, "wb") as raw_f, gzip.GzipFile(
+        fileobj=raw_f, mode="wb", compresslevel=9, mtime=0
+    ) as f:  # mtime=0: reproducible bytes, no spurious repo diffs
         f.write(raw)
     write_png(
         os.path.join(OUT, "session_final.png"),
@@ -164,7 +166,9 @@ def record_session_v3(n_frames: int = 36) -> None:
                           wire.MODE_RAW}, modes
     raw = b"".join(chunks)
     path = os.path.join(OUT, "session_v3.cvs.gz")
-    with gzip.open(path, "wb", compresslevel=9) as f:
+    with open(path, "wb") as raw_f, gzip.GzipFile(
+        fileobj=raw_f, mode="wb", compresslevel=9, mtime=0
+    ) as f:  # mtime=0: reproducible bytes, no spurious repo diffs
         f.write(raw)
     print(
         f"wrote artifacts/session_v3.cvs.gz ({len(raw)} wire bytes, "

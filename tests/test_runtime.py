@@ -707,6 +707,64 @@ class TestHostBackendFastPath:
         frames = [next(src) for _ in range(4)]
         self._run(cfg, frames, ["", "FPS: 1", ""], monkeypatch)
 
+    def test_step_before_init_state_raises(self, small_config):
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        from cudavideostream_tpu.config import CompactionBackend
+        from cudavideostream_tpu.models import DeltaStreamPipeline
+
+        cfg = dataclasses.replace(
+            small_config, compaction=CompactionBackend("host"))
+        pipe = DeltaStreamPipeline(cfg)
+        prev = np.zeros(cfg.frame_bytes, np.uint8)
+        with pytest.raises(RuntimeError, match="init_state"):
+            pipe.step(jnp.asarray(prev), prev)
+
+    def test_capacity_overflow_raises(self, small_config):
+        """A frame that changes more bytes than payload_capacity must
+        fail loudly, never silently truncate (the dropped deltas are
+        already folded into prev — a v1/v2 client would diverge)."""
+        import dataclasses
+
+        from cudavideostream_tpu.config import (
+            CompactionBackend,
+            PayloadOverflowError,
+        )
+        from cudavideostream_tpu.models import DeltaStreamPipeline
+
+        cfg = dataclasses.replace(
+            small_config, compaction=CompactionBackend("host"),
+            payload_capacity=64,
+        )
+        pipe = DeltaStreamPipeline(cfg)
+        base = np.zeros(cfg.frame_bytes, np.uint8)
+        state = pipe.init_state(base)
+        cut = np.full(cfg.frame_bytes, 200, np.uint8)  # scene cut
+        with pytest.raises(PayloadOverflowError):
+            pipe.step(state, cut)
+
+    def test_executor_capacity_overflow_raises(self, small_config):
+        """Device flat path: TieredFetcher refuses to land a payload
+        whose true pos exceeds the configured capacity."""
+        import dataclasses
+
+        from cudavideostream_tpu.config import (
+            CompactionBackend,
+            PayloadOverflowError,
+        )
+        from cudavideostream_tpu.runtime.executor import StreamExecutor
+
+        cfg = dataclasses.replace(
+            small_config, compaction=CompactionBackend("sort"),
+            payload_capacity=64,
+        )
+        ex = StreamExecutor(cfg)
+        ex.start(np.zeros(cfg.frame_bytes, np.uint8))
+        with pytest.raises(PayloadOverflowError):
+            ex.process(np.full(cfg.frame_bytes, 200, np.uint8))
+
     def test_noise_filter_takes_dense_path(self, small_config):
         import dataclasses
 
