@@ -58,7 +58,20 @@ class PayloadOverflowError(RuntimeError):
     be silently truncated: dropped deltas would already be absorbed into
     the server's previous-frame state, so the v1/v2 client would diverge
     permanently. Raise ``payload_capacity`` (or leave it None).
+
+    Wire v3 servers recover instead of dying: mode 2 (raw) can express a
+    full resync, so ``DeltaStreamServer`` catches this, fetches the
+    executor's post-step state (``StreamExecutor.resync``), and ships it
+    as one raw frame. Raisers that already hold the post-step
+    previous-frame state attach it as ``state`` so the executor stays
+    consistent with any host-side shadows that were updated before the
+    overflow was detected (the HOST backend's packer updates its shadow
+    in place while packing).
     """
+
+    def __init__(self, msg: str, state=None):
+        super().__init__(msg)
+        self.state = state
 
 
 @dataclasses.dataclass(frozen=True)
@@ -90,6 +103,9 @@ class StreamConfig:
     compaction: CompactionBackend = CompactionBackend.PALLAS
     # Payload capacity in bytes; None means worst case (= frame_bytes),
     # matching the reference's atomicInc bound of 6220801 (kernels.cu:313).
+    # A frame that changes more bytes raises PayloadOverflowError (never
+    # a silent truncation — that desyncs clients permanently); wire-v3
+    # servers recover with one raw resync frame (server.py).
     payload_capacity: int | None = None
     # Hand the payload to the host as per-tile compacted blocks + counts
     # instead of one device-merged flat array. Skips the pipeline's only

@@ -318,9 +318,11 @@ class DeltaStreamPipeline:
                 )
             pos = xs.size
             if pos > cfg.capacity:
+                # state= keeps the executor consistent: the fast path's
+                # host shadow already absorbed this frame while packing
                 raise PayloadOverflowError(
                     f"frame changed {pos} bytes > payload_capacity "
-                    f"{cfg.capacity}"
+                    f"{cfg.capacity}", state=new_prev,
                 )
             return new_prev, pos, xs, vals, aux
 

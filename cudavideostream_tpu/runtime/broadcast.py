@@ -31,7 +31,7 @@ import time
 from typing import List, Optional
 
 from cudavideostream_tpu import native
-from cudavideostream_tpu.config import StreamConfig
+from cudavideostream_tpu.config import PayloadOverflowError, StreamConfig
 from cudavideostream_tpu.runtime import wire
 from cudavideostream_tpu.runtime.executor import StreamExecutor
 from cudavideostream_tpu.runtime.sources import FrameSource
@@ -244,6 +244,19 @@ class BroadcastServer:
         if wait_first_client:
             while self._pending.empty() and not self._stop.is_set():
                 time.sleep(0.01)
+        try:
+            n = self._serve_loop(state, max_frames)
+        except BaseException:
+            # fail-loud paths (v1/v2 capacity overflow, source errors)
+            # must still release clients: an open listener + live writer
+            # threads would leave every client blocked on recv() forever
+            self.close(drain=False)
+            raise
+        self.close(drain=True)
+        return n
+
+    def _serve_loop(self, state: np.ndarray,
+                    max_frames: Optional[int]) -> int:
         text = ""
         n = 0
         while max_frames is None or n < max_frames:
@@ -253,7 +266,21 @@ class BroadcastServer:
             except StopIteration:
                 break
             t0 = time.perf_counter()
-            result = self.executor.process(frame, text=text)
+            try:
+                result = self.executor.process(frame, text=text)
+            except PayloadOverflowError:
+                if self._v3enc is None:
+                    raise  # v1/v2 cannot resync a client — fail loudly
+                # wire v3 recovery (as in server.py): one raw frame to
+                # every client; resync() updates the encoder shadow in
+                # place, so `state` (an alias of it) stays the joiner
+                # base. Pending pipelined payloads are dropped with it.
+                buf = self._v3enc.resync(self.executor.resync())
+                self._fanout(buf)
+                n += 1
+                self.executor.metrics.record(time.perf_counter() - t0, 0)
+                self._record_wire_bytes(0)
+                continue
             if result is None:
                 continue
             pos, xs, vals, _ = result
@@ -276,7 +303,6 @@ class BroadcastServer:
                 if self.verbose:
                     print("\r" + line + f"  CLIENTS: {len(self._clients)}",
                           end="", flush=True)
-        self.close(drain=True)
         return n
 
     def close(self, drain: bool = False) -> None:
@@ -324,12 +350,20 @@ def main(argv=None) -> int:
                    help="per-client SO_SNDBUF bytes (bounds kernel-side "
                         "buffering; a stalled client hits the backlog "
                         "drop sooner)")
+    p.add_argument("--capacity", type=int, default=None,
+                   help="payload capacity bound in bytes (see server "
+                        "--help): overflow is fatal under v1/v2, one raw "
+                        "resync frame to every client under --wire v3")
     args = p.parse_args(argv)
     if args.fetch != "auto" and not args.tiled:
         p.error("--fetch tiles/flat applies to --tiled payloads")
+    if args.capacity is not None and args.tiled:
+        p.error("--capacity applies to flat payloads only (tiled is "
+                "always worst-case)")
     cfg = StreamConfig(height=args.height, width=args.width,
                        host=args.host, port=args.port, wire_format=args.wire,
-                       tiled_payload=args.tiled, fetch_mode=args.fetch)
+                       tiled_payload=args.tiled, fetch_mode=args.fetch,
+                       payload_capacity=args.capacity)
     server = BroadcastServer(cfg, make_source(args.source, cfg, path=args.path),
                              sndbuf=args.sndbuf)
     n = server.serve(max_frames=args.frames)

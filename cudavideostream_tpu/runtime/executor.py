@@ -26,7 +26,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-from cudavideostream_tpu.config import StreamConfig
+from cudavideostream_tpu.config import PayloadOverflowError, StreamConfig
 from cudavideostream_tpu.models import DeltaStreamPipeline
 from cudavideostream_tpu.runtime import wire
 
@@ -117,8 +117,6 @@ class TieredFetcher:
         # the true changed count no longer fits the arrays. Truncating
         # would silently desync v1/v2 clients (the dropped deltas are
         # already folded into the server's prev state) — fail loudly.
-        from cudavideostream_tpu.config import PayloadOverflowError
-
         raise PayloadOverflowError(
             f"frame changed {pos} bytes > payload_capacity {self.capacity}"
         )
@@ -283,10 +281,41 @@ class StreamExecutor:
         """
         if self._state is None:
             raise RuntimeError("call start(base_frame) first")
+        t0, rest = self._dispatch(frame, text)
+        return self._land(t0, rest)
+
+    def _dispatch(self, frame, text: str):
+        """Run the pipeline step and advance device state.
+
+        On a :class:`PayloadOverflowError` that carries the post-step
+        state (the HOST backend raises before returning), the state still
+        advances — so a caller that recovers via :meth:`resync` ships a
+        frame consistent with the pipeline's own shadows.
+        """
         t0 = time.perf_counter()
-        out = self.pipe.step(self._state, frame, text=text)
+        try:
+            out = self.pipe.step(self._state, frame, text=text)
+        except PayloadOverflowError as e:
+            if e.state is not None:
+                self._state = e.state
+            raise
         self._state = out[0]
-        return self._land(t0, out[1:])
+        return t0, out[1:]
+
+    def resync(self) -> np.ndarray:
+        """Full current frame for a wire-v3 raw recovery.
+
+        After a :class:`PayloadOverflowError`, the deltas are already
+        folded into the device state, so the only consistent way to keep
+        the client is to replace its state wholesale — wire v3's raw
+        mode. Returns the post-step previous-frame bytes; pipelined
+        subclasses also drop their pending payload (its deltas are
+        subsumed by the raw frame and would corrupt a client that
+        applied them on top of it).
+        """
+        if self._state is None:
+            raise RuntimeError("no state to resync from")
+        return np.asarray(self._state, dtype=np.uint8).ravel()
 
     def _use_flat_fetch(self, pos: int, t_hi: int, tile_cap: int) -> bool:
         """The lander's density-adaptive decision (kept as a method for
@@ -354,10 +383,8 @@ class PipelinedExecutor(StreamExecutor):
     def process(self, frame, text: str = ""):
         if self._state is None:
             raise RuntimeError("call start(base_frame) first")
-        t0 = time.perf_counter()
-        out = self.pipe.step(self._state, frame, text=text)
-        self._state = out[0]
-        prev, self._pending = self._pending, (t0, out[1:])
+        t0, rest = self._dispatch(frame, text)
+        prev, self._pending = self._pending, (t0, rest)
         if prev is None:
             return None
         return self._land(*prev)
@@ -365,6 +392,12 @@ class PipelinedExecutor(StreamExecutor):
     def flush(self):
         prev, self._pending = self._pending, None
         return self._land(*prev) if prev is not None else None
+
+    def resync(self) -> np.ndarray:
+        # the pending payload's deltas are vs a state the raw frame
+        # replaces — a client that applied them afterwards would corrupt
+        self._pending = None
+        return super().resync()
 
 
 class ExecMetrics:

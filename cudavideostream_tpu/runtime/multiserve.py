@@ -23,7 +23,7 @@ from typing import List, Optional
 import numpy as np
 
 from cudavideostream_tpu import native
-from cudavideostream_tpu.config import StreamConfig
+from cudavideostream_tpu.config import PayloadOverflowError, StreamConfig
 from cudavideostream_tpu.models import BatchedDeltaPipeline
 from cudavideostream_tpu.runtime import wire
 from cudavideostream_tpu.runtime.executor import (
@@ -225,8 +225,30 @@ class MultiStreamServer:
                     elif pl is not None:
                         xs, vals = pl
                     else:
-                        xs = self._fetch_xs.fetch(xs_d[b], p)
-                        vals = self._fetch_vals.fetch(vals_d[b], p)
+                        try:
+                            xs = self._fetch_xs.fetch(xs_d[b], p)
+                            vals = self._fetch_vals.fetch(vals_d[b], p)
+                        except PayloadOverflowError:
+                            if self.cfg.wire_format != "v3":
+                                raise  # no way to resync a v1/v2 client
+                            # per-stream wire-v3 raw recovery: replace
+                            # stream b's client state with its post-step
+                            # prev slice from the flat batched state;
+                            # the other streams' deltas are unaffected
+                            nb = self.cfg.frame_bytes
+                            recon[b] = np.asarray(
+                                state[b * nb:(b + 1) * nb], dtype=np.uint8
+                            )
+                            conn = self._clients[b]
+                            if conn is not None:
+                                buf = bytes([wire.MODE_RAW]) + recon[b].tobytes()
+                                wire_total += len(buf)
+                                try:
+                                    conn.sendall(buf)
+                                except OSError:
+                                    conn.close()
+                                    self._clients[b] = None
+                            continue
                     if p:
                         native.client_apply_np(recon[b], xs, vals)
                     conn = self._clients[b]
@@ -332,16 +354,27 @@ def main(argv=None) -> int:
                    help="shard the B streams over a (data=D, space=S) "
                         "device mesh (B divisible by D; image rows shard "
                         "across S)")
+    p.add_argument("--capacity", type=int, default=None,
+                   help="per-stream payload capacity bound in bytes (see "
+                        "server --help). Selects the flat batched payload "
+                        "path (tiled/sharded layouts are always "
+                        "worst-case); overflow is fatal under v1/v2, a "
+                        "per-stream raw resync under --wire v3")
     args = p.parse_args(argv)
+    if args.capacity is not None and args.mesh:
+        p.error("--capacity applies to the single-chip batched path only")
     # tiled payload = the product wire path AND the batched fast path
-    # (one super-frame kernel; see models.batched)
+    # (one super-frame kernel; see models.batched) — unless a capacity
+    # bound is requested, which only the flat payload layout supports
     from cudavideostream_tpu.config import Visualizer
 
     cfg = StreamConfig(height=args.height, width=args.width, host=args.host,
                        port=args.port, wire_format=args.wire,
                        visualizer=Visualizer(args.visualizer),
                        noise_filter=args.noise_filter, conv_k=args.conv_k,
-                       tiled_payload=args.mesh is None)
+                       tiled_payload=args.mesh is None
+                       and args.capacity is None,
+                       payload_capacity=args.capacity)
     sources = [
         make_source(args.source, cfg, path=args.path, seed=b)
         for b in range(args.streams)

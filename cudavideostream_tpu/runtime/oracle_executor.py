@@ -55,8 +55,24 @@ class OracleExecutor:
             char_ids=ids,
             conv_weights=self.conv_weights,
         )
+        if pos > self.cfg.capacity:
+            # same contract as the device executors (the oracle is the
+            # spec): truncation would desync clients permanently
+            from cudavideostream_tpu.config import PayloadOverflowError
+
+            raise PayloadOverflowError(
+                f"frame changed {pos} bytes > payload_capacity "
+                f"{self.cfg.capacity}"
+            )
         self.metrics.record(time.perf_counter() - t0, pos)
         return pos, xs, vals, aux
+
+    def resync(self) -> np.ndarray:
+        """Post-step frame for wire-v3 raw recovery (state is host numpy
+        and already advanced past the overflowing frame)."""
+        if self._state is None:
+            raise RuntimeError("no state to resync from")
+        return self._state
 
     def flush(self):
         return None

@@ -29,7 +29,12 @@ import time
 import numpy as np
 
 from cudavideostream_tpu import native
-from cudavideostream_tpu.config import CompactionBackend, StreamConfig, Visualizer
+from cudavideostream_tpu.config import (
+    CompactionBackend,
+    PayloadOverflowError,
+    StreamConfig,
+    Visualizer,
+)
 from cudavideostream_tpu.runtime import wire
 from cudavideostream_tpu.runtime.executor import StreamExecutor
 from cudavideostream_tpu.runtime.sources import FrameSource, make_source
@@ -107,7 +112,24 @@ class DeltaStreamServer:
             except StopIteration:
                 break
             read_s = time.perf_counter() - t0
-            result = self.executor.process(frame, text=text)
+            try:
+                result = self.executor.process(frame, text=text)
+            except PayloadOverflowError:
+                if v3enc is None:
+                    # v1/v2 cannot express a resync — fail loudly rather
+                    # than desync the client (config.PayloadOverflowError)
+                    raise
+                # wire v3 recovery: one raw frame replaces the client
+                # state wholesale; the executor drops any pending
+                # pipelined payload (its deltas are subsumed). The aux
+                # visualizer frame for this frame is dropped with it.
+                buf = v3enc.resync(self.executor.resync())
+                conn.sendall(buf)
+                self.executor.metrics.record(
+                    time.perf_counter() - t0 - read_s, 0,
+                    wire_bytes=len(buf),
+                )
+                result = None
             if result is not None:  # pipelined executors lag one frame
                 sent = self._send_payload(
                     conn, result, self.cfg.wire_format, v3enc
@@ -219,6 +241,14 @@ def main(argv=None) -> int:
                         "1 = pure lane compaction, fastest kernel; use "
                         "8 on tunnel-class host links — see "
                         "benchmarks/subtile_ab)")
+    p.add_argument("--capacity", type=int, default=None,
+                   help="payload capacity bound in bytes (default: worst "
+                        "case = frame bytes, never overflows). Caps device "
+                        "payload buffers and host transfers; a frame that "
+                        "changes more bytes overflows — fatal under "
+                        "--wire v1/v2 (no way to resync a client), "
+                        "recovered under --wire v3 by shipping one raw "
+                        "resync frame")
     p.add_argument("--backend", default="device", choices=["device", "oracle"],
                    help="device = JAX/Pallas pipeline; oracle = pure-NumPy "
                         "CPU reference (the #ifdef CPU path, but complete)")
@@ -247,6 +277,10 @@ def main(argv=None) -> int:
         p.error("--mesh is exclusive with --tiled/--backend oracle")
     if args.fetch != "auto" and not args.tiled:
         p.error("--fetch tiles/flat applies to --tiled payloads")
+    if args.capacity is not None and (args.mesh or args.tiled):
+        # sharded/tiled payload layouts are always worst-case capacity
+        # (config.py validates tiled; sharded.py pins capacity itself)
+        p.error("--capacity applies to flat single-chip payloads only")
 
     cfg = StreamConfig(
         height=args.height,
@@ -261,6 +295,7 @@ def main(argv=None) -> int:
         wire_format=args.wire,
         host=args.host,
         port=args.port,
+        payload_capacity=args.capacity,
         **(
             {"subtile_rows": args.subtile}
             if args.subtile is not None else {}

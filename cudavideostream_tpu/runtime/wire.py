@@ -176,6 +176,18 @@ class V3Encoder:
         self.last_mode = buf[0]
         return buf
 
+    def resync(self, frame: np.ndarray) -> bytes:
+        """Forced raw frame (payload-capacity overflow recovery).
+
+        Replaces the shadow wholesale with the server's post-step state
+        and returns the mode-2 bytes — the only consistent way to keep a
+        client whose pending deltas were already folded into the
+        server's prev (see ``config.PayloadOverflowError``).
+        """
+        np.copyto(self.frame, np.asarray(frame, dtype=np.uint8).ravel())
+        self.last_mode = MODE_RAW
+        return bytes([MODE_RAW]) + self.frame.tobytes()
+
 
 def encode_frame_v3(pos: int, xs: np.ndarray, vals: np.ndarray,
                     frame_after: np.ndarray) -> bytes:

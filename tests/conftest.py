@@ -62,3 +62,23 @@ def make_frame_pair(rng, n_bytes, change_frac=0.06, lo=0, hi=255):
 @pytest.fixture
 def frame_pair(rng):
     return make_frame_pair(rng, 48 * 64 * 3)
+
+
+class ScriptedSource:
+    """Deterministic frame-script source (FrameSource interface) for
+    tests that need exact control over per-frame change counts."""
+
+    def __init__(self, base, frames):
+        self._base = base
+        self._frames = list(frames)
+        self._i = 0
+
+    def base_frame(self):
+        return self._base
+
+    def __next__(self):
+        if self._i >= len(self._frames):
+            raise StopIteration
+        f = self._frames[self._i]
+        self._i += 1
+        return f

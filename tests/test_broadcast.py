@@ -276,3 +276,108 @@ def test_v3_mode_flips_and_late_joiner(small_config, tmp_path):
     assert state2["count"] >= 1
     np.testing.assert_array_equal(state2["last"], prev)
     cli1.close()
+
+
+def test_v3_overflow_raw_resync(small_config):
+    """payload_capacity overflow under wire v3: every broadcast client
+    gets one raw resync frame (not a dead server), deltas resume after,
+    and reconstruction stays byte-exact vs the oracle."""
+    from conftest import ScriptedSource
+    from cudavideostream_tpu.config import PayloadOverflowError  # noqa: F401
+
+    cap = 1500
+    cfg = dataclasses.replace(
+        small_config, port=0, wire_format="v3", payload_capacity=cap
+    )
+    base = np.zeros(cfg.frame_bytes, np.uint8)
+    f1 = base.copy()
+    f1[:500] = 100
+    f2 = f1.copy()
+    f2[2000:5700] += 200  # 3700 > cap, ~40% dense (bitmask-natural)
+    f3 = f2.copy()
+    f3[100:400] += 50
+    frames = [f1, f2, f3]
+
+    server = BroadcastServer(
+        cfg, ScriptedSource(base, frames), verbose=False,
+        overlay_status=False,
+    )
+    server.listen()
+    t = threading.Thread(
+        target=server.serve, kwargs={"max_frames": len(frames)}, daemon=True
+    )
+    t.start()
+
+    cli = DeltaStreamClient(
+        "127.0.0.1", server.port, cfg.height, cfg.width, wire_format="auto"
+    )
+    cli.connect()
+
+    prev = base.copy()
+    expected = []
+    for f in frames:
+        prev, *_ = ref.step_oracle(prev, f, cfg)
+        expected.append(prev.copy())
+
+    got = []
+    try:
+        while True:
+            pos, recon = cli.read_frame()
+            got.append((pos, recon.copy()))  # buffer is mutable/aliased
+    except (ConnectionError, OSError):
+        pass
+    finally:
+        cli.close()
+    t.join(timeout=30)
+
+    positions = [p for p, _ in got]
+    assert positions.count(cfg.frame_bytes) == 1, positions  # one raw
+    assert 0 < positions[-1] < cfg.frame_bytes, positions  # deltas resume
+    for (_, recon), exp in zip(got, expected):
+        np.testing.assert_array_equal(recon, exp)
+
+
+def test_v1_overflow_fatal_closes_clients(small_config):
+    """v1 cannot resync: overflow must propagate AND release every
+    connected client with EOF (not leave them blocked on recv)."""
+    import socket as socket_mod
+
+    from conftest import ScriptedSource
+    from cudavideostream_tpu.config import PayloadOverflowError
+
+    cfg = dataclasses.replace(
+        small_config, port=0, wire_format="v1", payload_capacity=1500
+    )
+    base = np.zeros(cfg.frame_bytes, np.uint8)
+    f1 = base.copy()
+    f1[:500] = 100
+    f2 = f1.copy()
+    f2[2000:5700] += 200  # 3700 > cap
+    server = BroadcastServer(
+        cfg, ScriptedSource(base, [f1, f2]), verbose=False,
+        overlay_status=False,
+    )
+    server.listen()
+
+    got_eof = {}
+
+    def drain():
+        s = socket_mod.create_connection(("127.0.0.1", server.port))
+        s.settimeout(20)
+        try:
+            while True:
+                b = s.recv(1 << 16)
+                if not b:
+                    got_eof["eof"] = True
+                    return
+        except OSError:
+            got_eof["eof"] = True  # reset also unblocks the client
+        finally:
+            s.close()
+
+    t = threading.Thread(target=drain, daemon=True)
+    t.start()
+    with pytest.raises(PayloadOverflowError):
+        server.serve(max_frames=2)
+    t.join(timeout=30)
+    assert got_eof.get("eof"), "client still blocked after fatal overflow"

@@ -1,6 +1,7 @@
 """Multi-stream server: B cameras on one chip, per-stream byte-exact
 reconstruction over real sockets."""
 
+import time
 import threading
 
 import numpy as np
@@ -272,3 +273,114 @@ def test_sharded_lander_pinned_to_tiles(small_config):
     server._lander.link.bps = 1e3  # absurdly slow link: still blocks
     assert not server._lander.use_flat(pos=1000, t_hi=4, tile_cap=4096)
     server.close()
+
+
+def test_v3_overflow_resyncs_one_stream_only(small_config):
+    """Per-stream capacity overflow on the batched flat path: the
+    overflowing stream gets a raw resync, the healthy stream's deltas
+    are untouched, both stay byte-exact."""
+    import dataclasses
+
+    from conftest import ScriptedSource
+
+    cap = 1500
+    cfg = dataclasses.replace(
+        small_config, port=0, wire_format="v3", payload_capacity=cap
+    )
+    base = np.zeros(cfg.frame_bytes, np.uint8)
+    # stream 0: small deltas every frame (never overflows)
+    s0 = []
+    prev0 = base
+    for k in range(3):
+        f = prev0.copy()
+        f[50 * k : 50 * k + 200] += 60
+        s0.append(f)
+        prev0 = f
+    # stream 1: small, OVERFLOW (~40% dense), small
+    f1 = base.copy()
+    f1[:500] = 100
+    f2 = f1.copy()
+    f2[2000:5700] += 200  # 3700 > cap
+    f3 = f2.copy()
+    f3[100:400] += 50
+    s1 = [f1, f2, f3]
+
+    server = MultiStreamServer(
+        cfg,
+        [ScriptedSource(base, s0), ScriptedSource(base, s1)],
+        verbose=False,
+        overlay_status=False,
+    )
+    server.listen()
+    ports = server.ports
+
+    # connect BOTH clients before serving starts, so each is admitted at
+    # the first frame boundary with the true base frame
+    clients = []
+    socks = []
+    import socket as socket_mod
+
+    for b in range(2):
+        socks.append(socket_mod.create_connection(("127.0.0.1", ports[b])))
+    # wait until BOTH conns are queued: serve() starts as soon as ONE
+    # pending client exists, and a late accept would be admitted a frame
+    # later with a mid-stream recon as its base
+    deadline = time.time() + 10
+    while any(server._pending[b].empty() for b in range(2)):
+        assert time.time() < deadline, "accept threads never queued conns"
+        time.sleep(0.01)
+    t = threading.Thread(
+        target=server.serve, kwargs={"max_frames": 3}, daemon=True
+    )
+    t.start()
+    from cudavideostream_tpu.runtime import wire as wire_mod
+
+    for b in range(2):
+        cli = DeltaStreamClient(
+            "127.0.0.1", ports[b], cfg.height, cfg.width, wire_format="v3"
+        )
+        # connect() minus the socket creation (ours pre-dates serve())
+        cli.sock = socks[b]
+        assert cli._read_exact(len(wire_mod.MAGIC_V3)) == wire_mod.MAGIC_V3
+        cli.frame = np.frombuffer(
+            cli._read_exact(cli.n_bytes), dtype=np.uint8
+        ).copy()
+        np.testing.assert_array_equal(cli.frame, base)
+        clients.append(cli)
+
+    def expect(frames):
+        prev, out = base.copy(), []
+        for f in frames:
+            prev, *_ = ref.step_oracle(prev, f, cfg)
+            out.append(prev.copy())
+        return out
+
+    exp = [expect(s0), expect(s1)]
+    got = [[], []]
+
+    def drain(b):
+        try:
+            while True:
+                pos, recon = clients[b].read_frame()
+                got[b].append((pos, recon.copy()))  # mutable buffer
+        except (ConnectionError, OSError):
+            pass
+        finally:
+            clients[b].close()
+
+    threads = [threading.Thread(target=drain, args=(b,)) for b in range(2)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=60)
+    t.join(timeout=30)
+
+    pos0 = [p for p, _ in got[0]]
+    pos1 = [p for p, _ in got[1]]
+    assert pos0.count(cfg.frame_bytes) == 0, pos0  # healthy stream: no raw
+    assert pos1.count(cfg.frame_bytes) == 1, pos1  # one raw resync
+    assert 0 < pos1[-1] < cfg.frame_bytes, pos1    # deltas resume
+    for (_, recon), e in zip(got[0], exp[0]):
+        np.testing.assert_array_equal(recon, e)
+    for (_, recon), e in zip(got[1], exp[1]):
+        np.testing.assert_array_equal(recon, e)

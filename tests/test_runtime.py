@@ -787,3 +787,168 @@ class TestHostBackendFastPath:
         assert pos == e_pos
         np.testing.assert_array_equal(xs, e_xs)
         np.testing.assert_array_equal(vals, e_vals)
+
+
+from conftest import ScriptedSource as _ScriptedSource  # noqa: E402
+
+
+class TestOverflowResync:
+    """Wire v3 recovers from a payload_capacity overflow with one raw
+    resync frame instead of killing the stream; v1/v2 fail loudly
+    (config.PayloadOverflowError — no way to resync those clients)."""
+
+    CAPACITY = 1500
+
+    def _script(self, cfg, n_tail=1):
+        """[small, OVERFLOW (~40% density: bitmask-natural, so a raw
+        frame on the wire proves the recovery path fired), small...]"""
+        base = np.zeros(cfg.frame_bytes, np.uint8)
+        f1 = base.copy()
+        f1[:500] = 100
+        f2 = f1.copy()
+        f2[2000:5700] += 200  # 3700 changed bytes > CAPACITY
+        frames = [f1, f2]
+        prev_tail = f2
+        for k in range(n_tail):
+            ft = prev_tail.copy()
+            ft[100 + 400 * k : 400 + 400 * k] += 50
+            frames.append(ft)
+            prev_tail = ft
+        return base, frames
+
+    def _make_executor(self, cfg, kind):
+        if kind == "pipelined":
+            from cudavideostream_tpu.runtime.executor import PipelinedExecutor
+
+            return PipelinedExecutor(cfg)
+        if kind == "oracle":
+            from cudavideostream_tpu.runtime.oracle_executor import OracleExecutor
+
+            return OracleExecutor(cfg)
+        return None  # default StreamExecutor (device, pallas or host)
+
+    @pytest.mark.parametrize(
+        "kind,compaction",
+        [
+            ("device", "pallas"),
+            ("device", "host"),
+            ("pipelined", "pallas"),
+            ("oracle", "pallas"),
+        ],
+    )
+    def test_v3_raw_resync_keeps_client_exact(
+        self, small_config, kind, compaction
+    ):
+        import dataclasses
+
+        from cudavideostream_tpu.config import CompactionBackend
+
+        cfg = dataclasses.replace(
+            small_config,
+            port=0,
+            wire_format="v3",
+            payload_capacity=self.CAPACITY,
+            compaction=CompactionBackend(compaction),
+        )
+        n_tail = 2 if kind == "pipelined" else 1
+        base, frames = self._script(cfg, n_tail=n_tail)
+        server = DeltaStreamServer(
+            cfg,
+            _ScriptedSource(base, frames),
+            executor=self._make_executor(cfg, kind),
+            verbose=False,
+            overlay_status=False,
+        )
+        server.listen()
+        t = threading.Thread(
+            target=server.serve,
+            kwargs={"max_frames": len(frames)},
+            daemon=True,
+        )
+        t.start()
+
+        cli = DeltaStreamClient(
+            "127.0.0.1", server.port, cfg.height, cfg.width,
+            wire_format="auto",
+        )
+        cli.connect()
+        np.testing.assert_array_equal(cli.frame, base)
+
+        # expected stream state: the oracle replay (the spec)
+        prev = base.copy()
+        expected = []
+        for f in frames:
+            prev, _, _, _, _ = ref.step_oracle(prev, f, cfg)
+            expected.append(prev.copy())
+
+        got = []
+        try:
+            while True:
+                pos, recon = cli.read_frame()
+                got.append((pos, recon.copy()))  # read_frame returns the
+                # client's mutable buffer — later applies would alias
+        except ConnectionError:
+            pass
+        finally:
+            cli.close()
+        t.join(timeout=30)
+
+        positions = [p for p, _ in got]
+        # exactly one raw resync on the wire (pos == frame bytes); the
+        # overflow frame is only ~40% dense, so natural v3 selection
+        # would have picked bitmask — raw proves the recovery path
+        assert positions.count(cfg.frame_bytes) == 1, positions
+        # deltas resume after the resync
+        assert 0 < positions[-1] < cfg.frame_bytes, positions
+        # every payload lands the client on some oracle state, in order,
+        # ending at the final one (pipelined recovery may skip frames —
+        # documented in StreamExecutor.resync)
+        exp_i = 0
+        for _, recon in got:
+            while exp_i < len(expected) and not np.array_equal(
+                recon, expected[exp_i]
+            ):
+                exp_i += 1
+            assert exp_i < len(expected), "client state matches no oracle state"
+        np.testing.assert_array_equal(got[-1][1], expected[-1])
+
+    @pytest.mark.parametrize("wire_format", ["v1", "v2"])
+    def test_v1_v2_overflow_is_fatal(self, small_config, wire_format):
+        import dataclasses
+        import socket as socket_mod
+
+        from cudavideostream_tpu.config import PayloadOverflowError
+
+        cfg = dataclasses.replace(
+            small_config,
+            port=0,
+            wire_format=wire_format,
+            payload_capacity=self.CAPACITY,
+        )
+        base, frames = self._script(cfg)
+        server = DeltaStreamServer(
+            cfg,
+            _ScriptedSource(base, frames),
+            verbose=False,
+            overlay_status=False,
+        )
+        server.listen()
+
+        drained = []
+
+        def drain():
+            s = socket_mod.create_connection(("127.0.0.1", server.port))
+            try:
+                while True:
+                    b = s.recv(1 << 16)
+                    if not b:
+                        break
+                    drained.append(b)
+            finally:
+                s.close()
+
+        t = threading.Thread(target=drain, daemon=True)
+        t.start()
+        with pytest.raises(PayloadOverflowError):
+            server.serve(max_frames=len(frames))
+        t.join(timeout=30)
