@@ -151,6 +151,76 @@ def _flat_roll_right(x, s: int, rows: int):
     return jnp.where(lane >= sl, same, prv)
 
 
+def _mxu_incl_prefix(mi, R: int, sub_rows: int = 0):
+    """Inclusive flat prefix-sum of a 0/1 mask ``mi`` of shape
+    ``(R, LANES)`` — the shared cumsum of the compaction kernels
+    (``_kernel_v2`` and ``_kernel_pair``; one implementation so the
+    VMEM-cutoff and precision arguments can't drift between them).
+
+    Flat inclusive cumsum on the MXU: prefix-sum IS a triangular
+    matmul. Lane phase: incl = mi @ U with U[j,l] = (j <= l);
+    row phase: rowpre = T @ rowtot with T[r,q] = (q <= r).
+    Exactness at DEFAULT matmul precision (which truncates inputs
+    to bf16 on TPU — the trap in CLAUDE.md): every INPUT here is
+    an integer <= 128 (0/1 matrices; per-row totals of 128 lanes),
+    all bf16-representable, and the f32 accumulator is exact far
+    beyond the R*128 <= 65536 maximum — the on-chip oracle gate
+    (bench.py) pins this. Replaces 7 lane + 9 sublane
+    roll+add+select passes with two tiny matmuls.
+
+    ``sub_rows``: prefix resets every ``sub_rows`` rows (sub-tiled
+    units). 1 = pure lane compaction (the lane matmul IS the whole
+    cumsum). The (R, R) row-phase matmul is only built for R <= 512 —
+    the hardware-validated tile range; a 512 < R tile (frames past
+    ~131 MB) would put a 4+ MB (R, R) f32 matrix plus several
+    (R, 128) temporaries in VMEM, a configuration only ever exercised
+    in interpret mode, where a hardware VMEM overflow could hide.
+    Those huge-tile geometries take the Hillis-Steele roll fallback
+    (lane phase stays on the MXU; f32 exactness holds to 2^24 > the
+    largest supported tile's byte count, 2 GiB / MAX_GRID).
+    """
+    mi_f = mi.astype(jnp.float32)
+    lane_u = (
+        jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+        <= jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+    ).astype(jnp.float32)
+    incl_f = jnp.dot(mi_f, lane_u)
+    if sub_rows == 1:
+        # each row is its own unit: no row phase at all
+        return incl_f.astype(jnp.int32)
+    rowtot_f = jnp.broadcast_to(incl_f[:, LANES - 1 : LANES], (R, LANES))
+    if sub_rows:
+        if R > 512:  # callers gate sub-tiling to the validated range
+            raise ValueError("sub_rows requires tile_rows <= 512")
+        # sub-tiled: the row-phase prefix resets at sub-tile
+        # boundaries — the triangular matrix goes block-diagonal
+        # (same matmul shape/cost as the full-tile prefix)
+        rq = jax.lax.broadcasted_iota(jnp.int32, (R, R), 0)
+        cq = jax.lax.broadcasted_iota(jnp.int32, (R, R), 1)
+        row_t = (
+            (cq <= rq) & (cq // sub_rows == rq // sub_rows)
+        ).astype(jnp.float32)
+        rowpre_f = jnp.dot(row_t, rowtot_f)
+        return (incl_f + (rowpre_f - rowtot_f)).astype(jnp.int32)
+    if R <= 512:
+        row_t = (
+            jax.lax.broadcasted_iota(jnp.int32, (R, R), 1)
+            <= jax.lax.broadcasted_iota(jnp.int32, (R, R), 0)
+        ).astype(jnp.float32)
+        rowpre_f = jnp.dot(row_t, rowtot_f)
+        return (incl_f + (rowpre_f - rowtot_f)).astype(jnp.int32)
+    # huge-tile roll fallback (see docstring)
+    incl = incl_f.astype(jnp.int32)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 0)
+    rowtot = jnp.broadcast_to(incl[:, LANES - 1 : LANES], (R, LANES))
+    rowpre = rowtot
+    s = 1
+    while s < R:
+        rowpre = rowpre + jnp.where(sub >= s, pltpu.roll(rowpre, s, 0), 0)
+        s *= 2
+    return incl + (rowpre - rowtot)
+
+
 def _kernel_v2(cur_ref, prev_ref, thr_ref, *rest,
                tile_rows: int, negfeed: bool, region_tiles: int = 0,
                thr_is_map: bool = False, skip_static: bool = True,
@@ -239,69 +309,11 @@ def _kernel_v2(cur_ref, prev_ref, thr_ref, *rest,
         lane = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
         flat = sub * LANES + lane
 
-        # Flat inclusive cumsum on the MXU: prefix-sum IS a triangular
-        # matmul. Lane phase: incl = mi @ U with U[j,l] = (j <= l);
-        # row phase: rowpre = T @ rowtot with T[r,q] = (q <= r).
-        # Exactness at DEFAULT matmul precision (which truncates inputs
-        # to bf16 on TPU — the trap in CLAUDE.md): every INPUT here is
-        # an integer <= 128 (0/1 matrices; per-row totals of 128 lanes),
-        # all bf16-representable, and the f32 accumulator is exact far
-        # beyond the R*128 <= 65536 maximum — the on-chip oracle gate
-        # (bench.py) pins this. Replaces 7 lane + 9 sublane
-        # roll+add+select passes with two tiny matmuls.
-        mi_f = mi.astype(jnp.float32)
-        lane_u = (
-            jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
-            <= jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
-        ).astype(jnp.float32)
-        incl_f = jnp.dot(mi_f, lane_u)
-        rowtot_f = jnp.broadcast_to(incl_f[:, LANES - 1 : LANES], (R, LANES))
-        if sub_rows == 1:
-            # pure lane compaction: each row is its own unit, so the
-            # lane-phase matmul IS the whole cumsum — no row phase at
-            # all (and below, every shift pass is a single lane roll)
-            incl = incl_f.astype(jnp.int32)
-        elif sub_rows:
-            # sub-tiled: the row-phase prefix resets at sub-tile
-            # boundaries — the triangular matrix goes block-diagonal
-            # (same matmul shape/cost as the full-tile prefix)
-            rq = jax.lax.broadcasted_iota(jnp.int32, (R, R), 0)
-            cq = jax.lax.broadcasted_iota(jnp.int32, (R, R), 1)
-            row_t = (
-                (cq <= rq) & (cq // sub_rows == rq // sub_rows)
-            ).astype(jnp.float32)
-            rowpre_f = jnp.dot(row_t, rowtot_f)
-            incl = (incl_f + (rowpre_f - rowtot_f)).astype(jnp.int32)
-        elif R <= 512:
-            # matmul cutoff pinned to the hardware-validated tile range:
-            # the swept geometries never exceed 512 rows, and a 512<R
-            # tile (frames past ~131 MB) would put a 4 MB (R,R) f32
-            # matrix plus several (R,128) temporaries in VMEM — a
-            # configuration only ever exercised in interpret mode, where
-            # a hardware VMEM overflow could hide. Those rare huge-tile
-            # geometries take the roll fallback below instead.
-            row_t = (
-                jax.lax.broadcasted_iota(jnp.int32, (R, R), 1)
-                <= jax.lax.broadcasted_iota(jnp.int32, (R, R), 0)
-            ).astype(jnp.float32)
-            rowpre_f = jnp.dot(row_t, rowtot_f)
-            incl = (incl_f + (rowpre_f - rowtot_f)).astype(jnp.int32)
-        else:
-            # huge tiles (frames past ~131 MB force rows/MAX_GRID-sized
-            # tiles): the (R, R) triangular matrix no longer fits VMEM,
-            # so the row phase falls back to Hillis-Steele rolls. Lane
-            # phase stays on the MXU; f32 exactness holds to 2^24 >
-            # the largest supported tile's byte count (2 GiB / 2000).
-            incl = incl_f.astype(jnp.int32)
-            rowtot = jnp.broadcast_to(incl[:, LANES - 1 : LANES], (R, LANES))
-            rowpre = rowtot
-            s = 1
-            while s < R:
-                rowpre = rowpre + jnp.where(
-                    sub >= s, pltpu.roll(rowpre, s, 0), 0
-                )
-                s *= 2
-            incl = incl + (rowpre - rowtot)
+        # MXU cumsum (shared with _kernel_pair): see _mxu_incl_prefix
+        # for the precision argument and the huge-tile VMEM cutoff. At
+        # sub_rows == 1 there is no row phase at all (and below, every
+        # shift pass is a single lane roll).
+        incl = _mxu_incl_prefix(mi, R, sub_rows)
 
         # Pack ``holes*256 + delta`` into ONE int32 (holes < unit bytes:
         # 2^16 for the swept <=512-row tiles, up to ~2^20 for the
@@ -520,7 +532,6 @@ def _run_kernel(cur2, prev2, thr, *, scheme, tile_rows, grid,
         raise ValueError("sub_rows: element scheme only")
     if pack16 and sub_rows != 1:
         raise ValueError("pack16 needs sub_rows == 1 (holes < 128)")
-    n_counts = tile_rows // sub_rows if sub_rows else 1
     if scheme == "element":
         kernel = functools.partial(
             _kernel_v2, tile_rows=tile_rows, negfeed=negfeed,
@@ -565,9 +576,11 @@ def _run_kernel(cur2, prev2, thr, *, scheme, tile_rows, grid,
                                 memory_space=pltpu.VMEM)
         cnt_shape = jax.ShapeDtypeStruct((rows, 1), jnp.int32)
     else:
-        cnt_spec = pl.BlockSpec((grid, n_counts), lambda i: (0, 0),
+        # segment scheme: one whole-tile count per grid step (sub_rows
+        # is element-scheme-only, enforced above)
+        cnt_spec = pl.BlockSpec((grid, 1), lambda i: (0, 0),
                                 memory_space=pltpu.SMEM)
-        cnt_shape = jax.ShapeDtypeStruct((grid, n_counts), jnp.int32)
+        cnt_shape = jax.ShapeDtypeStruct((grid, 1), jnp.int32)
     new_prev, xs_t, vals_t, counts = pl.pallas_call(
         kernel,
         grid=(grid,),
@@ -668,11 +681,15 @@ def fused_diff_compact(
     """
     n = current.shape[0]
     rows, tile_rows = _tile_geometry(-(-n // LANES))
-    if sub_rows and (tile_rows % sub_rows or tile_rows > 1024
+    if sub_rows and (tile_rows % sub_rows or tile_rows > 512
                      or scheme != "element" or emit == "flat"):
         # flat emit: the merge epilogue is unit-serial, so sub-tiling
         # would trade 6 cheap passes for thousands of serial merge
-        # steps — the sub-tiled layout exists for the tiled emit
+        # steps — the sub-tiled layout exists for the tiled emit.
+        # tile_rows > 512 (frames past ~131 MB): the sub-tiled row
+        # phase would build an (R, R) block-diagonal matrix past the
+        # hardware-validated VMEM range (_mxu_incl_prefix) — those
+        # geometries compact at whole-tile granularity instead.
         sub_rows = 0
     n_pad = rows * LANES
     # tile-LOCAL packing bounds the packed rep by the tile size, so the
@@ -730,10 +747,21 @@ def fused_diff_compact(
                 xs_t.reshape(n_units, unit_bytes),
                 vals_t.reshape(n_units, unit_bytes), new_prev)
 
-    xs, vals = _merge_tiles_impl(
-        counts, xs_t.reshape(n_units, unit_bytes),
-        vals_t.reshape(n_units, unit_bytes)
-    )
+    # flat emit: merge the per-tile prefixes device-side. Past the
+    # serial-DUS crossover (huge frames re-tile to grids well past 256;
+    # each DUS step is pure dependency latency) take the same two-stage
+    # pair-compaction merge as merge_tiles — outputs are zero past pos
+    # either way, and the two-stage pad may exceed n (slice first).
+    if n_units <= MERGE_SERIAL_MAX_UNITS:
+        xs, vals = _merge_tiles_impl(
+            counts, xs_t.reshape(n_units, unit_bytes),
+            vals_t.reshape(n_units, unit_bytes)
+        )
+    else:
+        xs, vals = _merge_tiles_two_stage(
+            counts, xs_t.reshape(n_units, unit_bytes),
+            vals_t.reshape(n_units, unit_bytes), interpret=interpret,
+        )
     return pos, xs[:n], vals[:n], new_prev
 
 
@@ -785,8 +813,9 @@ def fused_diff_compact_batched(
         raise ValueError("expect flat (B*n,) frames")
     n = current.shape[0] // B
     rows, tile_rows = _tile_geometry(-(-n // LANES))
-    if sub_rows and (tile_rows % sub_rows or tile_rows > 1024
+    if sub_rows and (tile_rows % sub_rows or tile_rows > 512
                      or scheme != "element"):
+        # same VMEM cutoff as the solo path (_mxu_incl_prefix)
         sub_rows = 0
     n_pad = rows * LANES
     if n_pad >= 1 << 31:
@@ -885,19 +914,10 @@ def _kernel_pair(xs_ref, vals_ref, out_xs_ref, out_vals_ref, cnt_ref, *,
     lane = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
     flat = sub * LANES + lane
 
-    mi_f = mi.astype(jnp.float32)
-    lane_u = (
-        jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
-        <= jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
-    ).astype(jnp.float32)
-    incl_f = jnp.dot(mi_f, lane_u)
-    rowtot_f = jnp.broadcast_to(incl_f[:, LANES - 1 : LANES], (R, LANES))
-    row_t = (
-        jax.lax.broadcasted_iota(jnp.int32, (R, R), 1)
-        <= jax.lax.broadcasted_iota(jnp.int32, (R, R), 0)
-    ).astype(jnp.float32)
-    rowpre_f = jnp.dot(row_t, rowtot_f)
-    incl = (incl_f + (rowpre_f - rowtot_f)).astype(jnp.int32)
+    # shared MXU cumsum — including the R > 512 roll fallback, which
+    # this kernel reaches for huge frames (its _tile_geometry is the
+    # flagship's, so a >131 MB payload re-tiles past 512 rows)
+    incl = _mxu_incl_prefix(mi, R)
 
     holes = jnp.where(m, flat - (incl - 1), 0)
     x = jnp.where(m, holes * 256 + v, 0)

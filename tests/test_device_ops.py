@@ -558,10 +558,10 @@ class TestBatchedKernel:
 
 
 def test_huge_tile_row_cumsum_fallback(rng):
-    """Tiles past 1024 rows (forced for frames near the 2 GiB bound,
-    where rows/MAX_GRID exceeds the swept tile range) switch the row
-    cumsum from the (R, R) MXU matmul — which would not fit VMEM — to
-    Hillis-Steele rolls. Byte-exact either way."""
+    """Tiles past 512 rows (forced for frames past ~131 MB, where
+    rows/MAX_GRID exceeds the swept tile range) switch the row cumsum
+    from the (R, R) MXU matmul — which would not fit VMEM on hardware —
+    to Hillis-Steele rolls (_mxu_incl_prefix). Byte-exact either way."""
     from cudavideostream_tpu.ops import logcompact
 
     n = 2304 * 128  # two 1152-row tiles
@@ -586,4 +586,116 @@ def test_huge_tile_row_cumsum_fallback(rng):
     assert int(pos) == rpos
     np.testing.assert_array_equal(np.asarray(xs)[:rpos], rxs)
     np.testing.assert_array_equal(np.asarray(vals)[:rpos], rvals)
+    np.testing.assert_array_equal(np.asarray(newp), rnewp)
+
+
+def _force_tiles(logcompact, tile_rows):
+    """Monkey-patch the tile geometry (restore via the returned tuple)."""
+    orig = (logcompact._pick_tile_rows, logcompact._pad_rows)
+    logcompact._pick_tile_rows = lambda r, target=512: tile_rows
+    logcompact._pad_rows = lambda r, t=tile_rows: -(-r // t) * t
+    logcompact.fused_diff_compact.clear_cache()
+    return orig
+
+
+def _restore_tiles(logcompact, orig):
+    logcompact._pick_tile_rows, logcompact._pad_rows = orig
+    logcompact.fused_diff_compact.clear_cache()
+
+
+def test_huge_tile_pair_kernel_fallback(rng):
+    """The two-stage merge's pair kernel shares _mxu_incl_prefix, so a
+    huge-tile geometry (R > 512) takes the roll fallback there too
+    instead of building an unbounded (R, R) VMEM matrix."""
+    from cudavideostream_tpu.ops import logcompact
+
+    n = 2304 * 128  # two 1152-row tiles after the forced geometry
+    vals = np.zeros(n, np.uint8)
+    idx = np.sort(rng.choice(n, size=n // 11, replace=False))
+    vals[idx] = rng.integers(1, 256, idx.size, dtype=np.uint8)  # never 0
+    xs = np.zeros(n, np.int32)
+    xs[idx] = idx.astype(np.int32) * 3 + 1  # arbitrary global indices
+
+    orig = _force_tiles(logcompact, 1152)
+    try:
+        counts, xs_t, vals_t = logcompact._pair_compact(
+            jnp.asarray(xs), jnp.asarray(vals), interpret=True
+        )
+    finally:
+        _restore_tiles(logcompact, orig)
+    counts = np.asarray(counts)
+    xs_t, vals_t = np.asarray(xs_t), np.asarray(vals_t)
+    got_xs, got_vals = [], []
+    tb = 1152 * 128
+    for t in range(counts.size):
+        lo, hi = t * tb, (t + 1) * tb
+        keep = vals[lo:hi] != 0
+        np.testing.assert_array_equal(xs_t[t][: counts[t]], xs[lo:hi][keep])
+        np.testing.assert_array_equal(vals_t[t][: counts[t]], vals[lo:hi][keep])
+        assert counts[t] == int(keep.sum())
+        assert not vals_t[t][counts[t]:].any()
+
+
+def test_flat_emit_two_stage_crossover(rng):
+    """emit="flat" past MERGE_SERIAL_MAX_UNITS units routes through the
+    two-stage pair-compaction merge (not a 260+-step serial DUS chain),
+    byte-exact vs the oracle."""
+    from cudavideostream_tpu.ops import logcompact
+
+    tile = 8
+    n_units = logcompact.MERGE_SERIAL_MAX_UNITS + 4
+    n = n_units * tile * 128
+    prev = rng.integers(0, 256, n, dtype=np.uint8)
+    cur = prev.copy()
+    idx = rng.choice(n, size=n // 13, replace=False)
+    cur[idx] = rng.integers(0, 256, idx.size, dtype=np.uint8)
+
+    orig = _force_tiles(logcompact, tile)
+    try:
+        pos, xs, vals, newp = logcompact.fused_diff_compact(
+            jnp.asarray(cur), jnp.asarray(prev), interpret=True
+        )
+        pos, xs, vals, newp = (
+            int(pos), np.asarray(xs), np.asarray(vals), np.asarray(newp))
+    finally:
+        _restore_tiles(logcompact, orig)
+    rpos, rxs, rvals, rnewp = ref.diff_encode(cur, prev)
+    assert pos == rpos
+    np.testing.assert_array_equal(xs[:rpos], rxs)
+    np.testing.assert_array_equal(vals[:rpos], rvals)
+    np.testing.assert_array_equal(newp, rnewp)
+
+
+def test_subtile_ignored_past_512_rows(rng):
+    """Frames whose huge-tile geometry exceeds 512 rows silently drop
+    sub-tiling (the block-diagonal (R, R) row matmul is VMEM-unsafe
+    there): counts come back at whole-tile granularity, byte-exact."""
+    from cudavideostream_tpu.ops import logcompact
+
+    n = 1280 * 128  # two 640-row tiles: inside (512, 1024]
+    prev = rng.integers(0, 256, n, dtype=np.uint8)
+    cur = prev.copy()
+    idx = rng.choice(n, size=n // 9, replace=False)
+    cur[idx] = rng.integers(0, 256, idx.size, dtype=np.uint8)
+
+    orig = _force_tiles(logcompact, 640)
+    try:
+        pos, counts, xs_t, vals_t, newp = logcompact.fused_diff_compact(
+            jnp.asarray(cur), jnp.asarray(prev), interpret=True,
+            emit="tiled", sub_rows=8,
+        )
+    finally:
+        _restore_tiles(logcompact, orig)
+    counts = np.asarray(counts)
+    assert counts.shape == (2,)  # whole tiles, not 2 * 640/8 sub-tiles
+    rpos, rxs, rvals, rnewp = ref.diff_encode(cur, prev)
+    assert int(pos) == rpos
+    flat_xs, flat_vals = [], []
+    tb = 640 * 128
+    xs_t, vals_t = np.asarray(xs_t), np.asarray(vals_t)
+    for t in range(2):
+        flat_xs.append(xs_t[t][: counts[t]])
+        flat_vals.append(vals_t[t][: counts[t]])
+    np.testing.assert_array_equal(np.concatenate(flat_xs), rxs)
+    np.testing.assert_array_equal(np.concatenate(flat_vals), rvals)
     np.testing.assert_array_equal(np.asarray(newp), rnewp)
