@@ -186,7 +186,14 @@ class ShardedDeltaPipeline:
         )
         cell_h = self.atlas.shape[1]
         region = None
-        if needs_full_overlay or not self.uses_pallas or cell_h > cfg.height:
+        if cell_h > cfg.height:
+            # SPEC parity: a glyph cell taller than the frame draws
+            # NOTHING (reference_cpu.overlay_blit breaks before any
+            # blit; ops/overlay.py returns the frame untouched) — a
+            # clipped band here would diverge byte-for-byte from the
+            # solo path
+            pass
+        elif needs_full_overlay or not self.uses_pallas:
             cur = self._overlay_local(cur, char_ids, n_chars, sidx)
         else:
             pref_rows = min(Lr, cell_h)

@@ -136,11 +136,21 @@ class TiledLander:
     """
 
     def __init__(self, mode: str = "auto", link: Optional[LinkStats] = None):
+        # modes: "auto" / "tiles" / "flat" (see class docstring) and
+        # "shards" — per-tile COUNT-PREFIX fetches for layouts whose
+        # tiles are huge and few (the sharded payload layout: tile_cap =
+        # frame_bytes / n_space). The whole-block tiles path would fetch
+        # t_hi * tile_cap * 5 bytes (~the full frame, seconds on a
+        # tunnel-class link) for a payload of a few KB; "shards" fetches
+        # each non-empty tile's tier-rounded prefix instead, dispatching
+        # every slice before one blocking get, and re-pads host-side
+        # (host zeros are lazy pages; only payload bytes are written).
         self.mode = mode
         self.link = link or LinkStats()
         self._fetch_xs = None     # lazily sized from the first landing
         self._fetch_vals = None
         self._fetch_tiles = None
+        self._shard_tier = None   # tier math for the "shards" mode
         self.fetch_counts = {"tiles": 0, "flat": 0}
 
     def use_flat(self, pos: int, t_hi: int, tile_cap: int) -> bool:
@@ -169,6 +179,42 @@ class TiledLander:
                 TieredFetcher(n_tiles, min_tier=1, stats=self.link),
                 TieredFetcher(n_tiles, min_tier=1, stats=self.link),
             )
+            self._shard_tier = TieredFetcher(tile_cap, stats=self.link)
+
+    def _land_shard_prefixes(self, plans):
+        """The "shards" landing: per-tile tier-rounded prefix slices,
+        all dispatched before ONE blocking get (a per-slice get would
+        pay the link round-trip t_hi*2 times per frame)."""
+        import jax
+
+        reqs = []  # per plan: list of (tile, count, xs_slice, vals_slice)
+        for pos, counts, t_hi, _, _, xs_t_d, vals_t_d in plans:
+            part = []
+            for s in range(t_hi):
+                c = int(counts[s])
+                if c:
+                    t = self._shard_tier.tier(c)
+                    part.append((s, c, xs_t_d[s, :t], vals_t_d[s, :t]))
+            reqs.append(part)
+        t0 = time.perf_counter()
+        fetched = jax.device_get(
+            [[(x, v) for _, _, x, v in part] for part in reqs]
+        )
+        nbytes = sum(x.nbytes + v.nbytes
+                     for part in fetched for x, v in part)
+        if nbytes:
+            self.link.record_fetch(nbytes, time.perf_counter() - t0)
+        out = []
+        for (pos, counts, t_hi, *_), part, host in zip(plans, reqs, fetched):
+            tile_cap = self._shard_tier.capacity
+            xs_b = np.zeros((t_hi, tile_cap), np.int32)
+            vals_b = np.zeros((t_hi, tile_cap), np.uint8)
+            for (s, c, _, _), (xh, vh) in zip(part, host):
+                xs_b[s, :c] = xh[:c]
+                vals_b[s, :c] = vh[:c]
+            self.fetch_counts["tiles"] += 1
+            out.append(wire.TiledPayload(pos, counts[:t_hi], xs_b, vals_b))
+        return out
 
     def land(self, pos: int, counts: np.ndarray, counts_d, xs_t_d, vals_t_d):
         """Land one tiled payload.
@@ -198,8 +244,11 @@ class TiledLander:
             # regions of the frame cost nothing on the host link
             nz = np.nonzero(counts)[0]
             t_hi = int(nz[-1]) + 1 if nz.size else 0
-            flat = self.use_flat(pos, t_hi, tile_cap)
+            flat = False if self.mode == "shards" else self.use_flat(
+                pos, t_hi, tile_cap)
             plans.append((pos, counts, t_hi, flat, counts_d, xs_t_d, vals_t_d))
+        if self.mode == "shards":
+            return self._land_shard_prefixes(plans)
         # dispatch the merges AFTER the planning loop so merge_s measures
         # only merge dispatch + sync — the planning work (np.nonzero over
         # counts, fetcher setup) is paid by the tiles path too, and

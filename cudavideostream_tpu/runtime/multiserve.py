@@ -76,11 +76,13 @@ class MultiStreamServer:
         # the sharded payload layout's whole point is ZERO payload
         # collectives — a device-side merge_tiles over space-sharded
         # blocks would gather every shard to one device per frame, so
-        # the lander is pinned to the block path there
+        # the lander takes the per-shard count-prefix path there (each
+        # "tile" is a whole shard: block fetches would move ~5x the
+        # frame bytes per stream)
         from cudavideostream_tpu.runtime.executor import LinkStats
 
         self._lander = TiledLander(
-            "tiles" if self._sharded else config.fetch_mode,
+            "shards" if self._sharded else config.fetch_mode,
             LinkStats(
                 merge_s_init=50e-3 if config.subtile_rows else 1.5e-3
             ),

@@ -275,6 +275,10 @@ def main(argv=None) -> int:
     # the pipelined executor wraps the sharded step identically).
     if args.mesh and (args.tiled or args.backend == "oracle"):
         p.error("--mesh is exclusive with --tiled/--backend oracle")
+    if args.mesh and args.compaction != "pallas":
+        # the sharded pipeline compacts per shard with the Pallas kernel
+        # unconditionally — reject rather than silently drop the flag
+        p.error("--mesh supports --compaction pallas only")
     if args.fetch != "auto" and not args.tiled:
         p.error("--fetch tiles/flat applies to --tiled payloads")
     if args.capacity is not None and (args.mesh or args.tiled):

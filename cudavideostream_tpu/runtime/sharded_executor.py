@@ -75,6 +75,16 @@ class ShardedStreamExecutor:
                 "tiled_payload is a single-chip emit mode; the sharded "
                 "executor's analogue is payload_layout='sharded'"
             )
+        if mesh.shape["data"] != 1:
+            # this executor serves exactly one stream (B=1 state); a
+            # data axis > 1 would fail deep inside device_put with an
+            # opaque partition error. Data sharding of many streams is
+            # runtime.multiserve --mesh.
+            raise ValueError(
+                f"server --mesh serves one stream: data axis must be 1 "
+                f"(got data={mesh.shape['data']}); use multiserve --mesh "
+                f"D,S for multi-stream data sharding"
+            )
         self.cfg = config
         self.pipe = ShardedDeltaPipeline(config, mesh,
                                          payload_layout=payload_layout,
@@ -82,11 +92,13 @@ class ShardedStreamExecutor:
         self.payload_layout = payload_layout
         self._state = None
         self.link = LinkStats()
-        # sharded layout: block landing over the shard axis ("tiles" —
-        # a device-side merge would gather every shard to one device,
-        # defeating the zero-payload-collective layout); replicated
-        # layout: tiered pos-prefix fetches like the solo executor
-        self._lander = TiledLander("tiles", self.link)
+        # sharded layout: per-shard count-prefix landing ("shards" — a
+        # device-side merge would gather every shard to one device,
+        # defeating the zero-payload-collective layout, and whole-block
+        # fetches would move ~5x the frame bytes since each "tile" is a
+        # full shard); replicated layout: tiered pos-prefix fetches like
+        # the solo executor
+        self._lander = TiledLander("shards", self.link)
         self._fetch_xs = TieredFetcher(config.frame_bytes, stats=self.link)
         self._fetch_vals = TieredFetcher(config.frame_bytes, stats=self.link)
         self.metrics = ExecMetrics()

@@ -364,3 +364,54 @@ class TestShardedExecutor:
         cfg = StreamConfig(height=48, width=64, tiled_payload=True)
         with pytest.raises(ValueError, match="sharded"):
             ShardedStreamExecutor(cfg, mesh=make_mesh(1, 2))
+
+
+def test_oversize_glyph_cell_draws_nothing(mesh8):
+    """SPEC parity: a glyph cell taller than the frame draws NOTHING
+    (reference_cpu.overlay_blit breaks before any blit) — the sharded
+    path must not blit a clipped band."""
+    # overlay_scale=5 stroke cells are taller than a 16-row frame
+    cfg = StreamConfig(height=16, width=64, overlay_scale=5)
+    pipe = ShardedDeltaPipeline(cfg, mesh8)
+    assert pipe.atlas_np.shape[1] > cfg.height  # premise: cell_h > H
+    rng = np.random.default_rng(9)
+    base = rng.integers(0, 255, (2, cfg.frame_bytes),
+                        endpoint=True, dtype=np.uint8)
+    state = pipe.init_state(base)
+    frames = np.stack(
+        [make_frame_pair(rng, cfg.frame_bytes)[1] for _ in range(2)]
+    )
+    text = "FPS: 42"
+    ids = fonts.encode_text(text)
+    state, pos, xs, vals, _ = pipe.step(state, frames, text=text)
+    pos, new_prev = np.asarray(pos), np.asarray(state)
+    xs, vals = np.asarray(xs), np.asarray(vals)
+    for b in range(2):
+        exp_prev, exp_pos, exp_xs, exp_vals, _ = ref.step_oracle(
+            base[b], frames[b], cfg, atlas=pipe.atlas_np, char_ids=ids,
+        )
+        assert pos[b] == exp_pos
+        np.testing.assert_array_equal(new_prev[b], exp_prev)
+        np.testing.assert_array_equal(xs[b][: pos[b]], exp_xs)
+        np.testing.assert_array_equal(vals[b][: pos[b]], exp_vals)
+
+
+def test_data_axis_must_be_one_for_solo_serving():
+    from cudavideostream_tpu.runtime.sharded_executor import (
+        ShardedStreamExecutor,
+        make_mesh,
+    )
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    cfg = StreamConfig(height=48, width=64)
+    with pytest.raises(ValueError, match="data axis must be 1"):
+        ShardedStreamExecutor(cfg, mesh=make_mesh(2, 2))
+
+
+def test_mesh_rejects_non_pallas_compaction():
+    from cudavideostream_tpu.runtime.server import main
+
+    with pytest.raises(SystemExit) as e:
+        main(["--mesh", "1,4", "--compaction", "sort"])
+    assert e.value.code == 2
