@@ -39,7 +39,10 @@ class BatchedDeltaPipeline:
 
         pipe = BatchedDeltaPipeline(config, n_streams=4)
         prev = pipe.init_state(bases)                 # (B, frame_bytes)
+        # flat payload config (no tiled_payload):
         prev, pos, xs, vals, aux = pipe.step(prev, frames, texts)
+        # tiled_payload (the fast-path product layout) returns six:
+        prev, pos, counts, xs_t, vals_t, aux = pipe.step(prev, frames, texts)
     """
 
     def __init__(self, config: StreamConfig, n_streams: int,
@@ -96,11 +99,17 @@ class BatchedDeltaPipeline:
         self._step = jax.jit(body, donate_argnums=(0,))
 
     def _vmap_impl(self, prev_flat, frames_flat, ids, n_chars):
+        from cudavideostream_tpu.config import Visualizer
+
         B, n = self.n_streams, self.config.frame_bytes
         out = jax.vmap(self._solo._step_impl, in_axes=(0, 0, 0, 0))(
             prev_flat.reshape(B, n), frames_flat.reshape(B, n), ids, n_chars
         )
-        return (out[0].reshape(B * n), *out[1:])
+        parts = [out[0].reshape(B * n), *out[1:]]
+        if self.config.visualizer != Visualizer.NONE:
+            # flat aux, matching the fast path's contract (see _fast_impl)
+            parts[-1] = parts[-1].reshape(B * n)
+        return tuple(parts)
 
     def _fast_impl(self, prev_flat, frames_flat, ids, n_chars):
         # Per-stream overlay: blit each stream's strip and substitute it
@@ -221,10 +230,11 @@ class BatchedDeltaPipeline:
 
         if aux is None:
             return new_prev, pos, counts, xs_t, vals_t
-        # (B, n) to match the vmap path's aux contract; this is an
-        # output written once per frame (the padded-sublane-layout trap
-        # applies to buffers *carried across* steps, not display frames)
-        return new_prev, pos, counts, xs_t, vals_t, aux.reshape(B, n)
+        # aux stays FLAT (B*n,): materializing a (B, n) uint8 jit output
+        # would pay the padded-sublane relayout (up to 8x the HBM bytes
+        # at B < 8) every visualizer frame — callers reshape host-side
+        # after the fetch, where it is free
+        return new_prev, pos, counts, xs_t, vals_t, aux
 
     @property
     def atlas_np(self) -> np.ndarray:
@@ -250,9 +260,13 @@ class BatchedDeltaPipeline:
 
         ``prev`` is the flat state from :meth:`init_state` (or a prior
         step). Returns ``(new_prev, pos(B,), xs(B,cap), vals(B,cap),
-        aux)`` — or the tiled shapes ``(B, grid)``/``(B, grid,
-        tile_bytes)`` when ``tiled_payload`` is configured. ``aux`` is
-        None without a visualizer.
+        aux)`` — or, when ``tiled_payload`` is configured (the fast-path
+        product layout), the SIX-tuple ``(new_prev, pos(B,),
+        counts(B, units), xs_t(B, units, unit_bytes), vals_t(B, units,
+        unit_bytes), aux)``. ``aux`` is None without a visualizer, else
+        a FLAT ``(B * frame_bytes,)`` uint8 device array — reshape
+        host-side after fetching (a ``(B, n)`` device output would pay
+        the padded-sublane relayout every frame).
         """
         B = self.n_streams
         texts = list(texts or [""] * B)

@@ -203,7 +203,8 @@ class TestBatchedPipeline:
     """B independent streams in one jitted step must equal B solo
     pipelines byte-for-byte (it's the same step under vmap)."""
 
-    def run_both(self, cfg, B=3, n_frames=2, tiled=False, expect_fast=None):
+    def run_both(self, cfg, B=3, n_frames=2, tiled=False, expect_fast=None,
+                 threshold_map=None):
         from cudavideostream_tpu.models import BatchedDeltaPipeline
 
         rng = np.random.default_rng(17)
@@ -211,11 +212,14 @@ class TestBatchedPipeline:
             0, 255, (B, cfg.frame_bytes), endpoint=True, dtype=np.uint8
         )
         texts = [f"FPS: {10 * b}" for b in range(B)]
-        batched = BatchedDeltaPipeline(cfg, B)
+        batched = BatchedDeltaPipeline(cfg, B, threshold_map=threshold_map)
         if expect_fast is not None:
             assert batched._fast == expect_fast
         state = batched.init_state(bases)
-        solos = [DeltaStreamPipeline(cfg) for _ in range(B)]
+        solos = [
+            DeltaStreamPipeline(cfg, threshold_map=threshold_map)
+            for _ in range(B)
+        ]
         solo_states = [solos[b].init_state(bases[b]) for b in range(B)]
         for t in range(n_frames):
             frames = np.stack(
@@ -253,8 +257,9 @@ class TestBatchedPipeline:
                 if saux is None:
                     assert aux is None
                 else:
+                    # batched aux is FLAT (B*n,): reshape host-side
                     np.testing.assert_array_equal(
-                        np.asarray(aux)[b], np.asarray(saux)
+                        np.asarray(aux).reshape(B, -1)[b], np.asarray(saux)
                     )
 
     def test_flat_matches_solo(self, small_config):
@@ -285,6 +290,32 @@ class TestBatchedPipeline:
                 small_config, tiled_payload=True, noise_filter=True
             ),
             tiled=True, expect_fast=True,
+        )
+
+    def test_red_fallback_negfeed_off_fast(self, small_config):
+        """The red visualizers' diff_mask fallback (negative_feedback
+        off disables the new_prev != prev shortcut) on the fast path,
+        byte-exact vs solo."""
+        self.run_both(
+            dataclasses.replace(
+                small_config, tiled_payload=True, negative_feedback=False,
+                visualizer=Visualizer.RED_BLACK,
+            ),
+            tiled=True, expect_fast=True,
+        )
+
+    def test_red_fallback_threshold_map_fast(self, small_config):
+        """threshold_map with min 0 also forces the diff_mask fallback —
+        and exercises the per-stream map concat (batched.py) — on the
+        fast path, byte-exact vs solo."""
+        tm = np.zeros(small_config.frame_bytes, np.uint8)
+        tm[: small_config.frame_bytes // 2] = 30  # mixed sensitivities
+        self.run_both(
+            dataclasses.replace(
+                small_config, tiled_payload=True,
+                visualizer=Visualizer.RED_OVERLAP,
+            ),
+            tiled=True, expect_fast=True, threshold_map=tm,
         )
 
     def test_tiled_noise_filter_plus_binarize_fast(self, small_config):
@@ -324,10 +355,11 @@ class TestBatchedPipeline:
             [make_frame_pair(rng, cfg.frame_bytes)[1] for _ in range(B)]
         )
         state, pos, xs, vals, aux = pipe.step(state, frames)
-        assert aux.shape == (B, cfg.frame_bytes)
+        assert aux.shape == (B * cfg.frame_bytes,)  # flat: see step()
+        aux = np.asarray(aux).reshape(B, cfg.frame_bytes)
         for b in range(B):
             _, _, _, _, exp_aux = ref.step_oracle(bases[b], frames[b], cfg)
-            np.testing.assert_array_equal(np.asarray(aux)[b], exp_aux)
+            np.testing.assert_array_equal(aux[b], exp_aux)
 
     def test_host_backend_rejected(self, small_config):
         from cudavideostream_tpu.config import CompactionBackend
