@@ -49,7 +49,15 @@ def load_native() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+    try:
+        stale = (not os.path.exists(_SO)
+                 or os.path.getmtime(_SO) < os.path.getmtime(_SRC))
+    except OSError:
+        # csrc/ absent (shipped .so without sources): use the .so as-is
+        # if present — the contract is "None when unavailable", never an
+        # exception out of the graceful-fallback callers
+        stale = not os.path.exists(_SO)
+    if stale:
         if not build_library():
             return None
     try:
@@ -177,8 +185,10 @@ def client_apply_np(frame, xs, vals) -> None:
 
 def client_decode_np(host: str, port: int, n_bytes: int, max_frames: int):
     """Run the native C decode loop (the reference client's exact read
-    protocol); returns ``(frames, final_frame, digest)`` or None if the
-    native lib is unavailable."""
+    protocol); returns ``(frames, final_frame, digest)``, or None if the
+    native lib is unavailable. Raises ``ValueError`` on a corrupt or
+    hostile stream (the C side validates every payload index and
+    returns an error instead of scattering out of bounds)."""
     import numpy as np
 
     lib = load_native()
@@ -195,6 +205,9 @@ def client_decode_np(host: str, port: int, n_bytes: int, max_frames: int):
         frame.ctypes.data_as(c.POINTER(c.c_uint8)),
         c.byref(digest),
     )
+    if frames < 0:
+        raise ValueError(f"native client_decode failed: {frames} "
+                         "(corrupt stream or connection error)")
     return int(frames), frame, int(digest.value)
 
 

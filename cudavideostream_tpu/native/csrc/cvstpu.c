@@ -245,6 +245,23 @@ int64_t client_decode(const char *host, int port, int64_t n_bytes,
         if (pos > (uint32_t)n_bytes) break;
         if (read_exact(fd, xs, (size_t)pos * sizeof *xs) < 0) break;
         if (read_exact(fd, vals, pos) < 0) break;
+        /* network-supplied indices: validate EVERY one before the
+         * scatter — a desynced or hostile stream must produce an error
+         * return, never an out-of-bounds write (the uint32_t cast also
+         * rejects negative int32 values) */
+        int corrupt = 0;
+        for (uint32_t i = 0; i < pos; ++i) {
+            if ((uint32_t)xs[i] >= (uint32_t)n_bytes) {
+                corrupt = 1;
+                break;
+            }
+        }
+        if (corrupt) {
+            free(xs);
+            free(vals);
+            close(fd);
+            return -6;
+        }
         for (uint32_t i = 0; i < pos; ++i)
             frame_out[xs[i]] = (uint8_t)(frame_out[xs[i]] + vals[i]);
         for (int64_t i = 0; i < n_bytes; ++i) digest += frame_out[i];
@@ -304,6 +321,19 @@ static int v4l2_negotiate(int fd, int width, int height, uint32_t *fourcc) {
     return err;
 }
 
+/* Unmap any buffers mapped by a (possibly failed) v4l2_open attempt.
+ * close(fd) alone does NOT unmap MAP_SHARED mappings, so every open
+ * error path after the mmap loop must call this or each retry against
+ * a flaky camera leaks up to 4 frame-sized mappings. */
+static void v4l2_unmap_bufs(void) {
+    for (int i = 0; i < V4L2_NBUF; ++i) {
+        if (g_cam.buf[i] && g_cam.buf[i] != MAP_FAILED)
+            munmap(g_cam.buf[i], g_cam.len[i]);
+        g_cam.buf[i] = NULL;
+        g_cam.len[i] = 0;
+    }
+}
+
 int v4l2_open(const char *dev, int width, int height) {
     if (g_cam.fd >= 0) return -1;
     int fd = open(dev, O_RDWR);
@@ -332,21 +362,34 @@ int v4l2_open(const char *dev, int width, int height) {
         b.memory = V4L2_MEMORY_MMAP;
         b.index = i;
         if (ioctl(fd, VIDIOC_QUERYBUF, &b) < 0) {
+            int e = errno;
+            v4l2_unmap_bufs();
             close(fd);
-            return -errno;
+            return -e;
         }
         g_cam.buf[i] =
             mmap(NULL, b.length, PROT_READ | PROT_WRITE, MAP_SHARED, fd, b.m.offset);
         g_cam.len[i] = b.length;
-        if (ioctl(fd, VIDIOC_QBUF, &b) < 0) {
+        if (g_cam.buf[i] == MAP_FAILED) {
+            int e = errno;
+            g_cam.buf[i] = NULL;
+            v4l2_unmap_bufs();
             close(fd);
-            return -errno;
+            return -e;
+        }
+        if (ioctl(fd, VIDIOC_QBUF, &b) < 0) {
+            int e = errno;
+            v4l2_unmap_bufs();
+            close(fd);
+            return -e;
         }
     }
     enum v4l2_buf_type type = V4L2_BUF_TYPE_VIDEO_CAPTURE;
     if (ioctl(fd, VIDIOC_STREAMON, &type) < 0) {
+        int e = errno;
+        v4l2_unmap_bufs();
         close(fd);
-        return -errno;
+        return -e;
     }
     g_cam.fd = fd;
     g_cam.w = width;
@@ -365,10 +408,20 @@ int v4l2_grab(int handle, uint8_t *out, int64_t out_len) {
     memset(&b, 0, sizeof b);
     b.type = V4L2_BUF_TYPE_VIDEO_CAPTURE;
     b.memory = V4L2_MEMORY_MMAP;
-    if (ioctl(g_cam.fd, VIDIOC_DQBUF, &b) < 0) return -errno;
+    /* DQBUF blocks ~one frame interval: retry on EINTR like every
+     * other blocking call here (a stray SIGCHLD/SIGWINCH must not
+     * kill the capture) */
+    int rc;
+    do {
+        rc = ioctl(g_cam.fd, VIDIOC_DQBUF, &b);
+    } while (rc < 0 && errno == EINTR);
+    if (rc < 0) return -errno;
     size_t n = b.bytesused < (size_t)out_len ? b.bytesused : (size_t)out_len;
     memcpy(out, g_cam.buf[b.index], n);
-    if (ioctl(g_cam.fd, VIDIOC_QBUF, &b) < 0) return -errno;
+    do {
+        rc = ioctl(g_cam.fd, VIDIOC_QBUF, &b);
+    } while (rc < 0 && errno == EINTR);
+    if (rc < 0) return -errno;
     return (int)n;
 }
 

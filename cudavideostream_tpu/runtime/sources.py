@@ -198,7 +198,26 @@ class V4L2Source(FrameSource):
         return self._buf.copy()
 
     def close(self) -> None:
-        self._lib.v4l2_close(self._handle)
+        """Idempotent; MUST run before another V4L2Source can open (the
+        native helper holds one process-wide camera handle)."""
+        lib, self._lib = getattr(self, "_lib", None), None
+        if lib is not None:
+            lib.v4l2_close(self._handle)
+
+    # the camera handle is process-global: a dropped/failed source must
+    # not claim it forever (e.g. a decode error mid-stream abandons the
+    # object; the next V4L2Source(...) would fail until process restart)
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
 
 def make_source(kind: str, config: StreamConfig, path: Optional[str] = None,

@@ -168,3 +168,35 @@ def test_compact_update_c_equals_numpy_fallback(lib, rng):
     np.testing.assert_array_equal(xs_c, xs_n)
     np.testing.assert_array_equal(vals_c, vals_n)
     np.testing.assert_array_equal(s1, s2)
+
+
+def test_c_client_rejects_out_of_range_indices(lib, small_config):
+    """The native decoder validates network-supplied byte indices: a
+    payload pointing outside the frame returns an error (-6), never an
+    out-of-bounds write into the reconstruction buffer."""
+    import socket
+    import struct
+    import threading
+
+    n_bytes = small_config.frame_bytes
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    def malicious_server():
+        conn, _ = srv.accept()
+        conn.sendall(bytes(n_bytes))  # base frame
+        # one frame: pos=2, second index past the frame end
+        xs = np.array([0, n_bytes], dtype="<i4")
+        vals = np.array([7, 7], dtype=np.uint8)
+        conn.sendall(struct.pack("<I", 2) + xs.tobytes() + vals.tobytes())
+        conn.close()
+        srv.close()
+
+    t = threading.Thread(target=malicious_server, daemon=True)
+    t.start()
+    with pytest.raises(ValueError, match="client_decode"):
+        native.client_decode_np("127.0.0.1", port, n_bytes, 4)
+    t.join(timeout=10)
