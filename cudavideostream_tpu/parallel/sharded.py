@@ -333,29 +333,54 @@ class ShardedDeltaPipeline:
         Bl = cur.shape[0]
         Lr = self.local_rows
         R = Lr if rows is None else rows
-        img = cur.reshape(Bl, R, cfg.width, 3)
         cell_h, cell_w = self.atlas.shape[1], self.atlas.shape[2]
-        grow = sidx * Lr + jax.lax.broadcasted_iota(jnp.int32, (R,), 0)
-        in_band = (grow < cell_h)[None, :, None, None]
+        W3 = cfg.width * 3
+        cw3 = cell_w * 3
+        n_fit = min(
+            MAX_OVERLAY_CHARS, char_ids.shape[1], cfg.width // cell_w
+        )
+        if n_fit == 0:
+            return cur
+        strip_w3 = n_fit * cw3
+        # Byte-space strip formulation (the ops/overlay.py pattern): the
+        # per-character loop of atlas gathers + dynamic_update_slices
+        # was two documented hardware traps at once — a (Bl, R, W, 3)
+        # minor-dim-3 view relayouts the whole shard, and 28 DUS steps
+        # blow past XLA's ~16-update select fusion (each becomes a full
+        # shard pass). Here: one batched one-hot matmul builds every
+        # stream's full text strip (tiny; glyph select rides the MXU —
+        # exact, all inputs <= 255), one dynamic slice takes this
+        # shard's glyph rows, and ONE static-slice set merges it (a
+        # single fused select pass over the shard).
+        n_glyphs = self.atlas.shape[0]
+        onehot = (
+            char_ids[:, :n_fit, None]
+            == jax.lax.broadcasted_iota(jnp.int32, (1, 1, n_glyphs), 2)
+        ).astype(jnp.float32)
+        flat_cells = self.atlas.reshape(
+            n_glyphs, cell_h * cw3
+        ).astype(jnp.float32)
+        cells = jnp.dot(onehot, flat_cells).astype(jnp.uint8)
+        strip = cells.reshape(Bl, n_fit, cell_h, cw3).transpose(
+            0, 2, 1, 3
+        ).reshape(Bl, cell_h, strip_w3)
+        # shard s owns glyph rows [row_off, row_off + R); zero-pad past
+        # the cell (masked out by in_band below anyway)
         row_off = jnp.clip(sidx * Lr, 0, cell_h)
-        for j in range(min(MAX_OVERLAY_CHARS, char_ids.shape[1])):
-            x0 = j * cell_w
-            if x0 + cell_w > cfg.width:
-                break
-            # per-stream glyph: a (Bl,)-row gather over the tiny atlas
-            cells = jnp.take(self.atlas, char_ids[:, j], axis=0)
-            cells = jnp.pad(cells, ((0, 0), (0, R), (0, 0), (0, 0)))
-            sub = jax.vmap(
-                lambda c: jax.lax.dynamic_slice(
-                    c, (row_off, 0, 0), (R, cell_w, 3)
-                )
-            )(cells)
-            curslice = jax.lax.dynamic_slice(
-                img, (0, 0, x0, 0), (Bl, R, cell_w, 3)
-            )
-            keep = in_band & (j < n_chars)[:, None, None, None]
-            new = jnp.where(keep, sub, curslice)
-            img = jax.lax.dynamic_update_slice(img, new, (0, 0, x0, 0))
+        strip = jnp.pad(strip, ((0, 0), (0, R), (0, 0)))
+        sub = jax.vmap(
+            lambda st: jax.lax.dynamic_slice(st, (row_off, 0), (R, strip_w3))
+        )(strip)
+        img = cur.reshape(Bl, R, W3)  # byte-space 2D view: no (..., 3)
+        under = img[:, :, :strip_w3]
+        grow = sidx * Lr + jax.lax.broadcasted_iota(jnp.int32, (R,), 0)
+        in_band = (grow < cell_h)[None, :, None]
+        col_char = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, 1, strip_w3), 2) // cw3
+        )
+        keep = in_band & (col_char < n_chars[:, None, None])
+        merged = jnp.where(keep, sub, under)
+        img = img.at[:, :, :strip_w3].set(merged)
         return img.reshape(Bl, -1)
 
     # -- host API ----------------------------------------------------------
