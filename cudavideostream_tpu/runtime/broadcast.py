@@ -282,6 +282,10 @@ class BroadcastServer:
                 self._record_wire_bytes(0)
                 continue
             if result is None:
+                # pipelined lag: the frame was processed (counts toward
+                # max_frames like the solo server) but its payload ships
+                # next iteration / at the flush
+                n += 1
                 continue
             pos, xs, vals, _ = result
             # track reconstruction for future joiners (in-place scatter);
@@ -303,6 +307,28 @@ class BroadcastServer:
                 if self.verbose:
                     print("\r" + line + f"  CLIENTS: {len(self._clients)}",
                           end="", flush=True)
+        # drain a pipelined executor's one-frame lag (solo server parity:
+        # without this, the last frame would be silently dropped), with
+        # the same v3 overflow recovery as the loop
+        # (the flushed payload belongs to a frame already counted above)
+        try:
+            tail = self.executor.flush()
+        except PayloadOverflowError:
+            if self._v3enc is None:
+                raise
+            tail = None
+            self._fanout(self._v3enc.resync(self.executor.resync()))
+        if tail is not None:
+            pos, xs, vals, _ = tail
+            if self._v3enc is None:
+                if isinstance(xs, wire.TiledPayload):
+                    fx, fv = xs.to_flat()
+                    if fx.size:
+                        native.client_apply_np(state, fx, fv)
+                elif np.asarray(xs).size:
+                    native.client_apply_np(state, xs, vals)
+            self._fanout(self._pack(pos, xs, vals))
+            self._record_wire_bytes(pos)
         return n
 
     def close(self, drain: bool = False) -> None:

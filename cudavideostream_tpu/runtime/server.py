@@ -151,7 +151,17 @@ class DeltaStreamServer:
                     text = self.executor.metrics.overlay_text()
                 if self.verbose:
                     print("\r" + line, end="", flush=True)
-        tail = self.executor.flush()
+        # the pipelined tail can overflow too (the LAST frame may be the
+        # scene cut): same v3 recovery as the loop
+        try:
+            tail = self.executor.flush()
+        except PayloadOverflowError:
+            if v3enc is None:
+                raise
+            tail = None
+            buf = v3enc.resync(self.executor.resync())
+            conn.sendall(buf)
+            self.executor.metrics.record(0.0, 0, wire_bytes=len(buf))
         if tail is not None:
             self._send_payload(conn, tail, self.cfg.wire_format, v3enc)
         if self.verbose:

@@ -381,3 +381,44 @@ def test_v1_overflow_fatal_closes_clients(small_config):
         server.serve(max_frames=2)
     t.join(timeout=30)
     assert got_eof.get("eof"), "client still blocked after fatal overflow"
+
+
+def test_pipelined_tail_flushed(small_config):
+    """A pipelined executor lags one frame; end-of-stream must flush the
+    pending payload to broadcast clients (solo-server parity) — without
+    it the last frame is silently dropped."""
+    from cudavideostream_tpu.runtime.executor import PipelinedExecutor
+
+    cfg = dataclasses.replace(small_config, port=0)
+    n_frames = 4
+    server = BroadcastServer(
+        cfg, SyntheticSource(cfg, seed=5), verbose=False,
+        overlay_status=False, executor=PipelinedExecutor(cfg),
+    )
+    server.listen()
+    t = threading.Thread(
+        target=server.serve, kwargs={"max_frames": n_frames}, daemon=True
+    )
+    t.start()
+    cli = DeltaStreamClient("127.0.0.1", server.port, cfg.height, cfg.width)
+    cli.connect()
+
+    replay = SyntheticSource(cfg, seed=5)
+    prev = next(replay).copy()
+    np.testing.assert_array_equal(cli.frame, prev)
+    count = 0
+    try:
+        while True:
+            _, recon = cli.read_frame()
+            last = recon.copy()
+            count += 1
+    except (ConnectionError, OSError):
+        pass
+    finally:
+        cli.close()
+    t.join(timeout=30)
+    # every source frame reaches the client, including the lagged tail
+    assert count == n_frames
+    for _ in range(n_frames):
+        prev, *_ = ref.step_oracle(prev, next(replay), cfg)
+    np.testing.assert_array_equal(last, prev)

@@ -952,3 +952,90 @@ class TestOverflowResync:
         with pytest.raises(PayloadOverflowError):
             server.serve(max_frames=len(frames))
         t.join(timeout=30)
+
+
+class TestSustainedSoak:
+    """Long mixed-feature loopback: hundreds of frames over a real
+    socket with wire v3, a capacity bound (periodic scene cuts force
+    raw resyncs), the pipelined executor, and a visualizer — the
+    closest thing to a production soak the CPU backend can run.
+    Every client state must match the oracle replay, in order."""
+
+    def test_300_frames_with_periodic_resyncs(self, small_config):
+        import dataclasses
+
+        from cudavideostream_tpu.config import Visualizer
+        from cudavideostream_tpu.runtime.executor import PipelinedExecutor
+
+        cfg = dataclasses.replace(
+            small_config,
+            port=0,
+            wire_format="v3",
+            payload_capacity=2500,
+            visualizer=Visualizer.HEATMAP,
+        )
+        n_frames = 300
+        rng = np.random.default_rng(123)
+        base = rng.integers(0, 256, cfg.frame_bytes, dtype=np.uint8)
+        frames = []
+        prev = base
+        for t in range(n_frames):
+            f = prev.copy()
+            if t % 50 == 49:  # scene cut: ~60% of bytes change
+                f[: int(cfg.frame_bytes * 0.6)] += 111
+            else:
+                o = (t * 97) % (cfg.frame_bytes - 400)
+                f[o : o + 400] += 60
+            frames.append(f)
+            prev = f
+
+        server = DeltaStreamServer(
+            cfg,
+            _ScriptedSource(base, frames),
+            executor=PipelinedExecutor(cfg),
+            verbose=False,
+            overlay_status=False,
+        )
+        server.listen()
+        t = threading.Thread(
+            target=server.serve, kwargs={"max_frames": n_frames}, daemon=True
+        )
+        t.start()
+
+        cli = DeltaStreamClient(
+            "127.0.0.1", server.port, cfg.height, cfg.width,
+            wire_format="auto",
+        )
+        cli.connect()
+
+        expected = []
+        prev = base.copy()
+        for f in frames:
+            prev, *_ = ref.step_oracle(prev, f, cfg)
+            expected.append(prev.copy())
+
+        got = []
+        try:
+            while True:
+                pos, recon = cli.read_frame()
+                got.append((pos, recon.copy()))
+        except (ConnectionError, OSError):
+            pass
+        finally:
+            cli.close()
+        t.join(timeout=120)
+
+        positions = [p for p, _ in got]
+        n_raw = positions.count(cfg.frame_bytes)
+        assert n_raw >= 5, positions  # every scene cut forced a resync
+        assert len(got) >= n_frames - 2 * n_raw  # resyncs may skip frames
+        # monotone match: each payload lands exactly on some oracle
+        # state, in order, ending at the final one
+        exp_i = 0
+        for k, (_, recon) in enumerate(got):
+            while exp_i < len(expected) and not np.array_equal(
+                recon, expected[exp_i]
+            ):
+                exp_i += 1
+            assert exp_i < len(expected), f"frame {k} matches no oracle state"
+        np.testing.assert_array_equal(got[-1][1], expected[-1])
