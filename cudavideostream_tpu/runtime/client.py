@@ -164,7 +164,7 @@ def main(argv=None) -> int:
             n += 1
             if args.save:
                 saved.append(frame.copy())
-            if args.ppm and n % args.ppm_every == 1:
+            if args.ppm and (n - 1) % args.ppm_every == 0:
                 write_ppm(f"{args.ppm}_{n:06d}.ppm", frame, args.height, args.width)
             now = time.perf_counter()
             if args.check and now - last >= 1.0:

@@ -18,6 +18,7 @@ plus nothing — a recorded file can even be netcat'd at a client.
 from __future__ import annotations
 
 import argparse
+import os
 import socket
 import struct
 import sys
@@ -34,14 +35,37 @@ class ReplayServer:
         self.fps = fps
         self.verbose = verbose
         self._sock: socket.socket | None = None
-        with open(path, "rb") as f:
-            self.data = f.read()
+        self._file = None
+        self._mm = None
+        if path.endswith(".gz"):
+            # gzipped sessions (the committed artifacts' format)
+            # decompress into memory — no random access into a .gz
+            import gzip
+
+            with gzip.open(path, "rb") as f:
+                self.data = f.read()
+        else:
+            # mmap, not read(): a raw-heavy v3 incident capture is
+            # gigabytes (one scene cut = a full raw frame), and the
+            # server only slices and sendall's — the page cache serves
+            # it without holding the file resident
+            import mmap
+
+            self._file = open(path, "rb")
+            size = os.fstat(self._file.fileno()).st_size
+            if size:
+                self._mm = mmap.mmap(
+                    self._file.fileno(), 0, access=mmap.ACCESS_READ
+                )
+                self.data = self._mm
+            else:
+                self.data = b""
         from cudavideostream_tpu.runtime import wire
 
         # v2/v3 sessions start with their wire magic; frame framing
         # differs, but replay just forwards the captured bytes either way
-        self.v2 = self.data.startswith(wire.MAGIC_V2)
-        self.v3 = self.data.startswith(wire.MAGIC_V3)
+        self.v2 = bytes(self.data[:len(wire.MAGIC_V2)]) == wire.MAGIC_V2
+        self.v3 = bytes(self.data[:len(wire.MAGIC_V3)]) == wire.MAGIC_V3
         hdr = len(wire.MAGIC_V2) if (self.v2 or self.v3) else 0
         if len(self.data) < hdr + frame_bytes:
             raise ValueError(f"{path}: shorter than one base frame")
@@ -121,6 +145,18 @@ class ReplayServer:
             finally:
                 conn.close()
         return served
+
+    def close(self) -> None:
+        if self._sock is not None:
+            self._sock.close()
+            self._sock = None
+        if self._mm is not None:
+            self.data = b""
+            self._mm.close()
+            self._mm = None
+        if self._file is not None:
+            self._file.close()
+            self._file = None
 
 
 def main(argv=None) -> int:

@@ -37,15 +37,17 @@ class Timer:
 def bench_op(fn: Callable, *args, warmup: int = 3, iters: int = 20) -> float:
     """Median wall-clock milliseconds of ``fn(*args)`` with device sync.
 
-    Blocks on all jax array leaves of the result, mirroring the
-    ``cudaDeviceSynchronize`` bracketing nvprof measures in the reference.
+    Syncs through ``_sync`` (a real device read) — NOT
+    ``jax.block_until_ready``, which returns early on the tunneled TPU
+    backend (CLAUDE.md) and would report dispatch overhead as the
+    kernel time. Each iteration pays the sync round-trip, so on
+    high-latency links prefer :func:`bench_op_amortized` /
+    :func:`bench_scan_chain`; this bracketing mirrors the reference's
+    ``cudaDeviceSynchronize`` timing.
     """
-    import jax
 
     def run():
-        out = fn(*args)
-        jax.block_until_ready(out)
-        return out
+        _sync(fn(*args))
 
     for _ in range(warmup):
         run()
@@ -133,9 +135,12 @@ def bench_op_amortized(fn: Callable, *args, warmup: int = 2, iters: int = 20) ->
 
     out = fn(*args)
     _sync(out)
-    t0 = time.perf_counter()
-    _sync(out)
-    rtt = time.perf_counter() - t0
+    # min-of-5 RTT probe (CLAUDE.md): a single sample on the shared
+    # tunnel can catch a contention spike and over-subtract, dragging
+    # the result low or clipping it to zero
+    rtt = min(
+        _timed(lambda: _sync(out)) for _ in range(5)
+    )
 
     t0 = time.perf_counter()
     for _ in range(iters):
@@ -143,3 +148,9 @@ def bench_op_amortized(fn: Callable, *args, warmup: int = 2, iters: int = 20) ->
     _sync(out)
     total = time.perf_counter() - t0
     return max(0.0, 1e3 * (total - rtt) / iters)
+
+
+def _timed(thunk) -> float:
+    t0 = time.perf_counter()
+    thunk()
+    return time.perf_counter() - t0

@@ -66,3 +66,47 @@ def test_truncated_journal_ignored_tail(small_config, tmp_path):
     journal.write_bytes(base.tobytes() + payload + b"\x05\x00")  # torn header
     rep = ReplayServer(str(journal), cfg.frame_bytes, port=0, verbose=False)
     assert len(rep.marks) == 1
+
+
+def test_replay_gz_and_mmap_paths(tmp_path):
+    """Replay serves gzipped sessions (the committed artifact format)
+    and mmaps raw files instead of slurping them (multi-GB raw-heavy v3
+    captures must not be held resident)."""
+    import gzip
+    import socket
+    import threading
+
+    from cudavideostream_tpu.runtime.replay import ReplayServer
+
+    n_bytes = 270 * 480 * 3  # the committed artifact geometry
+    gz_path = "examples/artifacts/session_v3.cvs.gz"
+    rs = ReplayServer(gz_path, n_bytes, port=0, verbose=False)
+    assert rs.v3 and len(rs.marks) == 36
+
+    def drain(port, out):
+        s = socket.create_connection(("127.0.0.1", port))
+        while True:
+            b = s.recv(1 << 16)
+            if not b:
+                break
+            out[0] += len(b)
+        s.close()
+
+    rs.listen()
+    t = threading.Thread(target=rs.serve, daemon=True)
+    t.start()
+    got = [0]
+    drain(rs.port, got)
+    t.join(timeout=30)
+    rs.close()
+    with gzip.open(gz_path, "rb") as f:
+        assert got[0] == len(f.read())  # every captured byte forwarded
+
+    # raw file: the mmap path
+    raw = tmp_path / "session.cvs"
+    with gzip.open(gz_path, "rb") as f:
+        raw.write_bytes(f.read())
+    rs2 = ReplayServer(str(raw), n_bytes, port=0, verbose=False)
+    assert rs2._mm is not None and len(rs2.marks) == 36
+    rs2.close()
+    assert rs2._mm is None  # released
