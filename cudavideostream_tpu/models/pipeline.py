@@ -20,7 +20,6 @@ red modes read the diff mask) -> diff+compact.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax
@@ -102,10 +101,7 @@ class DeltaStreamPipeline:
             config.visualizer == Visualizer.HEATMAP
             and filter_ops.heatmap_sine_is_exact()
         )
-        self._step = jax.jit(
-            functools.partial(self._step_impl),
-            donate_argnums=(0,),
-        )
+        self._step = jax.jit(self._step_impl, donate_argnums=(0,))
 
     # -- state ------------------------------------------------------------
     def init_state(self, base_frame: np.ndarray) -> Array:
@@ -276,7 +272,8 @@ class DeltaStreamPipeline:
         cfg = self.config
         ids = fonts.encode_text(text, MAX_OVERLAY_CHARS)
         char_ids = jnp.asarray(ids, dtype=jnp.int32)
-        n_chars = jnp.int32(min(len(text), MAX_OVERLAY_CHARS))
+        nc = min(len(text), MAX_OVERLAY_CHARS)
+        n_chars = jnp.int32(nc)
         frame_np = np.asarray(frame, dtype=np.uint8).ravel()
         frame = jnp.asarray(frame_np)
         out = self._step(prev, frame, char_ids, n_chars)
@@ -298,7 +295,10 @@ class DeltaStreamPipeline:
                         "from its previous-frame shadow"
                     )
                 cur_host = frame_np
-                nc = int(n_chars)
+                # nc is the host int from above — int(n_chars) would be
+                # a ~30 ms device->host scalar round-trip per frame on
+                # the tunneled backend, a second sequential RTT on the
+                # exact path built to minimize link traffic
                 if nc:
                     cur_host = reference_cpu.overlay_blit(
                         cur_host, self.atlas_np, ids[:nc],

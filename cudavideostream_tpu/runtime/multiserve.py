@@ -44,7 +44,13 @@ class MultiStreamServer:
 
     def __init__(self, config: StreamConfig, sources: List[FrameSource],
                  verbose: bool = True, overlay_status: bool = True,
-                 mesh=None):
+                 mesh=None, aux_dir: str = None, aux_every: int = 30):
+        # aux_dir: per-stream visualizer-frame sink (aux_<b>_<n>.ppm),
+        # the multi-stream analogue of server.py --aux-dir — without a
+        # sink the --visualizer flag would compute aux frames that
+        # nothing observes
+        self.aux_dir = aux_dir
+        self.aux_every = aux_every
         self.cfg = config
         self.sources = sources
         self.B = len(sources)
@@ -125,6 +131,10 @@ class MultiStreamServer:
             try:
                 if self._clients[b] is not None:
                     self._clients[b].close()  # latest client wins
+                    # clear now: a failed handshake below must not leave
+                    # the slot pointing at this closed socket (spurious
+                    # encode + 'client dropped' on the next frame)
+                    self._clients[b] = None
                 if self.cfg.wire_format == "v2":
                     conn.sendall(wire.MAGIC_V2)
                 elif self.cfg.wire_format == "v3":
@@ -181,11 +191,15 @@ class MultiStreamServer:
                     # + pos-prefix when the link/scene makes that cheaper
                     # (the full (B, tps, tile_bytes) buffers are worst-case
                     # sized — ~35 MB/stream/frame if fetched whole).
-                    state, pos_d, counts_d, xs_t_d, vals_t_d, _ = self.pipe.step(
+                    state, pos_d, counts_d, xs_t_d, vals_t_d, aux_d = self.pipe.step(
                         state, frames, texts
                     )
-                    pos = np.asarray(pos_d)
+                    # ONE blocking fetch: pos is just the per-stream sum
+                    # of counts (upcast first — tiled counts ship in the
+                    # narrowest dtype); fetching pos_d separately would
+                    # pay a second ~30 ms tunnel round-trip per frame
                     counts_np = np.asarray(counts_d)
+                    pos = counts_np.astype(np.int64).sum(axis=1)
                     # one land_many call: every flat-path device merge
                     # dispatches before the single sync (B merges cost
                     # one round-trip of latency, not B)
@@ -198,7 +212,7 @@ class MultiStreamServer:
                     # per-stream overlay text: the char ids shard along
                     # the data axis with the streams (parity with the
                     # batched single-chip path)
-                    state, counts_d, xs_d, vals_d, _ = self.pipe.step(
+                    state, counts_d, xs_d, vals_d, aux_d = self.pipe.step(
                         state, frames, text=texts
                     )
                     counts_np = np.asarray(counts_d).astype(np.int32)
@@ -213,7 +227,7 @@ class MultiStreamServer:
                         for b in range(self.B)
                     ])
                 else:
-                    state, pos_d, xs_d, vals_d, _ = self.pipe.step(
+                    state, pos_d, xs_d, vals_d, aux_d = self.pipe.step(
                         state, frames, texts
                     )
                     pos = np.asarray(pos_d)
@@ -290,6 +304,16 @@ class MultiStreamServer:
                         self._clients[b] = None
                         if self.verbose:
                             print(f"\nstream {b}: client dropped", flush=True)
+                if (self.aux_dir and aux_d is not None
+                        and n % self.aux_every == 0):
+                    from cudavideostream_tpu.runtime.client import write_ppm
+
+                    aux_np = np.asarray(aux_d).reshape(self.B, -1)
+                    for b in range(self.B):
+                        write_ppm(
+                            f"{self.aux_dir}/aux_{b}_{n:06d}.ppm",
+                            aux_np[b], self.cfg.height, self.cfg.width,
+                        )
                 n += 1
                 self.metrics.record(time.perf_counter() - t0, total,
                                     wire_bytes=wire_total)
@@ -356,6 +380,10 @@ def main(argv=None) -> int:
                    help="shard the B streams over a (data=D, space=S) "
                         "device mesh (B divisible by D; image rows shard "
                         "across S)")
+    p.add_argument("--aux-dir", default=None,
+                   help="dump per-stream visualizer aux frames here as "
+                        "aux_<stream>_<frame>.ppm (the headless "
+                        "SERVER_IMSHOW, per stream)")
     p.add_argument("--capacity", type=int, default=None,
                    help="per-stream payload capacity bound in bytes (see "
                         "server --help). Selects the flat batched payload "
@@ -387,7 +415,12 @@ def main(argv=None) -> int:
 
         d, s = (int(x) for x in args.mesh.split(","))
         mesh = make_mesh(d, s)
-    server = MultiStreamServer(cfg, sources, mesh=mesh)
+    if args.aux_dir:
+        import os as _os
+
+        _os.makedirs(args.aux_dir, exist_ok=True)
+    server = MultiStreamServer(cfg, sources, mesh=mesh,
+                               aux_dir=args.aux_dir)
     n = server.serve(max_frames=args.frames,
                      resume_from=args.resume_from,
                      checkpoint_to=args.checkpoint_to)

@@ -385,3 +385,47 @@ def test_v3_overflow_resyncs_one_stream_only(small_config):
         np.testing.assert_array_equal(recon, e)
     for (_, recon), e in zip(got[1], exp[1]):
         np.testing.assert_array_equal(recon, e)
+
+
+def test_aux_dir_dumps_per_stream_ppms(small_config, tmp_path):
+    """--visualizer needs an observable sink: aux frames dump per stream
+    as PPMs (the multi-stream analogue of server.py --aux-dir)."""
+    import dataclasses
+    import os
+
+    from cudavideostream_tpu.config import Visualizer
+
+    cfg = dataclasses.replace(
+        small_config, port=0, tiled_payload=True,
+        visualizer=Visualizer.HEATMAP,
+    )
+    server = MultiStreamServer(
+        cfg, [SyntheticSource(cfg, seed=b) for b in range(2)],
+        verbose=False, overlay_status=False,
+        aux_dir=str(tmp_path), aux_every=2,
+    )
+    server.listen()
+    t = threading.Thread(
+        target=server.serve, kwargs={"max_frames": 4}, daemon=True
+    )
+    t.start()
+    clients = []
+    for b in range(2):
+        cli = DeltaStreamClient(
+            "127.0.0.1", server.ports[b], cfg.height, cfg.width
+        )
+        cli.connect()
+        clients.append(cli)
+    for cli in clients:
+        try:
+            while True:
+                cli.read_frame()
+        except (ConnectionError, OSError):
+            cli.close()
+    t.join(timeout=30)
+    names = sorted(os.listdir(tmp_path))
+    # frames 0 and 2 dumped for both streams
+    assert [n for n in names if n.startswith("aux_0_")], names
+    assert [n for n in names if n.startswith("aux_1_")], names
+    with open(tmp_path / names[0], "rb") as f:
+        assert f.read(2) == b"P6"
