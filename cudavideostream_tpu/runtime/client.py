@@ -70,49 +70,24 @@ class DeltaStreamClient:
 
     def read_frame(self) -> tuple[int, np.ndarray]:
         """Read and apply one delta; returns (pos, reconstructed frame)."""
+        # frame parsing lives in wire.py (one place per layout); the
+        # _read_exact callable keeps the --record tee in the loop
         if self.wire_format == "v3":
-            mode = self._read_exact(1)[0]
-            if mode == wire.MODE_RAW:
-                self.frame = np.frombuffer(
-                    self._read_exact(self.n_bytes), dtype=np.uint8
-                ).copy()
+            pos, xs, vals, raw = wire.read_frame_v3(
+                self._read_exact, self.n_bytes
+            )
+            if raw is not None:
+                self.frame = raw
                 return self.n_bytes, self.frame
-            if mode == wire.MODE_BITMASK:
-                (pos,) = np.frombuffer(self._read_exact(4), dtype="<u4")
-                pos = int(pos)
-                mask = np.frombuffer(
-                    self._read_exact((self.n_bytes + 7) // 8), dtype=np.uint8
-                )
-                vals = np.frombuffer(self._read_exact(pos), dtype=np.uint8)
-                xs = wire.decode_bitmask(mask, self.n_bytes)
-                if xs.size != pos:
-                    raise ValueError(
-                        f"v3 bitmask popcount {xs.size} != pos {pos}"
-                    )
-            elif mode == wire.MODE_DELTA16:
-                pos, xs, vals = self._read_v2_body()
-            else:
-                raise ValueError(f"unknown v3 mode {mode}")
         elif self.wire_format == "v2":
-            pos, xs, vals = self._read_v2_body()
+            pos, xs, vals = wire.read_payload_v2(self._read_exact)
         else:
-            (pos,) = np.frombuffer(self._read_exact(4), dtype="<u4")
-            pos = int(pos)
-            xs = np.frombuffer(self._read_exact(pos * 4), dtype="<i4")
-            vals = np.frombuffer(self._read_exact(pos), dtype=np.uint8)
+            pos, xs, vals = wire.read_payload(self._read_exact)
         if pos:
             if xs.min() < 0 or xs.max() >= self.n_bytes:
                 raise ValueError("payload index out of range")
             native.client_apply_np(self.frame, xs, vals)  # uint8 wrap-add
         return pos, self.frame
-
-    def _read_v2_body(self) -> tuple[int, np.ndarray, np.ndarray]:
-        pos, n_exc = np.frombuffer(self._read_exact(8), dtype="<u4")
-        pos, n_exc = int(pos), int(n_exc)
-        gaps = np.frombuffer(self._read_exact(2 * pos), dtype="<u2")
-        exc = np.frombuffer(self._read_exact(4 * n_exc), dtype="<u4")
-        vals = np.frombuffer(self._read_exact(pos), dtype=np.uint8)
-        return pos, wire.decode_gaps(gaps, exc), vals
 
     def close(self) -> None:
         if self.sock:

@@ -76,9 +76,16 @@ class ReplayServer:
         min_hdr = 9 if self.v3 else (8 if self.v2 else 4)
         while off + min_hdr <= len(self.data):
             if self.v3:
-                end = self._v3_frame_end(off)
-                if end is None:
-                    break
+                # size math shared with the live readers (wire.py is the
+                # single place the v3 frame layout is measured)
+                try:
+                    end = wire.v3_frame_extent(
+                        self.data, off, self.frame_bytes
+                    )
+                except ValueError as e:
+                    if "truncated" in str(e):
+                        break  # truncated tail: ignore
+                    raise  # unknown mode = corrupt capture
             elif self.v2:
                 pos, n_exc = struct.unpack_from("<II", self.data, off)
                 end = off + 8 + 2 * pos + 4 * n_exc + pos
@@ -89,25 +96,6 @@ class ReplayServer:
                 break  # truncated tail: ignore
             self.marks.append((off, end))
             off = end
-
-    def _v3_frame_end(self, off: int):
-        """Offset one past the v3 frame starting at ``off`` (None = short)."""
-        from cudavideostream_tpu.runtime import wire
-
-        mode = self.data[off]
-        if mode == wire.MODE_RAW:
-            return off + 1 + self.frame_bytes
-        if mode == wire.MODE_BITMASK:
-            if off + 5 > len(self.data):
-                return None
-            (pos,) = struct.unpack_from("<I", self.data, off + 1)
-            return off + 5 + (self.frame_bytes + 7) // 8 + pos
-        if mode == wire.MODE_DELTA16:
-            if off + 9 > len(self.data):
-                return None
-            pos, n_exc = struct.unpack_from("<II", self.data, off + 1)
-            return off + 9 + 2 * pos + 4 * n_exc + pos
-        raise ValueError(f"unknown v3 mode {mode} at offset {off}")
 
     def listen(self) -> None:
         srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)

@@ -261,26 +261,63 @@ def decode_bitmask(mask: np.ndarray, n_bytes: int) -> np.ndarray:
     return np.nonzero(bits[:n_bytes])[0].astype(np.int32)
 
 
-def read_frame_v3(sock: socket.socket, n_bytes: int):
-    """Blocking read of one v3 frame: ``(pos, xs, vals, raw)``."""
-    mode = read_exact(sock, 1)[0]
+def _reader(src):
+    """Normalize a frame-read source: a socket, or a ``read(n)->bytes``
+    callable (the client passes its recording tee) — so the wire layout
+    lives HERE once, not re-implemented per consumer."""
+    return src if callable(src) else (lambda n: read_exact(src, n))
+
+
+def read_frame_v3(src, n_bytes: int):
+    """Blocking read of one v3 frame: ``(pos, xs, vals, raw)``.
+
+    ``src``: socket or ``read(n)`` callable (see :func:`_reader`)."""
+    rd = _reader(src)
+    mode = rd(1)[0]
     if mode == MODE_DELTA16:
-        pos, xs, vals = read_payload_v2(sock)
+        pos, xs, vals = read_payload_v2(rd)
         return pos, xs, vals, None
     if mode == MODE_BITMASK:
-        (pos,) = _U32.unpack(read_exact(sock, 4))
-        mask = np.frombuffer(
-            read_exact(sock, (n_bytes + 7) // 8), dtype=np.uint8
-        )
-        vals = np.frombuffer(read_exact(sock, pos), dtype=np.uint8).copy()
+        (pos,) = _U32.unpack(rd(4))
+        mask = np.frombuffer(rd((n_bytes + 7) // 8), dtype=np.uint8)
+        vals = np.frombuffer(rd(pos), dtype=np.uint8).copy()
         xs = decode_bitmask(mask, n_bytes)
         if xs.size != pos:
             raise ValueError(f"v3 bitmask popcount {xs.size} != pos {pos}")
         return pos, xs, vals, None
     if mode == MODE_RAW:
-        raw = np.frombuffer(read_exact(sock, n_bytes), dtype=np.uint8).copy()
+        raw = np.frombuffer(rd(n_bytes), dtype=np.uint8).copy()
         return n_bytes, None, None, raw
     raise ValueError(f"unknown v3 mode {mode}")
+
+
+def v3_frame_extent(data, off: int, n_bytes: int) -> int:
+    """End offset of the v3 frame whose mode byte is ``data[off]``.
+
+    Size-only scan over an in-memory capture (bytes or mmap) — the one
+    place the v3 frame layout is *measured*; the replayer's framing
+    pre-scan uses this. Raises ``ValueError`` on a truncated frame or
+    unknown mode."""
+    if off + 1 > len(data):
+        raise ValueError("truncated v3 frame: mode byte")
+    mode = data[off]
+    if mode == MODE_RAW:
+        end = off + 1 + n_bytes
+    elif mode == MODE_BITMASK:
+        if off + 5 > len(data):
+            raise ValueError("truncated v3 frame: bitmask header")
+        (pos,) = _U32.unpack_from(data, off + 1)
+        end = off + 1 + 4 + (n_bytes + 7) // 8 + pos
+    elif mode == MODE_DELTA16:
+        if off + 9 > len(data):
+            raise ValueError("truncated v3 frame: delta16 header")
+        pos, n_exc = _2U32.unpack_from(data, off + 1)
+        end = off + 1 + 8 + 3 * pos + 4 * n_exc
+    else:
+        raise ValueError(f"unknown v3 mode {mode} at offset {off}")
+    if end > len(data):
+        raise ValueError("truncated v3 frame: body")
+    return end
 
 
 def pack_payload(pos: int, xs: np.ndarray, vals: np.ndarray) -> bytes:
@@ -355,22 +392,24 @@ def read_exact(sock: socket.socket, n: int) -> bytes:
     return b"".join(chunks)
 
 
-def read_payload(sock: socket.socket) -> Tuple[int, np.ndarray, np.ndarray]:
-    """Blocking read of one frame delta from a socket."""
-    (pos,) = _U32.unpack(read_exact(sock, 4))
-    xs = np.frombuffer(read_exact(sock, pos * 4), dtype="<i4").copy()
-    vals = np.frombuffer(read_exact(sock, pos), dtype=np.uint8).copy()
+def read_payload(src) -> Tuple[int, np.ndarray, np.ndarray]:
+    """Blocking read of one frame delta (socket or ``read(n)``)."""
+    rd = _reader(src)
+    (pos,) = _U32.unpack(rd(4))
+    xs = np.frombuffer(rd(pos * 4), dtype="<i4").copy()
+    vals = np.frombuffer(rd(pos), dtype=np.uint8).copy()
     return pos, xs, vals
 
 
-def read_payload_v2(sock: socket.socket) -> Tuple[int, np.ndarray, np.ndarray]:
-    """Blocking read of one delta16 frame from a socket."""
-    pos, n_exc = _2U32.unpack(read_exact(sock, 8))
-    gaps = np.frombuffer(read_exact(sock, 2 * pos), dtype="<u2")
-    exc = np.frombuffer(read_exact(sock, 4 * n_exc), dtype="<u4")
-    vals = np.frombuffer(read_exact(sock, pos), dtype=np.uint8).copy()
+def read_payload_v2(src) -> Tuple[int, np.ndarray, np.ndarray]:
+    """Blocking read of one delta16 frame (socket or ``read(n)``)."""
+    rd = _reader(src)
+    pos, n_exc = _2U32.unpack(rd(8))
+    gaps = np.frombuffer(rd(2 * pos), dtype="<u2")
+    exc = np.frombuffer(rd(4 * n_exc), dtype="<u4")
+    vals = np.frombuffer(rd(pos), dtype=np.uint8).copy()
     return pos, decode_gaps(gaps, exc), vals
 
 
-def read_base_frame(sock: socket.socket, n_bytes: int) -> np.ndarray:
-    return np.frombuffer(read_exact(sock, n_bytes), dtype=np.uint8).copy()
+def read_base_frame(src, n_bytes: int) -> np.ndarray:
+    return np.frombuffer(_reader(src)(n_bytes), dtype=np.uint8).copy()
