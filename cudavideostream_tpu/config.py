@@ -148,7 +148,11 @@ class StreamConfig:
     port: int = 2734
     # Wire format: "v1" is the reference-compatible contract (default);
     # "v2" delta-encodes the ascending index stream (u16 gaps + escape
-    # absolutes), ~40% fewer wire bytes — both ends must opt in.
+    # absolutes), ~40% fewer wire bytes; "v3" adaptively picks the
+    # cheapest of delta16/bitmask/raw per frame (worst case ~one raw
+    # frame, and the only format that can RECOVER from a
+    # payload_capacity overflow — see PayloadOverflowError above).
+    # v2/v3 need both ends to opt in (the client auto-sniffs the magic).
     wire_format: str = "v1"
 
     @property
@@ -171,6 +175,13 @@ class StreamConfig:
             raise ValueError("threshold must be in [0, 255]")
         if self.conv_k < 1 or self.conv_k > 15:
             raise ValueError("conv_k out of supported range")
+        if self.payload_capacity is not None and self.payload_capacity < 1:
+            raise ValueError("payload_capacity must be positive (None = "
+                             "worst case)")
+        if self.overlay_scale < 1:
+            raise ValueError("overlay_scale must be >= 1")
+        if self.overlay_font not in ("stroke", "bitmap"):
+            raise ValueError(f"unknown overlay_font {self.overlay_font!r}")
         if self.tiled_payload:
             if self.compaction is not CompactionBackend.PALLAS:
                 raise ValueError("tiled_payload requires the PALLAS backend")

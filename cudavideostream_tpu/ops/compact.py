@@ -88,15 +88,10 @@ def compact_padded(
     incl = jnp.cumsum(m.astype(jnp.int32), axis=1)
     row_counts = incl[:, -1]
     pos = jnp.sum(row_counts, dtype=jnp.int32)
-    # slot k of a row takes the source element whose inclusive cumsum is
-    # k+1 and which is masked: source = number of elements with incl <= k.
-    # one-hot formulation (VPU/MXU friendly): onehot[k, i] = (incl[i]==k+1 & m[i])
-    slot = jax.lax.broadcasted_iota(jnp.int32, (row_len, row_len), 0)  # k, i
-    # computed per row via einsum over the one-hot; memory: row_len^2 per
-    # row is too big to materialize for all rows at once in XLA — instead
-    # use the scatter-free "sort within row" trick: keys place masked
-    # elements first in index order.
-    del slot
+    # scatter-free "sort within row" trick: masked elements key to their
+    # target slot (incl - 1, unique within a row), unmasked elements to
+    # large keys past row_len — a per-row stable sort by key then places
+    # masked elements first, in ascending index order
     key = jnp.where(m, incl - 1, row_len + gidx % row_len)  # masked -> slot, else big
     # sort each row by key, carrying (gidx, v): masked elements come first
     # in slot order (slots are unique within a row), unmasked after.
