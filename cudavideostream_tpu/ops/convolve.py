@@ -35,14 +35,29 @@ def convolve_q16(
     # frame (minor dim 3); a horizontal pixel shift is a 3-byte shift
     img = frame.reshape(height, width * 3).astype(jnp.int32)
     padded = jnp.pad(img, ((pad, pad), (3 * pad, 3 * pad)))
-    acc = jnp.zeros_like(img)
+    return accumulate_q16(padded, weights_q16, height, width)
+
+
+def accumulate_q16(
+    padded: Array, weights_q16: np.ndarray, rows: int, width: int
+) -> Array:
+    """Shared Q16 stencil accumulation over a padded byte-space image.
+
+    ``padded`` is ``(rows + 2*pad, width*3 + 6*pad)`` int32 — zero rows
+    at global borders, halo rows from neighbor shards in the sharded
+    path (parallel/halo_conv.py). ONE implementation of the K² shifted
+    adds + ``>> 16`` + clip, so the solo and sharded conv paths cannot
+    silently diverge from each other or the oracle. Returns flat uint8
+    ``(rows * width * 3,)``.
+    """
+    k = weights_q16.shape[0]
+    acc = jnp.zeros((rows, width * 3), jnp.int32)
     for i in range(k):
         for j in range(k):
             w = int(weights_q16[i, j])
             if w:
-                acc = acc + w * padded[i : i + height, 3 * j : 3 * j + width * 3]
-    out = jnp.clip(acc >> 16, 0, 255).astype(jnp.uint8)
-    return out.reshape(-1)
+                acc = acc + w * padded[i : i + rows, 3 * j : 3 * j + width * 3]
+    return jnp.clip(acc >> 16, 0, 255).astype(jnp.uint8).reshape(-1)
 
 
 def _oddeven_merge_network(n: int):

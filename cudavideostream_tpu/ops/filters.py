@@ -239,23 +239,30 @@ _HEATMAP_LUT_PACKED = None
 
 
 def _heatmap_lut_dev() -> Array:
+    # numpy cached, jnp per call — see _heatmap_lut_packed's docstring
+    # (a jnp value cached from inside a trace is a leaked tracer)
     global _HEATMAP_LUT_DEV
     if _HEATMAP_LUT_DEV is None:
-        _HEATMAP_LUT_DEV = jnp.asarray(
-            reference_cpu.heatmap_lut().astype(np.int32)
-        )  # (766, 3)
-    return _HEATMAP_LUT_DEV
+        _HEATMAP_LUT_DEV = reference_cpu.heatmap_lut().astype(np.int32)
+    return jnp.asarray(_HEATMAP_LUT_DEV)  # (766, 3)
 
 
 def _heatmap_lut_packed() -> Array:
-    """(766,) int32 with b | g<<8 | r<<16 — one gather instead of three."""
+    """(766,) int32 with b | g<<8 | r<<16 — one gather instead of three.
+
+    The cache holds NUMPY, converted per call: a cached ``jnp`` value
+    created while some caller was tracing (e.g. the sharded pipeline's
+    shard_map) would be a leaked tracer, poisoning every later caller
+    with UnexpectedTracerError. ``jnp.asarray`` of a host constant is
+    free to re-issue (XLA folds it).
+    """
     global _HEATMAP_LUT_PACKED
     if _HEATMAP_LUT_PACKED is None:
         lut = reference_cpu.heatmap_lut().astype(np.int32)
-        _HEATMAP_LUT_PACKED = jnp.asarray(
+        _HEATMAP_LUT_PACKED = (
             lut[:, 0] | (lut[:, 1] << 8) | (lut[:, 2] << 16)
         )
-    return _HEATMAP_LUT_PACKED
+    return jnp.asarray(_HEATMAP_LUT_PACKED)
 
 
 def _heatmap_sine_channels(d: Array):

@@ -211,7 +211,7 @@ def heatmap(current: np.ndarray, previous: np.ndarray) -> np.ndarray:
     """Per-pixel motion heatmap frame (``heat_map``, kernels.cu:243-270)."""
     cur = np.asarray(current, dtype=np.uint8).reshape(-1, 3).astype(np.int32)
     prev = np.asarray(previous, dtype=np.uint8).reshape(-1, 3).astype(np.int32)
-    d = np.abs(cur - prev).sum(axis=1)  # 0..510
+    d = np.abs(cur - prev).sum(axis=1)  # 0..765 (3 channels x 255)
     return heatmap_lut()[d].ravel()
 
 

@@ -24,24 +24,31 @@ def halo_exchange_rows(local: Array, pad: int, axis_name: str) -> Array:
     Global edge shards receive zeros, matching the reference's zero
     padding.
     """
+    if pad == 0:
+        return local  # k=1: no neighbor rows needed (local[-0:] would
+        # be the WHOLE array, crashing the exchange below)
+    if pad > local.shape[0]:
+        raise ValueError(
+            f"conv halo of {pad} rows exceeds the {local.shape[0]}-row "
+            f"shard — a halo may only reach the adjacent shard; use "
+            f"fewer shards or a smaller conv_k"
+        )
     n = jax.lax.axis_size(axis_name)
-    idx = jax.lax.axis_index(axis_name)
-    top_halo = jnp.zeros((pad,) + local.shape[1:], local.dtype)
-    bot_halo = jnp.zeros((pad,) + local.shape[1:], local.dtype)
-    if n > 1:
-        # my bottom rows -> next shard's top halo
-        send_down = local[-pad:]
-        top_from_prev = jax.lax.ppermute(
-            send_down, axis_name, [(i, i + 1) for i in range(n - 1)]
-        )
-        # my top rows -> previous shard's bottom halo
-        send_up = local[:pad]
-        bot_from_next = jax.lax.ppermute(
-            send_up, axis_name, [(i + 1, i) for i in range(n - 1)]
-        )
-        top_halo = jnp.where(idx > 0, top_from_prev, top_halo)
-        bot_halo = jnp.where(idx < n - 1, bot_from_next, bot_halo)
-    return jnp.concatenate([top_halo, local, bot_halo], axis=0)
+    if n == 1:
+        zero = jnp.zeros((pad,) + local.shape[1:], local.dtype)
+        return jnp.concatenate([zero, local, zero], axis=0)
+    # my bottom rows -> next shard's top halo; my top rows -> previous
+    # shard's bottom halo. Shards absent from a permutation's
+    # destinations receive ZEROS (lax.ppermute semantics), which is
+    # exactly the reference's zero padding at the global image border —
+    # no edge-shard select needed.
+    top_from_prev = jax.lax.ppermute(
+        local[-pad:], axis_name, [(i, i + 1) for i in range(n - 1)]
+    )
+    bot_from_next = jax.lax.ppermute(
+        local[:pad], axis_name, [(i + 1, i) for i in range(n - 1)]
+    )
+    return jnp.concatenate([top_from_prev, local, bot_from_next], axis=0)
 
 
 def sharded_convolve_q16(
@@ -56,16 +63,13 @@ def sharded_convolve_q16(
     Byte-space (rows, W*3) view throughout (a (…,3) view would relayout);
     horizontal pixel shifts are 3-byte shifts.
     """
+    from cudavideostream_tpu.ops.convolve import accumulate_q16
+
     k = weights_q16.shape[0]
     pad = k // 2
     img = local_frame.reshape(local_rows, width * 3).astype(jnp.int32)
     img = halo_exchange_rows(img, pad, axis_name)
-    # horizontal zero padding is shard-local
+    # horizontal zero padding is shard-local; the stencil itself is the
+    # solo path's accumulate_q16 — one implementation, zero divergence
     img = jnp.pad(img, ((0, 0), (3 * pad, 3 * pad)))
-    acc = jnp.zeros((local_rows, width * 3), jnp.int32)
-    for i in range(k):
-        for j in range(k):
-            w = int(weights_q16[i, j])
-            if w:
-                acc = acc + w * img[i : i + local_rows, 3 * j : 3 * j + width * 3]
-    return jnp.clip(acc >> 16, 0, 255).astype(jnp.uint8).reshape(-1)
+    return accumulate_q16(img, weights_q16, local_rows, width)

@@ -85,6 +85,16 @@ class ShardedDeltaPipeline:
             )
         self.local_rows = config.height // self.n_space
         self.local_bytes = config.frame_bytes // self.n_space
+        if config.noise_filter and config.conv_k // 2 > self.local_rows:
+            # the halo exchange reaches ONE neighbor; a deeper halo
+            # would need rows from two shards away. Reject at
+            # construction — raising inside the shard_map body would
+            # abort mid-trace and leak tracers into the process.
+            raise ValueError(
+                f"conv halo of {config.conv_k // 2} rows exceeds the "
+                f"{self.local_rows}-row shard; use fewer space shards "
+                f"or a smaller conv_k"
+            )
         if conv_weights is None:
             conv_weights = reference_cpu.gaussian_kernel(config.conv_k)
         self.conv_q16 = reference_cpu.quantize_kernel_q16(conv_weights)

@@ -225,9 +225,30 @@ def test_v3_mode_flips_and_late_joiner(small_config, tmp_path):
     path = str(tmp_path / "stack.npy")
     np.save(path, stack)
     n_frames = len(stack) - 1
+
+    # Deterministic late join: under load the server can race through
+    # every frame before the joiner is admitted (its connect() then
+    # dies on a closed listener — the old flake). Gate the SOURCE just
+    # past the raw frame until the joiner's connection is pending, so
+    # admission is guaranteed to happen mid-stream, after the raw.
+    gate = threading.Event()
+
+    class _GatedSource:
+        def __init__(self, inner, gate_at):
+            self.inner, self.gate_at, self.i = inner, gate_at, 0
+
+        def base_frame(self):
+            return self.inner.base_frame()
+
+        def __next__(self):
+            self.i += 1
+            if self.i == self.gate_at:
+                gate.wait(timeout=30)
+            return next(self.inner)
+
     server = BroadcastServer(
-        cfg, FileSource(path, cfg, loop=False), verbose=False,
-        overlay_status=False,
+        cfg, _GatedSource(FileSource(path, cfg, loop=False), gate_at=5),
+        verbose=False, overlay_status=False,
     )
     server.listen()
     port = server.port
@@ -260,15 +281,20 @@ def test_v3_mode_flips_and_late_joiner(small_config, tmp_path):
         state2["count"] = n
         cli2.close()
 
-    reader = None
+    # joiner starts once the raw frame (frame 3) is certainly produced
+    # (the source gate holds the server just before frame 5)
+    reader = threading.Thread(target=late_reader, daemon=True)
+    reader.start()
+    deadline = time.time() + 15
+    while server._pending.empty():
+        assert time.time() < deadline, "joiner connection never queued"
+        time.sleep(0.01)
+    gate.set()  # server proceeds; admission at the next frame boundary
+
     for k in range(n_frames):
         prev, *_ = ref.step_oracle(prev, stack[k + 1], cfg)
         _, recon1 = cli1.read_frame()
         np.testing.assert_array_equal(recon1, prev)
-        if k == 3:  # after the raw frame: joiner base = post-raw shadow
-            reader = threading.Thread(target=late_reader, daemon=True)
-            reader.start()
-            time.sleep(0.2)
 
     t.join(timeout=30)
     reader.join(timeout=30)

@@ -699,3 +699,29 @@ def test_subtile_ignored_past_512_rows(rng):
     np.testing.assert_array_equal(np.concatenate(flat_xs), rxs)
     np.testing.assert_array_equal(np.concatenate(flat_vals), rvals)
     np.testing.assert_array_equal(np.asarray(newp), rnewp)
+
+
+def test_heatmap_lut_cache_first_populated_under_trace(rng):
+    """The LUT caches hold numpy, not jnp: a jnp value cached while the
+    FIRST caller was tracing (e.g. the sharded pipeline) would be a
+    leaked tracer, and every later eager caller would crash with
+    UnexpectedTracerError (the exact ordering bug test_parallel-before-
+    test_device_ops exposed)."""
+    import jax
+
+    from cudavideostream_tpu.ops import filters
+
+    # simulate a fresh process whose first heatmap call is inside a jit
+    saved = (filters._HEATMAP_LUT_PACKED, filters._HEATMAP_LUT_DEV)
+    filters._HEATMAP_LUT_PACKED = None
+    filters._HEATMAP_LUT_DEV = None
+    try:
+        n = 6144
+        prev = rng.integers(0, 256, n, dtype=np.uint8)
+        cur = rng.integers(0, 256, n, dtype=np.uint8)
+        jitted = jax.jit(filters.heatmap)(jnp.asarray(cur), jnp.asarray(prev))
+        eager = filters.heatmap(jnp.asarray(cur), jnp.asarray(prev))
+        np.testing.assert_array_equal(np.asarray(jitted), np.asarray(eager))
+        np.testing.assert_array_equal(np.asarray(eager), ref.heatmap(cur, prev))
+    finally:
+        filters._HEATMAP_LUT_PACKED, filters._HEATMAP_LUT_DEV = saved

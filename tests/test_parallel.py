@@ -415,3 +415,25 @@ def test_mesh_rejects_non_pallas_compaction():
     with pytest.raises(SystemExit) as e:
         main(["--mesh", "1,4", "--compaction", "sort"])
     assert e.value.code == 2
+
+
+def test_conv_k1_sharded_matches_oracle(mesh8):
+    """conv_k=1 means a zero-row halo: the exchange must no-op (a
+    Python [-0:] slice is the WHOLE array — the old code crashed at
+    trace time), byte-exact vs the oracle like every other k."""
+    run_and_compare(
+        cfg_for(mesh8, noise_filter=True, conv_k=1), mesh8
+    )
+
+
+def test_conv_halo_past_one_shard_rejected(mesh8):
+    """A halo deeper than one shard's rows (tiny frames sharded wide
+    with a large kernel) cannot be served by the adjacent-neighbor
+    exchange — rejected at CONSTRUCTION (an in-trace raise would leak
+    tracers into the process), not silent corruption."""
+    # height 48 over space=8 -> 6 local rows; k=15 needs a 7-row halo
+    cfg = StreamConfig(height=48, width=64, overlay_scale=1,
+                       noise_filter=True, conv_k=15)
+    mesh = make_mesh(8, data_parallel=1)
+    with pytest.raises(ValueError, match="halo"):
+        ShardedDeltaPipeline(cfg, mesh)
