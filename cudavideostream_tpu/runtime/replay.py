@@ -134,6 +134,60 @@ class ReplayServer:
                 conn.close()
         return served
 
+    def stats(self):
+        """Per-frame wire analytics of the captured session.
+
+        Returns a list of ``(pos, mode, wire_bytes)`` — ``mode`` is the
+        v3 mode byte, "v2"/"v1" otherwise — plus nothing is sent
+        anywhere: this is the offline inspection tool for recorded
+        incidents (the reference's committed ``times*`` data files are
+        the closest analogue). Totals via :func:`format_stats`.
+        """
+        from cudavideostream_tpu.runtime import wire
+
+        rows = []
+        for off, end in self.marks:
+            if self.v3:
+                mode = self.data[off]
+                if mode == wire.MODE_RAW:
+                    pos = self.frame_bytes
+                else:
+                    (pos,) = struct.unpack_from("<I", self.data, off + 1)
+            elif self.v2:
+                (pos,) = struct.unpack_from("<I", self.data, off)
+                mode = "v2"
+            else:
+                (pos,) = struct.unpack_from("<I", self.data, off)
+                mode = "v1"
+            rows.append((int(pos), mode, end - off))
+        return rows
+
+    def format_stats(self) -> str:
+        """Human summary: frames, bytes by mode, density percentiles."""
+        rows = self.stats()
+        if not rows:
+            return "empty session (base frame only)"
+        import numpy as _np
+
+        pos = _np.array([r[0] for r in rows])
+        size = _np.array([r[2] for r in rows])
+        dens = 100.0 * pos / self.frame_bytes
+        by_mode = {}
+        for _, m, b in rows:
+            name = {0: "delta16", 1: "bitmask", 2: "raw"}.get(m, str(m))
+            cnt, tot = by_mode.get(name, (0, 0))
+            by_mode[name] = (cnt + 1, tot + b)
+        lines = [
+            f"frames: {len(rows)}  wire bytes: {int(size.sum())} "
+            f"(+{self.frame_bytes} base)",
+            f"changed bytes/frame: min {pos.min()}  p50 "
+            f"{int(_np.percentile(pos, 50))}  max {pos.max()}  "
+            f"(density p50 {_np.percentile(dens, 50):.2f}%)",
+        ]
+        for name, (cnt, tot) in sorted(by_mode.items()):
+            lines.append(f"mode {name}: {cnt} frames, {tot} bytes")
+        return "\n".join(lines)
+
     def close(self) -> None:
         if self._sock is not None:
             self._sock.close()
@@ -156,11 +210,19 @@ def main(argv=None) -> int:
     p.add_argument("--port", type=int, default=2734)
     p.add_argument("--fps", type=float, default=None, help="pace the replay")
     p.add_argument("--clients", type=int, default=1)
+    p.add_argument("--stats", action="store_true",
+                   help="print per-session wire analytics (frames, bytes "
+                        "by mode, change density) and exit — offline "
+                        "inspection of a recorded incident, no serving")
     args = p.parse_args(argv)
     server = ReplayServer(
         args.path, args.height * args.width * 3,
         host=args.host, port=args.port, fps=args.fps,
     )
+    if args.stats:
+        print(server.format_stats())
+        server.close()
+        return 0
     n = server.serve(max_clients=args.clients)
     print(f"replayed {n} payloads", file=sys.stderr)
     return 0

@@ -110,3 +110,26 @@ def test_replay_gz_and_mmap_paths(tmp_path):
     assert rs2._mm is not None and len(rs2.marks) == 36
     rs2.close()
     assert rs2._mm is None  # released
+
+
+def test_stats_of_recorded_v3_session():
+    """Offline wire analytics of the committed v3 artifact: per-mode
+    byte accounting matches the recorded schedule (delta16 frames, two
+    bitmask, two raw)."""
+    from cudavideostream_tpu.runtime.replay import ReplayServer
+
+    rs = ReplayServer(
+        "examples/artifacts/session_v3.cvs.gz", 270 * 480 * 3,
+        port=0, verbose=False,
+    )
+    rows = rs.stats()
+    rs.close()
+    assert len(rows) == 36
+    modes = [m for _, m, _ in rows]
+    assert modes.count(2) == 2 and modes.count(1) == 2  # raw + bitmask
+    # raw frames carry exactly frame_bytes + 1 wire bytes
+    for pos, m, b in rows:
+        if m == 2:
+            assert b == 270 * 480 * 3 + 1 and pos == 270 * 480 * 3
+    text = rs.format_stats()
+    assert "mode raw: 2 frames" in text
