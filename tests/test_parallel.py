@@ -73,10 +73,13 @@ class TestShardedPipeline:
             cfg_for(mesh8, visualizer=Visualizer(viz)), mesh8, n_frames=1
         )
 
-    def test_noise_filter_halo(self, mesh8):
-        # K=5 needs a 2-row halo crossing shard boundaries (12 rows/shard)
+    @pytest.mark.parametrize("k", [4, 5])
+    def test_noise_filter_halo(self, mesh8, k):
+        # 2-row halo crossing shard boundaries (12 rows/shard); k=4 is
+        # the reference's chosen operating point (report.tex:2697) and
+        # exercises the EVEN-kernel asymmetric stencil across shards
         run_and_compare(
-            cfg_for(mesh8, noise_filter=True, conv_k=5), mesh8, n_frames=1
+            cfg_for(mesh8, noise_filter=True, conv_k=k), mesh8, n_frames=1
         )
 
     def test_space_only_mesh(self):
