@@ -164,6 +164,40 @@ class ShardedDeltaPipeline:
             donate_argnums=(0,),
         )
 
+        # FLAT single-stream step (the `server --mesh` serving path):
+        # carrying (B=1, n) uint8 state across the jit boundary pads its
+        # sublane dim 1 -> 8 (up to 8x the HBM bytes per pass — measured
+        # on this very kernel, models/batched.py), and vmapping the
+        # pallas_call at Bl=1 pessimizes its lowering (also measured).
+        # The flat body sidesteps both: (n,) P("space") state, direct
+        # kernel calls. jit compiles lazily, so building this wrapper
+        # costs nothing for multi-stream users who never call it.
+        self._sharding_flat = NamedSharding(mesh, P("space"))
+        self._sharding_rep0 = NamedSharding(mesh, P())
+        if payload_layout == "sharded":
+            out_b1 = (
+                P("space"),  # new_prev (n,)
+                P("space"),  # counts (n_space,)
+                P("space"),  # xs blocks (n,)
+                P("space"),  # vals blocks (n,)
+                P("space"),  # aux (n,)
+            )
+        else:
+            out_b1 = (P("space"), P(), P(), P(), P("space"))
+        in_b1 = [P("space"), P("space"), P(), P()]
+        if self._thr_map_dev is not None:
+            in_b1.append(P("space"))
+        self._step_b1 = jax.jit(
+            jax.shard_map(
+                self._body_b1,
+                mesh=mesh,
+                in_specs=tuple(in_b1),
+                out_specs=out_b1,
+                check_vma=False,
+            ),
+            donate_argnums=(0,),
+        )
+
     # -- local shard body (runs per device) --------------------------------
     def _body(self, prev, frame, char_ids, n_chars, *maybe_thr):
         cfg = self.cfg
@@ -325,6 +359,124 @@ class ShardedDeltaPipeline:
         out_vals = out_vals[:, : self.capacity].astype(jnp.uint8)
         return new_prev, pos, out_xs, out_vals, aux
 
+    def _body_b1(self, prev, frame, char_ids, n_chars, *maybe_thr):
+        """Single-stream local body on FLAT ``(Ln,)`` shards.
+
+        Mirrors :meth:`_body` at ``Bl == 1`` with the two measured
+        hardware traps removed: no ``(1, n)`` carried buffers (sublane
+        padding) and no ``jax.vmap`` around the Pallas kernel
+        (pessimized lowering). The tiny overlay strip still goes
+        through ``_overlay_local`` via trace-local ``[None]`` expands —
+        those fuse; the trap is buffers that CROSS the jit boundary.
+        Byte-exactness vs the batched body and the oracle is pinned by
+        the executor wire-identity tests.
+        """
+        cfg = self.cfg
+        thr_map = maybe_thr[0] if maybe_thr else None  # (Ln,) local slice
+        sidx = jax.lax.axis_index("space")
+        Ln = self.local_bytes
+        Lr = self.local_rows
+        W = cfg.width
+
+        cur = frame
+        if cfg.noise_filter:
+            cur = sharded_convolve_q16(
+                cur, weights_q16=self.conv_q16, local_rows=Lr,
+                width=W, axis_name="space",
+            )
+
+        needs_full_overlay = cfg.visualizer in (
+            Visualizer.HEATMAP, Visualizer.GRAYSCALE, Visualizer.BINARIZE
+        )
+        cell_h = self.atlas.shape[1]
+        region = None
+        if cell_h > cfg.height:
+            pass  # SPEC: oversize glyph cells draw nothing (see _body)
+        elif needs_full_overlay or not self.uses_pallas:
+            cur = self._overlay_local(
+                cur[None], char_ids[None], n_chars[None], sidx
+            )[0]
+        else:
+            pref_rows = min(Lr, cell_h)
+            pref_bytes = pref_rows * W * 3
+            region = self._overlay_local(
+                cur[None, :pref_bytes], char_ids[None], n_chars[None],
+                sidx, rows=pref_rows,
+            )[0]
+
+        aux = jnp.zeros((Ln,), jnp.uint8)
+        if cfg.visualizer == Visualizer.HEATMAP:
+            aux = filter_ops.heatmap(cur, prev)
+        elif cfg.visualizer == Visualizer.GRAYSCALE:
+            aux = filter_ops.grayscale_weighted(cur)
+        elif cfg.visualizer == Visualizer.BINARIZE:
+            gray = filter_ops.grayscale_weighted(cur)
+            hist = jax.lax.psum(filter_ops.gray_histogram(gray), "space")
+            aux = filter_ops.binarize(
+                gray, filter_ops.binarize_threshold(hist)
+            )
+
+        needs_mask = cfg.visualizer in (
+            Visualizer.RED_BLACK, Visualizer.RED_OVERLAP
+        )
+        thr = cfg.threshold if thr_map is None else thr_map
+        thr_positive = (
+            cfg.threshold > 0 if thr_map is None else self._thr_map_min > 0
+        )
+        if self.uses_pallas:
+            lpos, lxs, lvals, new_prev = logcompact.fused_diff_compact(
+                cur, prev,
+                threshold=cfg.threshold,
+                negative_feedback=cfg.negative_feedback,
+                interpret=self._interpret,
+                overlay_region=region,
+                threshold_map=thr_map,
+            )
+            mask = None
+            if needs_mask:
+                if cfg.negative_feedback and thr_positive:
+                    mask = new_prev != prev
+                else:
+                    if region is not None:
+                        cur = jnp.concatenate(
+                            [region, cur[region.shape[0]:]]
+                        )
+                    mask = diff_ops.diff_mask(cur, prev, thr)[0]
+        else:
+            mask, vals_dense, new_prev = diff_ops.diff_mask(
+                cur, prev, thr, cfg.negative_feedback
+            )
+            lpos, lxs, lvals = compact_ops.compact_sort(mask, vals_dense, Ln)
+
+        if cfg.visualizer == Visualizer.RED_BLACK:
+            aux = filter_ops.red_black(mask)
+        elif cfg.visualizer == Visualizer.RED_OVERLAP:
+            aux = filter_ops.red_overlap(prev, mask)
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (Ln,), 0)
+        valid = lane < lpos
+        gxs = jnp.where(valid, lxs + sidx * Ln, 0)
+        gvals = jnp.where(valid, lvals.astype(jnp.int32), 0)
+
+        if self.payload_layout == "sharded":
+            return (new_prev, lpos[None], gxs,
+                    gvals.astype(jnp.uint8), aux)
+
+        counts = jax.lax.all_gather(lpos, "space")  # (n_space,)
+        before = jnp.sum(jnp.where(
+            jnp.arange(self.n_space) < sidx, counts, 0
+        ))
+        pos = jnp.sum(counts)
+        pad_cap = self.capacity + Ln
+        out_xs = jax.lax.psum(jax.lax.dynamic_update_slice(
+            jnp.zeros((pad_cap,), jnp.int32), gxs, (before,)
+        ), "space")
+        out_vals = jax.lax.psum(jax.lax.dynamic_update_slice(
+            jnp.zeros((pad_cap,), jnp.int32), gvals, (before,)
+        ), "space")
+        return (new_prev, pos, out_xs[: self.capacity],
+                out_vals[: self.capacity].astype(jnp.uint8), aux)
+
     def _overlay_local(self, cur, char_ids, n_chars, sidx, rows=None):
         """Batched glyph blit of this shard's slice of the text band,
         PER STREAM: ``char_ids`` is ``(Bl, C)`` and ``n_chars`` ``(Bl,)``
@@ -400,6 +552,36 @@ class ShardedDeltaPipeline:
         if base.ndim == 1:
             base = base[None]
         return jax.device_put(base, self._sharding_state)
+
+    def init_state_flat(self, base_frame: np.ndarray) -> Array:
+        """Flat ``(frame_bytes,)`` row-sharded state for the
+        single-stream :meth:`step_flat` path (no sublane padding)."""
+        base = np.asarray(base_frame, dtype=np.uint8).ravel()
+        return jax.device_put(base, self._sharding_flat)
+
+    def step_flat(self, prev: Array, frame, text: str = ""):
+        """Single-stream step on flat state (see ``_body_b1``).
+
+        Returns ``(new_prev(n,), counts(n_space,), xs(n,), vals(n,),
+        aux(n,))`` for the ``"sharded"`` layout, or ``(new_prev(n,),
+        pos scalar, xs(cap,), vals(cap,), aux(n,))`` for
+        ``"replicated"``.
+        """
+        ids = fonts.encode_text(text, MAX_OVERLAY_CHARS)
+        char_ids = jax.device_put(
+            jnp.asarray(ids, jnp.int32), self._sharding_rep0
+        )
+        n_chars = jax.device_put(
+            jnp.int32(min(len(text), MAX_OVERLAY_CHARS)),
+            self._sharding_rep0,
+        )
+        frame = jax.device_put(
+            np.asarray(frame, dtype=np.uint8).ravel(), self._sharding_flat
+        )
+        args = (prev, frame, char_ids, n_chars)
+        if self._thr_map_dev is not None:
+            args += (self._thr_map_dev,)
+        return self._step_b1(*args)
 
     def payload_tiles(self, counts, xs, vals, b: int):
         """Assemble stream ``b``'s wire payload from ``"sharded"``-layout

@@ -37,6 +37,7 @@ import numpy as np
 from cudavideostream_tpu.config import StreamConfig, Visualizer
 from cudavideostream_tpu.runtime.executor import (
     ExecMetrics,
+    FlatShardView,
     LinkStats,
     TieredFetcher,
     TiledLander,
@@ -105,7 +106,11 @@ class ShardedStreamExecutor:
 
     def start(self, base_frame: np.ndarray) -> np.ndarray:
         base = np.asarray(base_frame, dtype=np.uint8).ravel()
-        self._state = self.pipe.init_state(base)
+        # FLAT (frame_bytes,) state: a (1, n) uint8 buffer carried
+        # across jit boundaries pads its sublane dim 1 -> 8 (up to 8x
+        # the HBM bytes per pass) — the serving path uses the
+        # pipeline's flat single-stream step throughout
+        self._state = self.pipe.init_state_flat(base)
         return base
 
     def process(
@@ -114,32 +119,32 @@ class ShardedStreamExecutor:
         if self._state is None:
             raise RuntimeError("call start(base_frame) first")
         t0 = time.perf_counter()
-        out = self.pipe.step(self._state, frame, text=text)
+        out = self.pipe.step_flat(self._state, frame, text=text)
         self._state = out[0]
         return self._land(t0, out[1:])
 
     def _land(self, t0, rest):
         aux_d = rest[3]
         aux = (
-            np.asarray(aux_d)[0]
+            np.asarray(aux_d)
             if self.cfg.visualizer != Visualizer.NONE
             else None
         )
         if self.payload_layout == "sharded":
             counts_d, xs_d, vals_d = rest[0], rest[1], rest[2]
-            counts = np.asarray(counts_d).astype(np.int32)[0]
+            counts = np.asarray(counts_d).astype(np.int32)
             pos = int(counts.sum())
             n_space, Ln = self.pipe.n_space, self.pipe.local_bytes
-            xs3 = xs_d.reshape(1, n_space, Ln)
-            vals3 = vals_d.reshape(1, n_space, Ln)
             payload = self._lander.land(
-                pos, counts, counts_d[0], xs3[0], vals3[0]
+                pos, counts, counts_d,
+                FlatShardView(xs_d, n_space, Ln),
+                FlatShardView(vals_d, n_space, Ln),
             )
             self.metrics.record(time.perf_counter() - t0, pos)
             return pos, payload, None, aux
-        pos = int(np.asarray(rest[0])[0])
-        xs = self._fetch_xs.fetch(rest[1][0], pos)
-        vals = self._fetch_vals.fetch(rest[2][0], pos)
+        pos = int(np.asarray(rest[0]))
+        xs = self._fetch_xs.fetch(rest[1], pos)
+        vals = self._fetch_vals.fetch(rest[2], pos)
         self.metrics.record(time.perf_counter() - t0, pos)
         return pos, xs, vals, aux
 
@@ -161,7 +166,7 @@ class PipelinedShardedExecutor(ShardedStreamExecutor):
         if self._state is None:
             raise RuntimeError("call start(base_frame) first")
         t0 = time.perf_counter()
-        out = self.pipe.step(self._state, frame, text=text)
+        out = self.pipe.step_flat(self._state, frame, text=text)
         self._state = out[0]
         prev, self._pending = self._pending, (t0, out[1:])
         if prev is None:
