@@ -440,3 +440,87 @@ def test_conv_halo_past_one_shard_rejected(mesh8):
     mesh = make_mesh(8, data_parallel=1)
     with pytest.raises(ValueError, match="halo"):
         ShardedDeltaPipeline(cfg, mesh)
+
+
+@pytest.mark.parametrize(
+    "viz,noise,negfeed",
+    [
+        (Visualizer.NONE, True, False),
+        (Visualizer.HEATMAP, True, True),
+        (Visualizer.GRAYSCALE, False, True),
+        (Visualizer.BINARIZE, False, True),
+        (Visualizer.RED_BLACK, False, False),   # diff_mask fallback
+        (Visualizer.RED_OVERLAP, False, True),  # negfeed mask shortcut
+    ],
+)
+def test_step_flat_matrix_matches_oracle(mesh8, viz, noise, negfeed):
+    """The flat single-stream mesh step (server --mesh's serving body,
+    _body_b1) across every mirrored branch family: visualizer aux,
+    noise-filter halo conv, and both mask derivations — byte-exact vs
+    the oracle (the executor wire tests only drive the default
+    config)."""
+    cfg = cfg_for(
+        mesh8, visualizer=viz, noise_filter=noise,
+        negative_feedback=negfeed,
+    )
+    pipe = ShardedDeltaPipeline(cfg, mesh8, payload_layout="sharded")
+    rng = np.random.default_rng(31)
+    base = rng.integers(0, 255, cfg.frame_bytes, endpoint=True,
+                        dtype=np.uint8)
+    st = pipe.init_state_flat(base)
+    text = "FPS: 7"
+    ids = fonts.encode_text(text)
+    prev_ref = base.copy()
+    for _ in range(2):
+        frame = make_frame_pair(rng, cfg.frame_bytes)[1]
+        st, counts, xs, vals, aux = pipe.step_flat(st, frame, text=text)
+        exp_prev, exp_pos, exp_xs, exp_vals, exp_aux = ref.step_oracle(
+            prev_ref, frame, cfg, atlas=pipe.atlas_np, char_ids=ids,
+        )
+        cts = np.asarray(counts).astype(np.int32)
+        assert int(cts.sum()) == exp_pos
+        Ln = pipe.local_bytes
+        xs2 = np.asarray(xs).reshape(pipe.n_space, Ln)
+        vals2 = np.asarray(vals).reshape(pipe.n_space, Ln)
+        np.testing.assert_array_equal(
+            np.concatenate([xs2[s, : cts[s]] for s in range(pipe.n_space)]),
+            exp_xs,
+        )
+        np.testing.assert_array_equal(
+            np.concatenate(
+                [vals2[s, : cts[s]] for s in range(pipe.n_space)]
+            ),
+            exp_vals,
+        )
+        np.testing.assert_array_equal(np.asarray(st), exp_prev)
+        if exp_aux is not None:
+            np.testing.assert_array_equal(np.asarray(aux), exp_aux)
+        prev_ref = exp_prev
+
+
+def test_step_flat_threshold_map_matches_oracle(mesh8):
+    """Flat mesh step with a per-byte threshold map (sharded along rows
+    like the frame)."""
+    cfg = cfg_for(mesh8)
+    rng = np.random.default_rng(32)
+    tm = rng.integers(0, 60, cfg.frame_bytes, dtype=np.uint8)
+    pipe = ShardedDeltaPipeline(
+        cfg, mesh8, payload_layout="sharded", threshold_map=tm
+    )
+    base = rng.integers(0, 255, cfg.frame_bytes, endpoint=True,
+                        dtype=np.uint8)
+    st = pipe.init_state_flat(base)
+    frame = make_frame_pair(rng, cfg.frame_bytes)[1]
+    st, counts, xs, vals, _ = pipe.step_flat(st, frame)
+    exp_prev, exp_pos, exp_xs, exp_vals, _ = ref.step_oracle(
+        base, frame, cfg, threshold_map=tm,
+    )
+    cts = np.asarray(counts).astype(np.int32)
+    assert int(cts.sum()) == exp_pos
+    Ln = pipe.local_bytes
+    xs2 = np.asarray(xs).reshape(pipe.n_space, Ln)
+    np.testing.assert_array_equal(
+        np.concatenate([xs2[s, : cts[s]] for s in range(pipe.n_space)]),
+        exp_xs,
+    )
+    np.testing.assert_array_equal(np.asarray(st), exp_prev)
