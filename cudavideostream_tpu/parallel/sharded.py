@@ -24,7 +24,6 @@ ship it.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
@@ -198,182 +197,25 @@ class ShardedDeltaPipeline:
             donate_argnums=(0,),
         )
 
-    # -- local shard body (runs per device) --------------------------------
-    def _body(self, prev, frame, char_ids, n_chars, *maybe_thr):
-        cfg = self.cfg
-        thr_map = maybe_thr[0] if maybe_thr else None  # (Ln,) local slice
-        sidx = jax.lax.axis_index("space")
-        Bl = prev.shape[0]
-        Ln = self.local_bytes
-        Lr = self.local_rows
-        W = cfg.width
+    # -- local shard bodies (run per device) -------------------------------
+    #
+    # ONE per-stream implementation (_stream_body) serves both entry
+    # points: _body vmaps it over the local stream axis for the batched
+    # (multiserve --mesh) step, _body_b1 calls it directly on flat
+    # arrays for the single-stream serving step — the two measured
+    # hardware traps (sublane-padded (1, n) carried buffers; vmap over
+    # the Pallas call at Bl=1) live ONLY in how the body is entered,
+    # so the ~100 lines of branch logic cannot drift between paths.
 
-        cur = frame
-        if cfg.noise_filter:
-            conv = functools.partial(
-                sharded_convolve_q16,
-                weights_q16=self.conv_q16,
-                local_rows=Lr,
-                width=W,
-                axis_name="space",
-            )
-            cur = jax.vmap(conv)(cur)
+    def _stream_body(self, prev, frame, char_ids, n_chars, thr_map, sidx):
+        """One stream's local shard step on flat ``(Ln,)`` arrays.
 
-        # overlay lands in the top image rows; the glyph band may span
-        # multiple row-shards, so each shard blits its intersection.
-        # Same fusion split as the single-chip pipeline: visualizers that
-        # read the overlaid frame need it materialized; otherwise only a
-        # row prefix is blended and the per-shard Pallas kernel
-        # substitutes it on its leading tiles (zero extra frame pass).
-        needs_full_overlay = cfg.visualizer in (
-            Visualizer.HEATMAP, Visualizer.GRAYSCALE, Visualizer.BINARIZE
-        )
-        cell_h = self.atlas.shape[1]
-        region = None
-        if cell_h > cfg.height:
-            # SPEC parity: a glyph cell taller than the frame draws
-            # NOTHING (reference_cpu.overlay_blit breaks before any
-            # blit; ops/overlay.py returns the frame untouched) — a
-            # clipped band here would diverge byte-for-byte from the
-            # solo path
-            pass
-        elif needs_full_overlay or not self.uses_pallas:
-            cur = self._overlay_local(cur, char_ids, n_chars, sidx)
-        else:
-            pref_rows = min(Lr, cell_h)
-            pref_bytes = pref_rows * W * 3
-            region = self._overlay_local(
-                cur[:, :pref_bytes], char_ids, n_chars, sidx, rows=pref_rows
-            )
-
-        aux = jnp.zeros((Bl, Ln), jnp.uint8)
-        if cfg.visualizer == Visualizer.HEATMAP:
-            aux = jax.vmap(filter_ops.heatmap)(cur, prev)
-        elif cfg.visualizer == Visualizer.GRAYSCALE:
-            aux = jax.vmap(filter_ops.grayscale_weighted)(cur)
-        elif cfg.visualizer == Visualizer.BINARIZE:
-            gray = jax.vmap(filter_ops.grayscale_weighted)(cur)
-            hist = jax.vmap(filter_ops.gray_histogram)(gray)
-            hist = jax.lax.psum(hist, "space")  # global histogram
-            thr = jax.vmap(filter_ops.binarize_threshold)(hist)
-            aux = jax.vmap(filter_ops.binarize)(gray, thr)
-
-        needs_mask = cfg.visualizer in (Visualizer.RED_BLACK, Visualizer.RED_OVERLAP)
-        # local deterministic compaction (ascending local index): the
-        # flagship Pallas kernel per shard whenever the local frame fits
-        # its packed-index range — this is how >2^23-byte (4K+) frames
-        # scale: shard rows until each local slice fits. Alignment is the
-        # kernel's problem now (it pads internally with cur==prev bytes),
-        # so every space factor of a 1080p frame takes this path — the
-        # per-thread arbitrary-extent handling of kernels.cu:404-427,
-        # done the TPU way.
-        # thr is a scalar OR this shard's (Ln,) map slice; thr_positive
-        # gates the negfeed mask shortcut exactly like the solo pipeline
-        thr = cfg.threshold if thr_map is None else thr_map
-        thr_positive = (
-            cfg.threshold > 0 if thr_map is None else self._thr_map_min > 0
-        )
-        if self.uses_pallas:
-            if region is not None:
-                lpos, lxs, lvals, new_prev = jax.vmap(
-                    lambda c, p, r: logcompact.fused_diff_compact(
-                        c, p,
-                        threshold=cfg.threshold,
-                        negative_feedback=cfg.negative_feedback,
-                        interpret=self._interpret,
-                        overlay_region=r,
-                        threshold_map=thr_map,
-                    )
-                )(cur, prev, region)
-            else:
-                lpos, lxs, lvals, new_prev = jax.vmap(
-                    lambda c, p: logcompact.fused_diff_compact(
-                        c, p,
-                        threshold=cfg.threshold,
-                        negative_feedback=cfg.negative_feedback,
-                        interpret=self._interpret,
-                        threshold_map=thr_map,
-                    )
-                )(cur, prev)
-            mask = None
-            if needs_mask:
-                if cfg.negative_feedback and thr_positive:
-                    # |df| > thr > 0 implies cur != prev: the negfeed
-                    # update encodes the mask, saving a second diff pass
-                    mask = new_prev != prev
-                else:
-                    if region is not None:
-                        cur = jnp.concatenate(
-                            [region, cur[:, region.shape[1]:]], axis=1
-                        )
-                    mask = jax.vmap(
-                        lambda c, p: diff_ops.diff_mask(c, p, thr)[0]
-                    )(cur, prev)
-        else:
-            mask, vals_dense, new_prev = jax.vmap(
-                lambda c, p: diff_ops.diff_mask(
-                    c, p, thr, cfg.negative_feedback
-                )
-            )(cur, prev)
-            lpos, lxs, lvals = jax.vmap(
-                lambda m, v: compact_ops.compact_sort(m, v, Ln)
-            )(mask, vals_dense)
-
-        if cfg.visualizer == Visualizer.RED_BLACK:
-            aux = jax.vmap(filter_ops.red_black)(mask)
-        elif cfg.visualizer == Visualizer.RED_OVERLAP:
-            aux = jax.vmap(filter_ops.red_overlap)(prev, mask)
-        # globalize indices (padding stays zero)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (Bl, Ln), 1)
-        valid = lane < lpos[:, None]
-        gxs = jnp.where(valid, lxs + sidx * Ln, 0)
-        gvals = jnp.where(valid, lvals.astype(jnp.int32), 0)
-
-        if self.payload_layout == "sharded":
-            # zero payload collectives: each shard's compacted block and
-            # count stay in place — the shard axis IS the tile axis of a
-            # wire.TiledPayload, assembled host-side for free
-            return (new_prev, lpos[:, None], gxs,
-                    gvals.astype(jnp.uint8), aux)
-
-        # ragged concat across shards: all_gather counts -> offsets,
-        # scatter local block at my offset, psum the disjoint blocks
-        counts = jax.lax.all_gather(lpos, "space", axis=1)  # (Bl, n_space)
-        before = jnp.sum(jnp.where(
-            jax.lax.broadcasted_iota(jnp.int32, counts.shape, 1) < sidx,
-            counts, 0), axis=1)  # (Bl,)
-        pos = jnp.sum(counts, axis=1)  # (Bl,) global count
-
-        pad_cap = self.capacity + Ln
-        out_xs = jnp.zeros((Bl, pad_cap), jnp.int32)
-        out_vals = jnp.zeros((Bl, pad_cap), jnp.int32)
-
-        def place(out, block, off):
-            return jax.vmap(
-                lambda o, b, s: jax.lax.dynamic_update_slice(o, b, (s,))
-            )(out, block, off)
-
-        out_xs = jax.lax.psum(place(out_xs, gxs, before), "space")
-        out_vals = jax.lax.psum(place(out_vals, gvals, before), "space")
-        out_xs = out_xs[:, : self.capacity]
-        out_vals = out_vals[:, : self.capacity].astype(jnp.uint8)
-        return new_prev, pos, out_xs, out_vals, aux
-
-    def _body_b1(self, prev, frame, char_ids, n_chars, *maybe_thr):
-        """Single-stream local body on FLAT ``(Ln,)`` shards.
-
-        Mirrors :meth:`_body` at ``Bl == 1`` with the two measured
-        hardware traps removed: no ``(1, n)`` carried buffers (sublane
-        padding) and no ``jax.vmap`` around the Pallas kernel
-        (pessimized lowering). The tiny overlay strip still goes
-        through ``_overlay_local`` via trace-local ``[None]`` expands —
-        those fuse; the trap is buffers that CROSS the jit boundary.
-        Byte-exactness vs the batched body and the oracle is pinned by
-        the executor wire-identity tests.
+        ``char_ids``/``n_chars`` are this stream's overlay text;
+        ``thr_map`` is the shard's (Ln,) sensitivity slice or None.
+        Returns ``(new_prev, lpos, gxs, gvals_u8, aux)`` with indices
+        already globalized (zero past ``lpos``).
         """
         cfg = self.cfg
-        thr_map = maybe_thr[0] if maybe_thr else None  # (Ln,) local slice
-        sidx = jax.lax.axis_index("space")
         Ln = self.local_bytes
         Lr = self.local_rows
         W = cfg.width
@@ -385,13 +227,22 @@ class ShardedDeltaPipeline:
                 width=W, axis_name="space",
             )
 
+        # overlay lands in the top image rows; the glyph band may span
+        # multiple row-shards, so each shard blits its intersection.
+        # Same fusion split as the single-chip pipeline: visualizers
+        # that read the overlaid frame need it materialized; otherwise
+        # only a row prefix is blended and the per-shard Pallas kernel
+        # substitutes it on its leading tiles (zero extra frame pass).
         needs_full_overlay = cfg.visualizer in (
             Visualizer.HEATMAP, Visualizer.GRAYSCALE, Visualizer.BINARIZE
         )
         cell_h = self.atlas.shape[1]
         region = None
         if cell_h > cfg.height:
-            pass  # SPEC: oversize glyph cells draw nothing (see _body)
+            # SPEC parity: a glyph cell taller than the frame draws
+            # NOTHING (reference_cpu.overlay_blit breaks before any
+            # blit; ops/overlay.py returns the frame untouched)
+            pass
         elif needs_full_overlay or not self.uses_pallas:
             cur = self._overlay_local(
                 cur[None], char_ids[None], n_chars[None], sidx
@@ -411,6 +262,8 @@ class ShardedDeltaPipeline:
             aux = filter_ops.grayscale_weighted(cur)
         elif cfg.visualizer == Visualizer.BINARIZE:
             gray = filter_ops.grayscale_weighted(cur)
+            # global histogram across row shards (works under vmap too:
+            # the collective batches)
             hist = jax.lax.psum(filter_ops.gray_histogram(gray), "space")
             aux = filter_ops.binarize(
                 gray, filter_ops.binarize_threshold(hist)
@@ -419,6 +272,16 @@ class ShardedDeltaPipeline:
         needs_mask = cfg.visualizer in (
             Visualizer.RED_BLACK, Visualizer.RED_OVERLAP
         )
+        # local deterministic compaction (ascending local index): the
+        # flagship Pallas kernel per shard whenever the local frame fits
+        # its packed-index range — this is how >2^23-byte (4K+) frames
+        # scale: shard rows until each local slice fits. Alignment is
+        # the kernel's problem (it pads internally with cur==prev
+        # bytes), so every space factor of a 1080p frame takes this
+        # path — the per-thread arbitrary-extent handling of
+        # kernels.cu:404-427, done the TPU way.
+        # thr is a scalar OR this shard's (Ln,) map slice; thr_positive
+        # gates the negfeed mask shortcut exactly like the solo pipeline
         thr = cfg.threshold if thr_map is None else thr_map
         thr_positive = (
             cfg.threshold > 0 if thr_map is None else self._thr_map_min > 0
@@ -435,6 +298,8 @@ class ShardedDeltaPipeline:
             mask = None
             if needs_mask:
                 if cfg.negative_feedback and thr_positive:
+                    # |df| > thr > 0 implies cur != prev: the negfeed
+                    # update encodes the mask, saving a second diff pass
                     mask = new_prev != prev
                 else:
                     if region is not None:
@@ -453,14 +318,76 @@ class ShardedDeltaPipeline:
         elif cfg.visualizer == Visualizer.RED_OVERLAP:
             aux = filter_ops.red_overlap(prev, mask)
 
+        # globalize indices (padding stays zero)
         lane = jax.lax.broadcasted_iota(jnp.int32, (Ln,), 0)
         valid = lane < lpos
         gxs = jnp.where(valid, lxs + sidx * Ln, 0)
-        gvals = jnp.where(valid, lvals.astype(jnp.int32), 0)
+        gvals = jnp.where(
+            valid, lvals.astype(jnp.int32), 0
+        ).astype(jnp.uint8)
+        return new_prev, lpos, gxs, gvals, aux
+
+    def _body(self, prev, frame, char_ids, n_chars, *maybe_thr):
+        """Batched (Bl streams per shard) entry: vmap of _stream_body.
+
+        The vmap over the Pallas call and the (Bl, n) buffers are the
+        documented costs multiserve --mesh amortizes over Bl streams;
+        the single-stream serving path uses _body_b1 instead.
+        """
+        thr_map = maybe_thr[0] if maybe_thr else None
+        sidx = jax.lax.axis_index("space")
+        Bl = prev.shape[0]
+        Ln = self.local_bytes
+        new_prev, lpos, gxs, gvals, aux = jax.vmap(
+            self._stream_body, in_axes=(0, 0, 0, 0, None, None)
+        )(prev, frame, char_ids, n_chars, thr_map, sidx)
 
         if self.payload_layout == "sharded":
-            return (new_prev, lpos[None], gxs,
-                    gvals.astype(jnp.uint8), aux)
+            # zero payload collectives: each shard's compacted block and
+            # count stay in place — the shard axis IS the tile axis of a
+            # wire.TiledPayload, assembled host-side for free
+            return new_prev, lpos[:, None], gxs, gvals, aux
+
+        # ragged concat across shards: all_gather counts -> offsets,
+        # scatter local block at my offset, psum the disjoint blocks
+        counts = jax.lax.all_gather(lpos, "space", axis=1)  # (Bl, n_space)
+        before = jnp.sum(jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, counts.shape, 1) < sidx,
+            counts, 0), axis=1)  # (Bl,)
+        pos = jnp.sum(counts, axis=1)  # (Bl,) global count
+
+        pad_cap = self.capacity + Ln
+        out_xs = jnp.zeros((Bl, pad_cap), jnp.int32)
+        out_vals = jnp.zeros((Bl, pad_cap), jnp.int32)
+
+        def place(out, block, off):
+            return jax.vmap(
+                lambda o, b, s: jax.lax.dynamic_update_slice(o, b, (s,))
+            )(out, block, off)
+
+        gvals_i = gvals.astype(jnp.int32)
+        out_xs = jax.lax.psum(place(out_xs, gxs, before), "space")
+        out_vals = jax.lax.psum(place(out_vals, gvals_i, before), "space")
+        out_xs = out_xs[:, : self.capacity]
+        out_vals = out_vals[:, : self.capacity].astype(jnp.uint8)
+        return new_prev, pos, out_xs, out_vals, aux
+
+    def _body_b1(self, prev, frame, char_ids, n_chars, *maybe_thr):
+        """Single-stream entry on FLAT ``(Ln,)`` shards — no ``(1, n)``
+        carried buffers (sublane pads 1->8: up to 8x HBM per pass,
+        measured on this kernel in models/batched) and no vmap over the
+        Pallas call (pessimized lowering). Byte-exactness of every
+        branch is pinned by the step_flat oracle matrix in
+        tests/test_parallel.py."""
+        thr_map = maybe_thr[0] if maybe_thr else None
+        sidx = jax.lax.axis_index("space")
+        Ln = self.local_bytes
+        new_prev, lpos, gxs, gvals, aux = self._stream_body(
+            prev, frame, char_ids, n_chars, thr_map, sidx
+        )
+
+        if self.payload_layout == "sharded":
+            return new_prev, lpos[None], gxs, gvals, aux
 
         counts = jax.lax.all_gather(lpos, "space")  # (n_space,)
         before = jnp.sum(jnp.where(
@@ -472,7 +399,8 @@ class ShardedDeltaPipeline:
             jnp.zeros((pad_cap,), jnp.int32), gxs, (before,)
         ), "space")
         out_vals = jax.lax.psum(jax.lax.dynamic_update_slice(
-            jnp.zeros((pad_cap,), jnp.int32), gvals, (before,)
+            jnp.zeros((pad_cap,), jnp.int32), gvals.astype(jnp.int32),
+            (before,)
         ), "space")
         return (new_prev, pos, out_xs[: self.capacity],
                 out_vals[: self.capacity].astype(jnp.uint8), aux)
