@@ -225,7 +225,7 @@ def _kernel_v2(cur_ref, prev_ref, thr_ref, *rest,
                tile_rows: int, negfeed: bool, region_tiles: int = 0,
                thr_is_map: bool = False, skip_static: bool = True,
                stream_tiles: int = 0, sub_rows: int = 0,
-               pack16: bool = False):
+               pack16: bool = False, pair: bool = False):
     """Per-element LSB-first shift compaction — ~16 dense passes.
 
     Each masked element must move left by its hole count
@@ -333,9 +333,53 @@ def _kernel_v2(cur_ref, prev_ref, thr_ref, *rest,
         # and the packed value fits 15 bits: the shift passes run in
         # int16, processing two values per 32-bit VPU lane. (The ROADMAP
         # int16 rejection covers the row phase, where holes reach 2^16+
-        # — at pure lane granularity there is no row phase.)
+        # — at pure lane granularity there is no row phase.) HARDWARE
+        # NEGATIVE: Mosaic cannot lower a lane rotate on 16-bit data
+        # ("not implemented: Rotate with non-32-bit data",
+        # benchmarks/pack16_ab) — pack16 runs only in interpret mode,
+        # kept as the exactness pin for the packing arithmetic. The
+        # hardware realization of the same idea is ``pair`` below.
         if pack16:
             x = x.astype(jnp.int16)
+
+        if pair:
+            # PAIR-PACKED lane compaction (sub_rows == 1 only): the
+            # 15-bit units of rows r and r + R/2 share one int32 lane
+            # (lo/hi 16 bits), so the 7 roll+select passes — the entire
+            # remaining compaction cost — run over an (R/2, 128) array:
+            # half the roll traffic, still 32-bit rotates (the only
+            # width Mosaic implements). Each row is an independent unit,
+            # so ANY row pairing is valid; top/bottom halves keep both
+            # slices contiguous and 8-sublane-aligned (R % 16 == 0,
+            # gated by the caller). The per-half take/keep masks are
+            # built arithmetically: t = (v >> (8+k)) & 0x00010001 picks
+            # hole-bit k of both halves, and (t << 16) - t maps each
+            # half's bit to a full 0xFFFF half-mask (0x00000001 ->
+            # 0x0000FFFF, 0x00010000 -> 0xFFFF0000, 0x00010001 -> -1).
+            # The wrap guard (src lane >= 128 - b never takes) depends
+            # only on the lane, identical for both halves. Packed
+            # values stay nonnegative (hi <= 0x7FFF), so the arithmetic
+            # >> never smears a sign bit.
+            H = R // 2
+            xp = jnp.bitwise_or(x[:H], x[H:] << 16)
+            lane_h = lane[:H]
+            b, k = 1, 0
+            while b < LANES:
+                rx = pltpu.roll(xp, (-b) % LANES, 1)
+                tt = jnp.bitwise_and(rx >> (8 + k), 0x00010001)
+                m_take = jnp.where(lane_h < LANES - b, (tt << 16) - tt, 0)
+                tk = jnp.bitwise_and(xp >> (8 + k), 0x00010001)
+                m_keep = (tk << 16) - tk
+                xp = jnp.bitwise_or(
+                    jnp.bitwise_and(rx, m_take),
+                    jnp.bitwise_and(
+                        xp, jnp.bitwise_not(jnp.bitwise_or(m_take, m_keep))
+                    ),
+                )
+                b, k = b * 2, k + 1
+            x = jnp.concatenate(
+                [jnp.bitwise_and(xp, 0xFFFF), xp >> 16], axis=0
+            )
 
         # (A rejected variant gated each pass on ``max(holes) >= b`` via
         # a VMEM scratch + pl.when so dense-prefix tiles skip passes; the
@@ -343,7 +387,7 @@ def _kernel_v2(cur_ref, prev_ref, thr_ref, *rest,
         # adversarial uniform scene ~30% and buys realistic scenes ~1%,
         # because the tile-level static skip already covers them.)
         b = 1
-        while b < n_unit:
+        while not pair and b < n_unit:
             # sub_rows == 1: movement never crosses a row, so the shift
             # is a single circular lane roll (the generic flat roll pays
             # two extra rolls + a select to stitch row crossings that
@@ -496,7 +540,7 @@ def _kernel(cur_ref, prev_ref, thr_ref, *rest,
 def _run_kernel(cur2, prev2, thr, *, scheme, tile_rows, grid,
                 negfeed, interpret, region2=None, thr_is_map=False,
                 skip_static=True, stream_tiles=0, sub_rows=0,
-                pack16=False):
+                pack16=False, pair=False):
     """Dispatch one pallas_call; returns ``(new_prev, xs_t, vals_t,
     counts)`` with the tile blocks in ``(rows, LANES)`` layout and
     ``counts`` normalized to one int32 per compaction unit
@@ -532,12 +576,17 @@ def _run_kernel(cur2, prev2, thr, *, scheme, tile_rows, grid,
         raise ValueError("sub_rows: element scheme only")
     if pack16 and sub_rows != 1:
         raise ValueError("pack16 needs sub_rows == 1 (holes < 128)")
+    if pair and (sub_rows != 1 or tile_rows % 16):
+        raise ValueError("pair needs sub_rows == 1 and a 16-row-multiple "
+                         "tile (aligned half slices)")
+    if pair and pack16:
+        raise ValueError("pair and pack16 are exclusive pass layouts")
     if scheme == "element":
         kernel = functools.partial(
             _kernel_v2, tile_rows=tile_rows, negfeed=negfeed,
             region_tiles=region_tiles, thr_is_map=thr_is_map,
             skip_static=skip_static, stream_tiles=stream_tiles,
-            sub_rows=sub_rows, pack16=pack16,
+            sub_rows=sub_rows, pack16=pack16, pair=pair,
         )
     else:
         kernel = functools.partial(
@@ -613,7 +662,7 @@ def _run_kernel(cur2, prev2, thr, *, scheme, tile_rows, grid,
 @functools.partial(
     jax.jit,
     static_argnames=("threshold", "negative_feedback", "interpret", "scheme",
-                     "emit", "skip_static", "sub_rows", "pack16"),
+                     "emit", "skip_static", "sub_rows", "pack16", "pair"),
 )
 def fused_diff_compact(
     current: Array,
@@ -628,6 +677,7 @@ def fused_diff_compact(
     skip_static: bool = True,
     sub_rows: int = 0,
     pack16: bool = False,
+    pair: bool = False,
 ):
     """Fused kernel2: diff + negative feedback + stream compaction.
 
@@ -678,6 +728,12 @@ def fused_diff_compact(
     unit (uint8 at ``sub_rows=1``, int16 below 256-row units, else
     int32) — see ``_narrow_counts``. Consumers must not sum them without
     upcasting; ``pos`` is the pre-computed int32 total.
+
+    ``pair`` (element scheme, ``sub_rows=1`` only): pack the 15-bit
+    units of two rows into each int32 lane so the shift passes — the
+    entire remaining compaction cost — run over half the rows (see
+    ``_kernel_v2``). Identical outputs; silently ignored when the
+    geometry doesn't support it (sub_rows != 1 or an unpaired tile).
     """
     n = current.shape[0]
     rows, tile_rows = _tile_geometry(-(-n // LANES))
@@ -729,6 +785,7 @@ def fused_diff_compact(
         negfeed=negative_feedback, interpret=interpret, region2=region2,
         thr_is_map=thr_is_map, skip_static=skip_static, sub_rows=sub_rows,
         pack16=pack16 and sub_rows == 1,
+        pair=pair and sub_rows == 1 and tile_rows % 16 == 0 and not pack16,
     )
 
     # emission granularity: sub-tiles when sub_rows ran, else tiles
@@ -768,7 +825,8 @@ def fused_diff_compact(
 @functools.partial(
     jax.jit,
     static_argnames=("n_streams", "threshold", "negative_feedback",
-                     "interpret", "scheme", "skip_static", "sub_rows"),
+                     "interpret", "scheme", "skip_static", "sub_rows",
+                     "pair"),
 )
 def fused_diff_compact_batched(
     current: Array,
@@ -781,6 +839,7 @@ def fused_diff_compact_batched(
     threshold_map: Array | None = None,
     skip_static: bool = True,
     sub_rows: int = 0,
+    pair: bool = False,
 ):
     """Batched kernel2: B independent streams in ONE pallas_call.
 
@@ -868,6 +927,7 @@ def fused_diff_compact_batched(
         negfeed=negative_feedback, interpret=interpret,
         thr_is_map=thr_is_map, skip_static=skip_static, stream_tiles=tps,
         sub_rows=sub_rows,
+        pair=pair and sub_rows == 1 and tile_rows % 16 == 0,
     )
     unit_rows = sub_rows if sub_rows else tile_rows
     units_per_stream = rows // unit_rows

@@ -448,6 +448,126 @@ class TestCompactionSchemesAgree:
             np.testing.assert_array_equal(vals, evals)
             np.testing.assert_array_equal(np.asarray(new_prev), eprev)
 
+    @pytest.mark.parametrize("density,seed", [(0.01, 4), (0.3, 5), (0.95, 6)])
+    def test_pair_density_fuzz(self, density, seed):
+        """Pair-packed lane compaction (two 15-bit row units per int32
+        lane; the hardware-realizable successor to pack16 — see
+        benchmarks/pack16_ab) == pack32 == oracle across scenes, at an
+        unaligned geometry whose tile (48 rows) engages the pair path."""
+        from cudavideostream_tpu.ops import logcompact
+
+        rng = np.random.default_rng(seed)
+        n = 128 * 40 + 19
+        prev = rng.integers(0, 256, n, dtype=np.uint8)
+        delta = rng.integers(21, 236, n, dtype=np.uint8)
+        chg = rng.random(n) < density
+        cur = np.where(chg, (prev.astype(np.int32) + delta) % 256, prev
+                       ).astype(np.uint8)
+        epos, exs, evals, eprev = ref.diff_encode(cur, prev)
+        base = logcompact.fused_diff_compact(
+            jnp.asarray(cur), jnp.asarray(prev), interpret=True,
+            emit="tiled", sub_rows=1, pair=False,
+        )
+        out = logcompact.fused_diff_compact(
+            jnp.asarray(cur), jnp.asarray(prev), interpret=True,
+            emit="tiled", sub_rows=1, pair=True,
+        )
+        for a, b in zip(out, base):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        pos, counts, xs_t, vals_t, new_prev = out
+        assert int(pos) == epos
+        counts = np.asarray(counts)
+        xs_t, vals_t = np.asarray(xs_t), np.asarray(vals_t)
+        xs = np.concatenate([xs_t[t, : counts[t]] for t in range(len(counts))])
+        vals = np.concatenate(
+            [vals_t[t, : counts[t]] for t in range(len(counts))])
+        np.testing.assert_array_equal(xs, exs)
+        np.testing.assert_array_equal(vals, evals)
+        np.testing.assert_array_equal(np.asarray(new_prev), eprev)
+
+    def test_pair_ceiling_scene(self):
+        """The 15-bit ceiling (holes=127, delta=255 → 32767) in BOTH
+        halves of a paired lane at once, plus all-changed, empty, and
+        ragged-tail rows — the bit-mask arithmetic ((t<<16)-t) must not
+        smear across halves. Tile is 16 rows here, so rows r and r+8
+        share a lane."""
+        from cudavideostream_tpu.ops import logcompact
+
+        n = 128 * 11 + 57  # -> 16-row tile, pair engages (H=8 aligned)
+        prev = np.zeros(n, dtype=np.uint8)
+        cur = prev.copy()
+        cur[127] = 255                 # row 0 (lo half): ceiling unit
+        cur[8 * 128 + 127] = 255       # row 8 (hi half of the same lane)
+        cur[128:256] = 200             # row 1: all changed, holes=0
+        cur[9 * 128 + 5] = 30          # row 9: sparse (hi half vs row 1)
+        cur[-1] = 255                  # ragged tail byte
+        epos, exs, evals, eprev = ref.diff_encode(cur, prev)
+        pos, counts, xs_t, vals_t, new_prev = logcompact.fused_diff_compact(
+            jnp.asarray(cur), jnp.asarray(prev), interpret=True,
+            emit="tiled", sub_rows=1, pair=True,
+        )
+        assert int(pos) == epos
+        counts = np.asarray(counts)
+        xs_t, vals_t = np.asarray(xs_t), np.asarray(vals_t)
+        xs = np.concatenate([xs_t[t, : counts[t]] for t in range(len(counts))])
+        vals = np.concatenate(
+            [vals_t[t, : counts[t]] for t in range(len(counts))])
+        np.testing.assert_array_equal(xs, exs)
+        np.testing.assert_array_equal(vals, evals)
+        np.testing.assert_array_equal(np.asarray(new_prev), eprev)
+
+    def test_pair_unpaired_tile_falls_back(self, pair):
+        """A geometry whose tile rows aren't a multiple of 16 (the
+        module fixture's 9216 bytes → 72-row tile) silently ignores
+        ``pair`` — outputs identical to the plain sub_rows=1 path."""
+        from cudavideostream_tpu.ops import logcompact
+
+        prev, cur = pair
+        base = logcompact.fused_diff_compact(
+            jnp.asarray(cur), jnp.asarray(prev), interpret=True,
+            emit="tiled", sub_rows=1, pair=False,
+        )
+        out = logcompact.fused_diff_compact(
+            jnp.asarray(cur), jnp.asarray(prev), interpret=True,
+            emit="tiled", sub_rows=1, pair=True,
+        )
+        for a, b in zip(out, base):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_pair_batched_matches_solo(self, rng):
+        """The batched super-frame kernel with pair=True equals B
+        independent solo pair calls (and the oracle) per stream."""
+        from cudavideostream_tpu.ops import logcompact
+
+        B, n = 3, 128 * 40 + 19
+        prevs = [rng.integers(0, 255, n, endpoint=True, dtype=np.uint8)
+                 for _ in range(B)]
+        curs = []
+        for p in prevs:
+            chg = rng.random(n) < 0.1
+            curs.append(np.where(
+                chg, (p.astype(np.int32) + 100) % 256, p).astype(np.uint8))
+        cur_f = jnp.asarray(np.concatenate(curs))
+        prev_f = jnp.asarray(np.concatenate(prevs))
+        pos, counts, xs_t, vals_t, new_prev = (
+            logcompact.fused_diff_compact_batched(
+                cur_f, prev_f, B, interpret=True, sub_rows=1, pair=True,
+            ))
+        pos = np.asarray(pos)
+        counts = np.asarray(counts)
+        xs_t, vals_t = np.asarray(xs_t), np.asarray(vals_t)
+        new_prev = np.asarray(new_prev)
+        for b in range(B):
+            epos, exs, evals, eprev = ref.diff_encode(curs[b], prevs[b])
+            assert int(pos[b]) == epos
+            xs = np.concatenate(
+                [xs_t[b, t, : counts[b, t]] for t in range(counts.shape[1])])
+            vals = np.concatenate(
+                [vals_t[b, t, : counts[b, t]] for t in range(counts.shape[1])])
+            np.testing.assert_array_equal(xs, exs)
+            np.testing.assert_array_equal(vals, evals)
+            np.testing.assert_array_equal(new_prev[b * n:(b + 1) * n], eprev)
+
     def test_merge_two_stage_matches_serial(self, rng):
         """Past MERGE_SERIAL_MAX_UNITS, merge_tiles switches to the
         pair-compaction kernel + coarse serial merge; the flat payload
