@@ -362,7 +362,12 @@ def _kernel_v2(cur_ref, prev_ref, thr_ref, *rest,
             # >> never smears a sign bit.
             H = R // 2
             xp = jnp.bitwise_or(x[:H], x[H:] << 16)
-            lane_h = lane[:H]
+            # fresh iota, NOT lane[:H]: a lane-axis broadcasted_iota is
+            # stored sublane-replicated (physical sublane dim 1), and
+            # Mosaic's vector_extract_strided_slice_rule aborts slicing
+            # it to H rows ("Check failed: limits[i] <= dim(i) (31 vs.
+            # 1)", benchmarks/pair_ab) — x itself slices fine
+            lane_h = jax.lax.broadcasted_iota(jnp.int32, (H, LANES), 1)
             b, k = 1, 0
             while b < LANES:
                 rx = pltpu.roll(xp, (-b) % LANES, 1)
