@@ -135,6 +135,14 @@ class StreamConfig:
     # host iovec segments; on tunnel-class (sub-PCIe) links set 8.
     # 0 = one unit per DMA block (the round-2 kernel).
     subtile_rows: int = 1
+    # Pair-packed lane compaction (subtile_rows == 1 only): the 15-bit
+    # units of two rows share one int32 lane, so the 7 roll+select
+    # passes — the entire remaining compaction cost — run over half the
+    # rows. Identical wire bytes; measured 0.195 -> ~0.16 ms at 1080p/6%
+    # uniform (benchmarks/pair_ab). Auto-demotes to the plain layout
+    # when the geometry doesn't support it (subtile_rows != 1 or an
+    # unpaired tile height).
+    pair_lanes: bool = True
 
     # Text overlay (kernel2_char, kernels.cu:351-375): glyph cell scale,
     # and font style — "stroke" is a thin vector font in the visual

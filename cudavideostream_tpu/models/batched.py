@@ -194,6 +194,7 @@ class BatchedDeltaPipeline:
                 interpret=self._solo._interpret,
                 threshold_map=self._solo._thr_map,
                 sub_rows=cfg.subtile_rows,
+                pair=cfg.pair_lanes,
             ))
         if len(outs) == 1:
             pos, counts, xs_t, vals_t, new_prev = outs[0]

@@ -182,6 +182,7 @@ class DeltaStreamPipeline:
                     overlay_region=overlay_region,
                     threshold_map=self._thr_map,
                     sub_rows=cfg.subtile_rows,
+                    pair=cfg.pair_lanes,
                 )
                 payload = (pos, counts, xs_t, vals_t)
             else:

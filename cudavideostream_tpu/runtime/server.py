@@ -251,6 +251,10 @@ def main(argv=None) -> int:
                         "1 = pure lane compaction, fastest kernel; use "
                         "8 on tunnel-class host links — see "
                         "benchmarks/subtile_ab)")
+    p.add_argument("--no-pair-lanes", action="store_true",
+                   help="disable pair-packed lane compaction (two 15-bit "
+                        "row units per int32 lane; ~20%% faster shift "
+                        "passes at subtile 1 — benchmarks/pair_ab)")
     p.add_argument("--capacity", type=int, default=None,
                    help="payload capacity bound in bytes (default: worst "
                         "case = frame bytes, never overflows). Caps device "
@@ -310,6 +314,7 @@ def main(argv=None) -> int:
         host=args.host,
         port=args.port,
         payload_capacity=args.capacity,
+        pair_lanes=not args.no_pair_lanes,
         **(
             {"subtile_rows": args.subtile}
             if args.subtile is not None else {}
