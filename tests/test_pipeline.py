@@ -185,6 +185,47 @@ class TestThresholdMap:
             DeltaStreamPipeline(small_config, threshold_map=np.zeros(7, np.uint8))
 
 
+def test_pair_lanes_product_path(rng):
+    """The default product step at a geometry whose tile ENGAGES the
+    pair-packed pass loop (config.pair_lanes=True is the shipping
+    default), with the two features that ride the same kernel — overlay
+    text and a per-byte threshold map — active at once. The standard
+    48x64 fixture's 72-row tile silently demotes pair, so without this
+    pin the default-on product path would only ever run on hardware."""
+    from cudavideostream_tpu.ops import logcompact
+    from cudavideostream_tpu.runtime import wire
+    from cudavideostream_tpu.runtime.executor import StreamExecutor
+
+    cfg = StreamConfig(height=64, width=64, overlay_scale=4,
+                       tiled_payload=True)
+    assert cfg.pair_lanes
+    rows = -(-cfg.frame_bytes // 128)
+    _, tile_rows = logcompact._tile_geometry(rows)
+    assert tile_rows % 16 == 0, "geometry must engage the pair path"
+
+    tm = np.full(cfg.frame_bytes, 80, np.uint8)
+    tm[cfg.frame_bytes // 2:] = 2
+    pipe = DeltaStreamPipeline(cfg, threshold_map=tm)
+    ex = StreamExecutor(cfg, pipeline=pipe)
+    base = rng.integers(0, 255, cfg.frame_bytes, endpoint=True, dtype=np.uint8)
+    ex.start(base)
+    prev_ref = base.copy()
+    for t in range(2):
+        _, cur = make_frame_pair(rng, cfg.frame_bytes)
+        text = f"FPS: {30 + t}"
+        pos, payload, _, _ = ex.process(cur, text=text)
+        exp_prev, exp_pos, exp_xs, exp_vals, _ = ref.step_oracle(
+            prev_ref, cur, cfg, atlas=pipe.atlas_np,
+            char_ids=fonts.encode_text(text), threshold_map=tm,
+        )
+        assert isinstance(payload, wire.TiledPayload)
+        assert pos == exp_pos
+        fx, fv = payload.to_flat()
+        np.testing.assert_array_equal(fx, exp_xs)
+        np.testing.assert_array_equal(fv, exp_vals)
+        prev_ref = exp_prev
+
+
 def test_red_mode_without_negative_feedback(small_config):
     """The mask cannot be derived from the state update when negative
     feedback is off (new_prev == cur); the explicit diff branch must
