@@ -103,6 +103,17 @@ def bench_scan_chain(chain: Callable, init_carry, k: int = 24,
     (~0.3 ms at k=24, iters=4 — larger than some kernels being
     measured). The subtracted rtt is the min of 5 gets of an
     already-materialized array: pure transport, no compute wait.
+
+    The warmup runs TWICE and the timed loop starts from the warmed
+    carry, not ``init_carry``: a chain that crosses a ``shard_map`` (the
+    mesh pipelines) re-tags every output aval with the mesh context
+    ({Auto: (...)} sharding-in-types), so the steady-state carry is a
+    DIFFERENT jit cache key than the caller's init — one warm call
+    compiles only the init-aval executable and the first steady-state
+    call inside the timed region recompiles (~minutes at 1080p on the
+    remote backend; benchmarks/mesh_diag caught mesh steps reading
+    1000x too high this way). Solo chains have identical avals both
+    ways, so their numbers are unchanged.
     """
     import jax
 
@@ -110,11 +121,10 @@ def bench_scan_chain(chain: Callable, init_carry, k: int = 24,
     def run_(c):
         return jax.lax.scan(lambda c, _: (chain(c), None), c, None, length=k)[0]
 
-    c = run_(init_carry)
+    c = run_(run_(init_carry))
     rtt = measure_rtt(jax.tree_util.tree_leaves(c)[0])
 
     t0 = time.perf_counter()
-    c = init_carry
     for _ in range(iters):
         c = run_(c)
     jax.device_get(jax.tree_util.tree_leaves(c)[0].ravel()[0])

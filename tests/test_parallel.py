@@ -524,3 +524,56 @@ def test_step_flat_threshold_map_matches_oracle(mesh8):
         exp_xs,
     )
     np.testing.assert_array_equal(np.asarray(st), exp_prev)
+
+
+def test_mesh_scan_carry_avals_reach_fixed_point(mesh8):
+    """A jitted scan whose body crosses the sharded step re-tags the
+    carry's avals with the mesh context ({Auto: ...} sharding-in-types)
+    on its first application, so the steady-state carry is a DIFFERENT
+    jit cache key than the caller's freshly-built init — a timing
+    harness that warms only on the init carry recompiles on its first
+    steady-state call (~minutes at 1080p over the remote backend;
+    benchmarks/mesh_diag caught mesh_vs_solo reading 1000x high this
+    way). bench_scan_chain warms twice and times from the warmed carry,
+    which is sound iff ONE application reaches an aval fixed point —
+    pinned here: the second application's output avals (dtype, shape,
+    sharding tags) equal its input's, so no further retrace can occur."""
+    import jax.numpy as jnp
+
+    cfg = cfg_for(mesh8)
+    pipe = ShardedDeltaPipeline(cfg, mesh8, payload_layout="sharded")
+    rng = np.random.default_rng(33)
+    base = rng.integers(0, 255, cfg.frame_bytes, endpoint=True,
+                        dtype=np.uint8)
+    frame = jnp.asarray(make_frame_pair(rng, cfg.frame_bytes)[1])
+
+    def chain(c):
+        prev, acc = c
+        out = pipe._step_b1(
+            prev, frame,
+            jnp.asarray(fonts.encode_text("FPS: 1", 28), jnp.int32),
+            jnp.int32(6),
+        )
+        return (out[0], acc + jnp.sum(out[2]))
+
+    @jax.jit
+    def run_(c):
+        return jax.lax.scan(
+            lambda c, _: (chain(c), None), c, None, length=2
+        )[0]
+
+    init = (pipe.init_state_flat(base), jnp.int32(0))
+    c1 = run_(init)
+    c2 = run_(c1)
+
+    def sig(carry):
+        return [
+            (l.aval.dtype, l.aval.shape, str(l.aval), str(l.sharding))
+            for l in jax.tree_util.tree_leaves(carry)
+        ]
+
+    assert sig(c1) == sig(c2), (
+        "carry avals did not stabilize after one scan application — "
+        "bench_scan_chain's double warmup no longer reaches the "
+        "steady-state executable"
+    )
