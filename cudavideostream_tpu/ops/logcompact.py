@@ -225,7 +225,8 @@ def _kernel_v2(cur_ref, prev_ref, thr_ref, *rest,
                tile_rows: int, negfeed: bool, region_tiles: int = 0,
                thr_is_map: bool = False, skip_static: bool = True,
                stream_tiles: int = 0, sub_rows: int = 0,
-               pack16: bool = False, pair: bool = False):
+               pack16: bool = False, pair: bool = False,
+               has_offset: bool = False):
     """Per-element LSB-first shift compaction — ~16 dense passes.
 
     Each masked element must move left by its hole count
@@ -269,10 +270,14 @@ def _kernel_v2(cur_ref, prev_ref, thr_ref, *rest,
     the "flat" landing (the density-adaptive lander measures and avoids
     it). See benchmarks/subtile_ab for the measured sweep.
     """
-    if region_tiles:
-        reg_ref, new_prev_ref, xs_ref, vals_ref, cnt_ref = rest
-    else:
-        new_prev_ref, xs_ref, vals_ref, cnt_ref = rest
+    rest = list(rest)
+    reg_ref = rest.pop(0) if region_tiles else None
+    # SMEM scalar added to every emitted (valid) byte index — lets a
+    # shard_map'd caller emit GLOBAL frame indices from a per-shard
+    # kernel launch (the shard base sidx*Ln is a traced value, so it
+    # rides as an operand, exactly like the scalar threshold)
+    off_ref = rest.pop(0) if has_offset else None
+    new_prev_ref, xs_ref, vals_ref, cnt_ref = rest
     i = pl.program_id(0)
     # batched (super-frame) mode: B streams concatenated along the tile
     # axis, `stream_tiles` tiles each. Emitted byte indices are rebased
@@ -423,7 +428,8 @@ def _kernel_v2(cur_ref, prev_ref, thr_ref, *rest,
         # orig = final + holes holds at any granularity: movement stays
         # inside the unit, and holes are unit-local.
         xi = x.astype(jnp.int32) if pack16 else x
-        xs_ref[:] = jnp.where(xi != 0, flat + (xi >> 8) + i_s * n_flat, 0)
+        base = i_s * n_flat + (off_ref[0] if has_offset else 0)
+        xs_ref[:] = jnp.where(xi != 0, flat + (xi >> 8) + base, 0)
         vals_ref[:] = jnp.bitwise_and(xi, 255).astype(jnp.uint8)
         # counts ride a (R, 1) VMEM column — one vector store per tile
         # instead of tile_rows/sub_rows scalar SMEM extract+writes (the
@@ -545,7 +551,7 @@ def _kernel(cur_ref, prev_ref, thr_ref, *rest,
 def _run_kernel(cur2, prev2, thr, *, scheme, tile_rows, grid,
                 negfeed, interpret, region2=None, thr_is_map=False,
                 skip_static=True, stream_tiles=0, sub_rows=0,
-                pack16=False, pair=False):
+                pack16=False, pair=False, index_off=None):
     """Dispatch one pallas_call; returns ``(new_prev, xs_t, vals_t,
     counts)`` with the tile blocks in ``(rows, LANES)`` layout and
     ``counts`` normalized to one int32 per compaction unit
@@ -586,12 +592,15 @@ def _run_kernel(cur2, prev2, thr, *, scheme, tile_rows, grid,
                          "tile (aligned half slices)")
     if pair and pack16:
         raise ValueError("pair and pack16 are exclusive pass layouts")
+    if index_off is not None and scheme != "element":
+        raise ValueError("index_offset: element scheme only")
     if scheme == "element":
         kernel = functools.partial(
             _kernel_v2, tile_rows=tile_rows, negfeed=negfeed,
             region_tiles=region_tiles, thr_is_map=thr_is_map,
             skip_static=skip_static, stream_tiles=stream_tiles,
             sub_rows=sub_rows, pack16=pack16, pair=pair,
+            has_offset=index_off is not None,
         )
     else:
         kernel = functools.partial(
@@ -621,6 +630,9 @@ def _run_kernel(cur2, prev2, thr, *, scheme, tile_rows, grid,
             )
         )
         inputs.append(region2)
+    if index_off is not None:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        inputs.append(index_off)
     if scheme == "element":
         # counts ride a per-tile (tile_rows, 1) VMEM column (row r =
         # unit-local inclusive count at r's lane end) — one vector store
@@ -683,6 +695,7 @@ def fused_diff_compact(
     sub_rows: int = 0,
     pack16: bool = False,
     pair: bool = False,
+    index_offset: Array | None = None,
 ):
     """Fused kernel2: diff + negative feedback + stream compaction.
 
@@ -739,6 +752,14 @@ def fused_diff_compact(
     entire remaining compaction cost — run over half the rows (see
     ``_kernel_v2``). Identical outputs; silently ignored when the
     geometry doesn't support it (sub_rows != 1 or an unpaired tile).
+
+    ``index_offset`` (element scheme): a traced int32 scalar added to
+    every valid emitted byte index in-kernel (an SMEM operand, like the
+    scalar threshold). A ``shard_map``'d caller passes its shard base
+    (``sidx * local_bytes``) so per-shard kernel launches emit GLOBAL
+    frame indices with no post-pass over the payload — the device-side
+    globalization pass it replaces costs a full extra HBM round over
+    the int32 index buffer.
     """
     n = current.shape[0]
     rows, tile_rows = _tile_geometry(-(-n // LANES))
@@ -785,12 +806,17 @@ def fused_diff_compact(
     else:
         thr = jnp.full((1,), threshold, jnp.int32)
 
+    index_off = None
+    if index_offset is not None:
+        index_off = jnp.asarray(index_offset, jnp.int32).reshape(1)
+
     new_prev, xs_t, vals_t, counts = _run_kernel(
         cur2, prev2, thr, scheme=scheme, tile_rows=tile_rows, grid=grid,
         negfeed=negative_feedback, interpret=interpret, region2=region2,
         thr_is_map=thr_is_map, skip_static=skip_static, sub_rows=sub_rows,
         pack16=pack16 and sub_rows == 1,
         pair=pair and sub_rows == 1 and tile_rows % 16 == 0 and not pack16,
+        index_off=index_off,
     )
 
     # emission granularity: sub-tiles when sub_rows ran, else tiles

@@ -176,9 +176,9 @@ class ShardedDeltaPipeline:
         if payload_layout == "sharded":
             out_b1 = (
                 P("space"),  # new_prev (n,)
-                P("space"),  # counts (n_space,)
-                P("space"),  # xs blocks (n,)
-                P("space"),  # vals blocks (n,)
+                P("space"),  # unit counts (n_space * U,)
+                P("space"),  # xs unit blocks (n_space * U, unit_bytes)
+                P("space"),  # vals unit blocks (n_space * U, unit_bytes)
                 P("space"),  # aux (n,)
             )
         else:
@@ -207,13 +207,24 @@ class ShardedDeltaPipeline:
     # the Pallas call at Bl=1) live ONLY in how the body is entered,
     # so the ~100 lines of branch logic cannot drift between paths.
 
-    def _stream_body(self, prev, frame, char_ids, n_chars, thr_map, sidx):
+    def _stream_body(self, prev, frame, char_ids, n_chars, thr_map, sidx,
+                     emit_tiled=False):
         """One stream's local shard step on flat ``(Ln,)`` arrays.
 
         ``char_ids``/``n_chars`` are this stream's overlay text;
         ``thr_map`` is the shard's (Ln,) sensitivity slice or None.
         Returns ``(new_prev, lpos, gxs, gvals_u8, aux)`` with indices
         already globalized (zero past ``lpos``).
+
+        ``emit_tiled``: per-shard TILED emit instead — returns
+        ``(new_prev, counts_u, xs_t, vals_t, aux)`` where the shard's
+        compaction units (``(U, unit_bytes)`` blocks, unit-count prefix
+        each) are first-class wire tiles with GLOBAL indices (the shard
+        base rides the kernel's ``index_offset`` operand). This skips
+        the per-shard merge epilogue AND rides the sub-tiled/pair-packed
+        fast kernel — the flat emit re-measured 0.83 ms/shard at 1080p
+        vs 0.16 tiled (benchmarks/subtile_ab, pair_ab); the single-
+        stream serving path (``_body_b1``, ``server --mesh``) uses it.
         """
         cfg = self.cfg
         Ln = self.local_bytes
@@ -286,15 +297,33 @@ class ShardedDeltaPipeline:
         thr_positive = (
             cfg.threshold > 0 if thr_map is None else self._thr_map_min > 0
         )
+        tiled_out = None
         if self.uses_pallas:
-            lpos, lxs, lvals, new_prev = logcompact.fused_diff_compact(
-                cur, prev,
-                threshold=cfg.threshold,
-                negative_feedback=cfg.negative_feedback,
-                interpret=self._interpret,
-                overlay_region=region,
-                threshold_map=thr_map,
-            )
+            if emit_tiled:
+                _, counts_u, xs_t, vals_t, new_prev = (
+                    logcompact.fused_diff_compact(
+                        cur, prev,
+                        threshold=cfg.threshold,
+                        negative_feedback=cfg.negative_feedback,
+                        interpret=self._interpret,
+                        overlay_region=region,
+                        threshold_map=thr_map,
+                        emit="tiled",
+                        sub_rows=cfg.subtile_rows,
+                        pair=cfg.pair_lanes,
+                        index_offset=sidx * Ln,
+                    )
+                )
+                tiled_out = (counts_u, xs_t, vals_t)
+            else:
+                lpos, lxs, lvals, new_prev = logcompact.fused_diff_compact(
+                    cur, prev,
+                    threshold=cfg.threshold,
+                    negative_feedback=cfg.negative_feedback,
+                    interpret=self._interpret,
+                    overlay_region=region,
+                    threshold_map=thr_map,
+                )
             mask = None
             if needs_mask:
                 if cfg.negative_feedback and thr_positive:
@@ -318,6 +347,10 @@ class ShardedDeltaPipeline:
         elif cfg.visualizer == Visualizer.RED_OVERLAP:
             aux = filter_ops.red_overlap(prev, mask)
 
+        if tiled_out is not None:
+            counts_u, xs_t, vals_t = tiled_out
+            return new_prev, counts_u, xs_t, vals_t, aux
+
         # globalize indices (padding stays zero)
         lane = jax.lax.broadcasted_iota(jnp.int32, (Ln,), 0)
         valid = lane < lpos
@@ -325,6 +358,11 @@ class ShardedDeltaPipeline:
         gvals = jnp.where(
             valid, lvals.astype(jnp.int32), 0
         ).astype(jnp.uint8)
+        if emit_tiled:
+            # non-Pallas fallback (local shards past the int32 index
+            # range): ONE unit per shard — its count-prefix block is
+            # exactly the flat per-shard payload
+            return new_prev, lpos[None], gxs[None], gvals[None], aux
         return new_prev, lpos, gxs, gvals, aux
 
     def _body(self, prev, frame, char_ids, n_chars, *maybe_thr):
@@ -382,12 +420,20 @@ class ShardedDeltaPipeline:
         thr_map = maybe_thr[0] if maybe_thr else None
         sidx = jax.lax.axis_index("space")
         Ln = self.local_bytes
+        if self.payload_layout == "sharded":
+            # per-shard TILED emit: the shard's compaction units are
+            # first-class wire tiles with global indices (kernel
+            # index_offset) — no merge epilogue, and the sub-tiled/
+            # pair-packed fast kernel runs per shard. Outputs concat
+            # along the unit axis: counts (n_space*U,), blocks
+            # (n_space*U, unit_bytes), ascending global order.
+            return self._stream_body(
+                prev, frame, char_ids, n_chars, thr_map, sidx,
+                emit_tiled=True,
+            )
         new_prev, lpos, gxs, gvals, aux = self._stream_body(
             prev, frame, char_ids, n_chars, thr_map, sidx
         )
-
-        if self.payload_layout == "sharded":
-            return new_prev, lpos[None], gxs, gvals, aux
 
         counts = jax.lax.all_gather(lpos, "space")  # (n_space,)
         before = jnp.sum(jnp.where(
@@ -490,10 +536,13 @@ class ShardedDeltaPipeline:
     def step_flat(self, prev: Array, frame, text: str = ""):
         """Single-stream step on flat state (see ``_body_b1``).
 
-        Returns ``(new_prev(n,), counts(n_space,), xs(n,), vals(n,),
-        aux(n,))`` for the ``"sharded"`` layout, or ``(new_prev(n,),
-        pos scalar, xs(cap,), vals(cap,), aux(n,))`` for
-        ``"replicated"``.
+        Returns ``(new_prev(n,), counts(n_units,), xs(n_units, ub),
+        vals(n_units, ub), aux(n,))`` for the ``"sharded"`` layout —
+        per-shard TILED emit, unit blocks in ascending global order
+        with unit-count prefixes, exactly a single-chip
+        ``wire.TiledPayload`` whose tile axis spans all shards — or
+        ``(new_prev(n,), pos scalar, xs(cap,), vals(cap,), aux(n,))``
+        for ``"replicated"``.
         """
         ids = fonts.encode_text(text, MAX_OVERLAY_CHARS)
         char_ids = jax.device_put(

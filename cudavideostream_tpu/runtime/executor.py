@@ -122,24 +122,6 @@ class TieredFetcher:
         )
 
 
-class FlatShardView:
-    """A flat 1-D device array presented as ``(n_tiles, tile_cap)``
-    blocks WITHOUT a device reshape — reshaping a flat uint8 buffer to
-    (n_tiles, cap) materializes the padded-sublane 2-D layout (extra
-    HBM traffic); the lander's "shards" path only ever slices
-    ``[s, :t]``, which maps to a flat range."""
-
-    def __init__(self, arr, n_tiles: int, tile_cap: int):
-        self.arr = arr
-        self.shape = (n_tiles, tile_cap)
-
-    def __getitem__(self, key):
-        s, sl = key
-        base = s * self.shape[1]
-        start = sl.start or 0
-        return self.arr[base + start : base + sl.stop]
-
-
 class TiledLander:
     """Landing strategy for per-tile payload blocks, shared by the solo
     executor, multiserve, and broadcast paths.

@@ -37,7 +37,6 @@ import numpy as np
 from cudavideostream_tpu.config import StreamConfig, Visualizer
 from cudavideostream_tpu.runtime.executor import (
     ExecMetrics,
-    FlatShardView,
     LinkStats,
     TieredFetcher,
     TiledLander,
@@ -93,13 +92,13 @@ class ShardedStreamExecutor:
         self.payload_layout = payload_layout
         self._state = None
         self.link = LinkStats()
-        # sharded layout: per-shard count-prefix landing ("shards" — a
-        # device-side merge would gather every shard to one device,
-        # defeating the zero-payload-collective layout, and whole-block
-        # fetches would move ~5x the frame bytes since each "tile" is a
-        # full shard); replicated layout: tiered pos-prefix fetches like
-        # the solo executor
-        self._lander = TiledLander("shards", self.link)
+        # sharded layout: the flat step's per-shard TILED emit hands the
+        # host a single-chip-shaped tiled payload (unit blocks spanning
+        # all shards, count prefix each) — land it through the same
+        # density-adaptive tiles/flat lander as the solo tiled executor.
+        # (The per-shard count-prefix "shards" mode remains the batched
+        # multiserve landing, where each tile IS a full shard.)
+        self._lander = TiledLander(config.fetch_mode, self.link)
         self._fetch_xs = TieredFetcher(config.frame_bytes, stats=self.link)
         self._fetch_vals = TieredFetcher(config.frame_bytes, stats=self.link)
         self.metrics = ExecMetrics()
@@ -134,12 +133,7 @@ class ShardedStreamExecutor:
             counts_d, xs_d, vals_d = rest[0], rest[1], rest[2]
             counts = np.asarray(counts_d).astype(np.int32)
             pos = int(counts.sum())
-            n_space, Ln = self.pipe.n_space, self.pipe.local_bytes
-            payload = self._lander.land(
-                pos, counts, counts_d,
-                FlatShardView(xs_d, n_space, Ln),
-                FlatShardView(vals_d, n_space, Ln),
-            )
+            payload = self._lander.land(pos, counts, counts_d, xs_d, vals_d)
             self.metrics.record(time.perf_counter() - t0, pos)
             return pos, payload, None, aux
         pos = int(np.asarray(rest[0]))

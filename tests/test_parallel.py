@@ -477,18 +477,19 @@ def test_step_flat_matrix_matches_oracle(mesh8, viz, noise, negfeed):
         exp_prev, exp_pos, exp_xs, exp_vals, exp_aux = ref.step_oracle(
             prev_ref, frame, cfg, atlas=pipe.atlas_np, char_ids=ids,
         )
+        # per-shard TILED emit: unit blocks spanning all shards in
+        # ascending global order, unit-count prefix each
         cts = np.asarray(counts).astype(np.int32)
         assert int(cts.sum()) == exp_pos
-        Ln = pipe.local_bytes
-        xs2 = np.asarray(xs).reshape(pipe.n_space, Ln)
-        vals2 = np.asarray(vals).reshape(pipe.n_space, Ln)
+        xs2 = np.asarray(xs)
+        vals2 = np.asarray(vals)
         np.testing.assert_array_equal(
-            np.concatenate([xs2[s, : cts[s]] for s in range(pipe.n_space)]),
+            np.concatenate([xs2[u, : cts[u]] for u in range(len(cts))]),
             exp_xs,
         )
         np.testing.assert_array_equal(
             np.concatenate(
-                [vals2[s, : cts[s]] for s in range(pipe.n_space)]
+                [vals2[u, : cts[u]] for u in range(len(cts))]
             ),
             exp_vals,
         )
@@ -517,10 +518,9 @@ def test_step_flat_threshold_map_matches_oracle(mesh8):
     )
     cts = np.asarray(counts).astype(np.int32)
     assert int(cts.sum()) == exp_pos
-    Ln = pipe.local_bytes
-    xs2 = np.asarray(xs).reshape(pipe.n_space, Ln)
+    xs2 = np.asarray(xs)
     np.testing.assert_array_equal(
-        np.concatenate([xs2[s, : cts[s]] for s in range(pipe.n_space)]),
+        np.concatenate([xs2[u, : cts[u]] for u in range(len(cts))]),
         exp_xs,
     )
     np.testing.assert_array_equal(np.asarray(st), exp_prev)
