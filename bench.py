@@ -169,7 +169,11 @@ def main(argv=None) -> int:
     p.add_argument("--all-variants", action="store_true",
                    help="additionally bench every named pipeline variant; "
                         "writes benchmarks/variants_tpu_v5e.json")
+    p.add_argument("--one-variant", default=None, help=argparse.SUPPRESS)
     args = p.parse_args(argv)
+
+    if args.one_variant:
+        return _one_variant(args)
 
     import dataclasses
 
@@ -195,23 +199,35 @@ def main(argv=None) -> int:
         _kernel_table(cfg, file=sys.stderr)
 
     if args.all_variants:
+        # one variant per SUBPROCESS: measuring several 1080p pipelines
+        # in one process inflates later rows up to 2x (measured while
+        # re-recording benchmarks/mesh_vs_solo — executable/buffer state
+        # from earlier pipelines degrades later ones on the chip)
+        import os
+        import subprocess
+
         from cudavideostream_tpu.models import variants as variants_mod
 
         results = {}
         for name in variants_mod.available():
-            vcfg = variants_mod.get_config(
-                name, tiled_payload=(args.emit == "tiled")
-            )
-            if not on_tpu:
-                vcfg = dataclasses.replace(vcfg, height=48, width=64)
-            vfps = _bench_config(
-                vcfg, text, args.frames, args.iters, args.skip_check,
-                label=name, noise_bank=args.noise_bank,
-            )
+            cmd = [sys.executable, os.path.abspath(__file__),
+                   "--one-variant", name, "--emit", args.emit,
+                   "--frames", str(args.frames), "--iters", str(args.iters),
+                   "--noise-bank", str(args.noise_bank)]
+            if args.skip_check:
+                cmd.append("--skip-check")
+            proc = subprocess.run(cmd, capture_output=True, text=True)
+            vfps = None
+            for line in proc.stdout.splitlines():
+                if line.startswith("VARIANT "):
+                    vfps = float(line.split()[2])
+            if vfps is None:
+                print(f"[{name}] FAILED:\n{proc.stdout}\n{proc.stderr}",
+                      file=sys.stderr)
+                continue
             results[name] = round(vfps, 2)
             print(f"[{name}] {vfps:9.2f} fps  ({vfps/BASELINE_FPS:.1f}x baseline)",
                   file=sys.stderr)
-        import os
 
         out_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)),
@@ -231,6 +247,30 @@ def main(argv=None) -> int:
             }
         )
     )
+    return 0
+
+
+def _one_variant(args) -> int:
+    """Bench ONE named variant in this (fresh) process; prints
+    ``VARIANT <name> <fps>`` for the --all-variants parent."""
+    import dataclasses
+
+    import jax
+
+    from cudavideostream_tpu.models import variants as variants_mod
+
+    on_tpu = jax.default_backend() not in ("cpu",)
+    vcfg = variants_mod.get_config(
+        args.one_variant, tiled_payload=(args.emit == "tiled")
+    )
+    if not on_tpu:
+        vcfg = dataclasses.replace(vcfg, height=48, width=64)
+    text = "FPS: 240 BW: 14000 kbps"
+    vfps = _bench_config(
+        vcfg, text, args.frames, args.iters, args.skip_check,
+        label=args.one_variant, noise_bank=args.noise_bank,
+    )
+    print(f"VARIANT {args.one_variant} {vfps:.2f}")
     return 0
 
 

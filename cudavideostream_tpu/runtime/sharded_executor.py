@@ -8,17 +8,18 @@ wire protocol. The reference has no multi-device notion at all
 (SURVEY.md §2.2 — its widest parallelism is one GPU's threads).
 
 With the default ``"sharded"`` payload layout there are zero payload
-collectives: each space-shard's locally-compacted block and count stay
-in place, and the shard axis is handed to the scatter-gather sender as
-the tile axis of a :class:`~cudavideostream_tpu.runtime.wire.TiledPayload`
-— the multi-chip analogue of the single-chip tiled emit. Landing uses
-the shared :class:`~cudavideostream_tpu.runtime.executor.TiledLander`
-over the shard axis (counts first, then per-shard block slices up to
-the last non-empty shard) — never a full-capacity ``(n_space, Ln)``
-fetch, which over the documented ~16 MB/s tunnel would cost seconds per
-frame. The ``"replicated"`` layout assembles the flat payload on device
-with collectives instead, and lands it through tiered ``pos``-prefix
-fetches like the solo executor.
+collectives: each space-shard compacts locally with the full sub-tiled/
+pair-packed fast kernel and emits its compaction units as first-class
+wire tiles (TILED emit with the shard base riding the kernel's
+``index_offset`` operand, so unit blocks hold GLOBAL indices — no
+per-shard merge epilogue, no globalization pass). The result is shaped
+exactly like a single-chip tiled payload whose tile axis spans all
+shards, and lands through the same density-adaptive
+:class:`~cudavideostream_tpu.runtime.executor.TiledLander` — never a
+full-capacity fetch, which over the documented ~16 MB/s tunnel would
+cost seconds per frame. The ``"replicated"`` layout assembles the flat
+payload on device with collectives instead, and lands it through
+tiered ``pos``-prefix fetches like the solo executor.
 
 Feature parity with the solo executor (``--mesh`` must not silently
 drop flags): per-byte ``threshold_map`` shards along rows like the
