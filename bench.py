@@ -137,14 +137,21 @@ def _bench_config(cfg, atlas_text, frames, iters, skip_check, label="",
     _ = jax.device_get(out[1][0].ravel()[0])
     rtt = measure_rtt(out[1][0])
 
-    times = []
+    raw = []
     for _ in range(iters):
         t0 = time.perf_counter()
         (prev0, key0), out = run_scan(prev0, key0)
         _ = jax.device_get(out[0].ravel()[0])
-        times.append(time.perf_counter() - t0 - rtt)
+        raw.append(time.perf_counter() - t0)
+    # RTT is a floor cost, so a contended-window estimate taken before
+    # the loop can EXCEED a quiet scan's wall time and flip samples
+    # negative; re-measure after the loop, keep the smaller estimate,
+    # and discard any still-non-positive sample (those are the fastest
+    # scans — dropping them only biases the median down, never up)
+    rtt = min(rtt, measure_rtt(out[0]))
+    times = [t - rtt for t in raw if t - rtt > 0] or raw
     fps_samples = sorted(T / t for t in times)
-    print(f"[{label}] per-scan fps samples: "
+    print(f"[{label}] per-scan fps samples (rtt={rtt*1e3:.1f} ms): "
           + " ".join(f"{f:.0f}" for f in fps_samples), file=sys.stderr)
     return fps_samples[len(fps_samples) // 2]
 
