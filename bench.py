@@ -205,6 +205,7 @@ def main(argv=None) -> int:
     if args.full:
         _kernel_table(cfg, file=sys.stderr)
 
+    variants_failed = False
     if args.all_variants:
         # one variant per SUBPROCESS: measuring several 1080p pipelines
         # in one process inflates later rows up to 2x (measured while
@@ -216,6 +217,7 @@ def main(argv=None) -> int:
         from cudavideostream_tpu.models import variants as variants_mod
 
         results = {}
+        failed = []
         for name in variants_mod.available():
             cmd = [sys.executable, os.path.abspath(__file__),
                    "--one-variant", name, "--emit", args.emit,
@@ -224,13 +226,23 @@ def main(argv=None) -> int:
             if args.skip_check:
                 cmd.append("--skip-check")
             proc = subprocess.run(cmd, capture_output=True, text=True)
+            # the child keeps the one-JSON-line-on-stdout invariant: its
+            # single stdout line is {"metric": "variant_fps:<name>", ...}
             vfps = None
             for line in proc.stdout.splitlines():
-                if line.startswith("VARIANT "):
-                    vfps = float(line.split()[2])
-            if vfps is None:
-                print(f"[{name}] FAILED:\n{proc.stdout}\n{proc.stderr}",
-                      file=sys.stderr)
+                try:
+                    rec = json.loads(line)
+                except ValueError:
+                    continue
+                if rec.get("metric") == f"variant_fps:{name}":
+                    vfps = float(rec["value"])
+            if proc.returncode != 0 or vfps is None:
+                # a child whose byte-exact oracle gate raised MUST fail
+                # the whole run: this is the on-chip byte-exactness
+                # regression net (CLAUDE.md), not an advisory sweep
+                failed.append(name)
+                print(f"[{name}] FAILED (rc={proc.returncode}):\n"
+                      f"{proc.stdout}\n{proc.stderr}", file=sys.stderr)
                 continue
             results[name] = round(vfps, 2)
             print(f"[{name}] {vfps:9.2f} fps  ({vfps/BASELINE_FPS:.1f}x baseline)",
@@ -240,9 +252,15 @@ def main(argv=None) -> int:
             os.path.dirname(os.path.abspath(__file__)),
             "benchmarks", "variants_tpu_v5e.json",
         )
-        with open(out_path, "w") as f:
-            json.dump(results, f, indent=1)
-        print(f"wrote {out_path}", file=sys.stderr)
+        if failed:
+            # refuse to write a json that silently omits failed variants
+            print(f"NOT writing {out_path}: failed variants {failed}",
+                  file=sys.stderr)
+        else:
+            with open(out_path, "w") as f:
+                json.dump(results, f, indent=1)
+            print(f"wrote {out_path}", file=sys.stderr)
+        variants_failed = bool(failed)
 
     print(
         json.dumps(
@@ -254,12 +272,14 @@ def main(argv=None) -> int:
             }
         )
     )
-    return 0
+    return 1 if variants_failed else 0
 
 
 def _one_variant(args) -> int:
-    """Bench ONE named variant in this (fresh) process; prints
-    ``VARIANT <name> <fps>`` for the --all-variants parent."""
+    """Bench ONE named variant in this (fresh) process. Keeps the
+    repo-wide invariant that bench.py prints exactly ONE json line on
+    stdout: the marker the --all-variants parent parses IS that line
+    (``{"metric": "variant_fps:<name>", ...}``)."""
     import dataclasses
 
     import jax
@@ -277,7 +297,16 @@ def _one_variant(args) -> int:
         vcfg, text, args.frames, args.iters, args.skip_check,
         label=args.one_variant, noise_bank=args.noise_bank,
     )
-    print(f"VARIANT {args.one_variant} {vfps:.2f}")
+    print(
+        json.dumps(
+            {
+                "metric": f"variant_fps:{args.one_variant}",
+                "value": round(vfps, 2),
+                "unit": "fps",
+                "vs_baseline": round(vfps / BASELINE_FPS, 2),
+            }
+        )
+    )
     return 0
 
 

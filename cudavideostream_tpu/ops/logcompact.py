@@ -33,7 +33,9 @@ derived cross-check.
 **register** — row-loop register staging (:mod:`.pallas_compact`): a
 one-hot reduction packs each 128-lane row, a carried (8,128) staging
 block absorbs rows and flushes at aligned boundaries. A third
-independently derived scheme; the three cross-check each other.
+independently derived scheme, **correctness-only** (44.97 ms at 1080p
+on hardware — the scalar row loop does not map to the VPU; use it in
+interpret mode or on small frames); the three cross-check each other.
 
 Output order is ascending byte index (deterministic; the reference's
 ``atomicInc`` order is nondeterministic, and the client is a pure

@@ -1,6 +1,14 @@
 """The ``register`` compaction scheme: diff + negative feedback + stream
 compaction via row-loop register staging.
 
+**Correctness cross-check only — NOT a peer performance scheme.** On
+hardware the scalar row loop does not map to the VPU: 44.97 ms at 1080p
+(``benchmarks/times_tpu_v5e``), ~270x the default ``element`` scheme.
+Its value is as an *independently derived* third implementation of the
+exact byte semantics, kept in-tree the way the reference keeps its
+rejected experiments (SURVEY.md §4 leg 4); run it in interpret mode or
+on small frames. The product path never selects it.
+
 One of the three independently derived TPU compactions of ``kernel2``
 (reference ``server/src/kernels.cu:289-334``); dispatched through
 ``logcompact.fused_diff_compact(scheme="register")`` and cross-checked

@@ -408,12 +408,30 @@ class StreamExecutor:
             prev=np.asarray(self._state),
             geometry=np.array([self.cfg.height, self.cfg.width]),
             threshold=np.array([self.cfg.threshold]),
+            negative_feedback=np.array([int(self.cfg.negative_feedback)]),
         )
 
     def load_state(self, path: str) -> None:
         data = np.load(path if path.endswith(".npz") else path + ".npz")
         if tuple(data["geometry"]) != (self.cfg.height, self.cfg.width):
             raise ValueError("checkpoint geometry mismatch")
+        # threshold / negative_feedback shape the prev buffer's contents
+        # (sub-threshold drift accumulates in it): resuming under a
+        # different setting would silently change delta semantics vs the
+        # stream the checkpoint came from — refuse, don't guess
+        if int(data["threshold"][0]) != self.cfg.threshold:
+            raise ValueError(
+                f"checkpoint threshold {int(data['threshold'][0])} != "
+                f"config threshold {self.cfg.threshold}"
+            )
+        if "negative_feedback" in data and bool(
+            data["negative_feedback"][0]
+        ) != self.cfg.negative_feedback:
+            raise ValueError(
+                "checkpoint negative_feedback mismatch "
+                f"(saved {bool(data['negative_feedback'][0])}, "
+                f"config {self.cfg.negative_feedback})"
+            )
         self._state = self.pipe.init_state(data["prev"])
 
 

@@ -44,11 +44,18 @@ class DeltaStreamServer:
     def __init__(self, config: StreamConfig, source: FrameSource,
                  executor: StreamExecutor | None = None, verbose: bool = True,
                  overlay_status: bool = True, aux_dir: str | None = None,
-                 aux_every: int = 30):
+                 aux_every: int = 30, resume: bool = False):
         self.cfg = config
         self.source = source
         self.executor = executor or StreamExecutor(config)
         self.verbose = verbose
+        # resume=True: the executor already holds state (load_state) —
+        # serve FROM it instead of re-basing on the source. The shipped
+        # base frame is the checkpoint's prev bytes, so a fresh client
+        # starts correct and a client that kept its reconstruction from
+        # the pre-restart session receives exactly the bytes it already
+        # has (its reconstruction byte-equals the checkpoint prev).
+        self.resume = resume
         # render the 1 Hz status into the video (server.cpp:166-168);
         # off => deterministic streams for tests
         self.overlay_status = overlay_status
@@ -95,7 +102,10 @@ class DeltaStreamServer:
 
     def _stream_to(self, conn: socket.socket, max_frames: int | None) -> int:
         conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
-        base = self.executor.start(self.source.base_frame())
+        if self.resume:
+            base = self.executor.resync()
+        else:
+            base = self.executor.start(self.source.base_frame())
         v3enc = None
         if self.cfg.wire_format == "v2":
             conn.sendall(wire.MAGIC_V2)
@@ -281,6 +291,14 @@ def main(argv=None) -> int:
     p.add_argument("--aux-dir", default=None,
                    help="dump visualizer aux frames as PPMs here "
                         "(the headless SERVER_IMSHOW)")
+    p.add_argument("--resume", default=None, metavar="CKPT",
+                   help="resume serving from a checkpoint (.npz written "
+                        "by --save-state): the shipped base frame is the "
+                        "checkpoint's prev state, so reconnecting clients "
+                        "that kept their reconstruction stay byte-exact")
+    p.add_argument("--save-state", default=None, metavar="CKPT",
+                   help="write the executor state checkpoint here after "
+                        "serving (pair with --resume on the next run)")
     args = p.parse_args(argv)
     # genuinely impossible combos only: --tiled is the single-chip emit
     # mode (the sharded layout IS the mesh analogue) and the oracle is
@@ -364,8 +382,20 @@ def main(argv=None) -> int:
     import os as _os
     if args.aux_dir:
         _os.makedirs(args.aux_dir, exist_ok=True)
-    server = DeltaStreamServer(cfg, source, executor=executor, aux_dir=args.aux_dir)
+    if args.resume or args.save_state:
+        if executor is None:
+            executor = StreamExecutor(cfg)
+        if not hasattr(executor, "load_state"):
+            p.error("--resume/--save-state need a checkpointable executor "
+                    "(not available under --mesh or --backend oracle)")
+    if args.resume:
+        executor.load_state(args.resume)
+    server = DeltaStreamServer(cfg, source, executor=executor,
+                               aux_dir=args.aux_dir, resume=bool(args.resume))
     served = server.serve(max_frames=args.frames)
+    if args.save_state:
+        executor.save_state(args.save_state)
+        print(f"state saved to {args.save_state}", file=sys.stderr)
     print(f"served {served} frames", file=sys.stderr)
     return 0
 

@@ -99,7 +99,19 @@ class ShardedStreamExecutor:
         # density-adaptive tiles/flat lander as the solo tiled executor.
         # (The per-shard count-prefix "shards" mode remains the batched
         # multiserve landing, where each tile IS a full shard.)
-        self._lander = TiledLander(config.fetch_mode, self.link)
+        #
+        # EXCEPT when the mesh actually shards the payload (n_space > 1):
+        # the lander's flat landing runs ``logcompact.merge_tiles`` — a
+        # pallas_call with no SPMD partitioning rule — on unit blocks
+        # living P("space") across devices, which at best forces a
+        # per-frame full all-gather (the exact cost the zero-collective
+        # layout exists to avoid) and at worst fails to lower. Pin the
+        # lander to the per-tile block path; "auto"/"flat" only make
+        # sense on a (1,1) mesh where the arrays are single-device.
+        lander_mode = config.fetch_mode
+        if payload_layout == "sharded" and self.pipe.n_space > 1:
+            lander_mode = "tiles"
+        self._lander = TiledLander(lander_mode, self.link)
         self._fetch_xs = TieredFetcher(config.frame_bytes, stats=self.link)
         self._fetch_vals = TieredFetcher(config.frame_bytes, stats=self.link)
         self.metrics = ExecMetrics()

@@ -79,6 +79,83 @@ class TestCheckpoint:
         with pytest.raises(ValueError):
             StreamExecutor(other).load_state(path)
 
+    def test_threshold_mismatch_rejected(self, small_config, rng, tmp_path):
+        """The prev buffer carries sub-threshold drift: resuming under a
+        different threshold silently changes negative-feedback semantics
+        vs the stream the checkpoint came from — must refuse."""
+        import dataclasses
+
+        ex = StreamExecutor(small_config)
+        ex.start(rng.integers(0, 255, small_config.frame_bytes, endpoint=True, dtype=np.uint8))
+        path = str(tmp_path / "state")
+        ex.save_state(path)
+        other = dataclasses.replace(small_config, threshold=small_config.threshold + 5)
+        with pytest.raises(ValueError, match="threshold"):
+            StreamExecutor(other).load_state(path)
+
+    def test_negative_feedback_mismatch_rejected(self, small_config, rng, tmp_path):
+        import dataclasses
+
+        ex = StreamExecutor(small_config)
+        ex.start(rng.integers(0, 255, small_config.frame_bytes, endpoint=True, dtype=np.uint8))
+        path = str(tmp_path / "state")
+        ex.save_state(path)
+        other = dataclasses.replace(small_config, negative_feedback=False)
+        with pytest.raises(ValueError, match="negative_feedback"):
+            StreamExecutor(other).load_state(path)
+
+    def test_server_restart_resumes_byte_exact(self, small_config, rng, tmp_path):
+        """Full restart loopback: server checkpoints, a NEW server
+        process resumes from it (--resume semantics), and a client that
+        kept its reconstruction across the restart keeps decoding
+        byte-exact (the resumed base frame equals the bytes it already
+        holds)."""
+        import dataclasses
+        import threading
+
+        from cudavideostream_tpu.runtime.client import DeltaStreamClient
+        from cudavideostream_tpu.runtime.server import DeltaStreamServer
+        from cudavideostream_tpu.runtime.sources import SyntheticSource
+
+        cfg = dataclasses.replace(small_config, port=0)
+        src = SyntheticSource(cfg, seed=11)  # continues across both servers
+        ex1 = StreamExecutor(cfg)
+        s1 = DeltaStreamServer(cfg, src, executor=ex1, verbose=False,
+                               overlay_status=False)
+        s1.listen()
+        t1 = threading.Thread(target=s1.serve, kwargs={"max_frames": 3},
+                              daemon=True)
+        t1.start()
+        cli = DeltaStreamClient("127.0.0.1", s1.port, cfg.height, cfg.width)
+        cli.connect()
+        for _ in range(3):
+            cli.read_frame()
+        cli.close()
+        t1.join(timeout=30)
+        kept = cli.frame.copy()  # reconstruction kept across the restart
+        path = str(tmp_path / "ckpt")
+        ex1.save_state(path)
+
+        ex2 = StreamExecutor(cfg)
+        ex2.load_state(path)
+        s2 = DeltaStreamServer(cfg, src, executor=ex2, verbose=False,
+                               overlay_status=False, resume=True)
+        s2.listen()
+        t2 = threading.Thread(target=s2.serve, kwargs={"max_frames": 2},
+                              daemon=True)
+        t2.start()
+        cli2 = DeltaStreamClient("127.0.0.1", s2.port, cfg.height, cfg.width)
+        cli2.connect()
+        # the resumed base frame IS the kept reconstruction
+        np.testing.assert_array_equal(cli2.frame, kept)
+        for _ in range(2):
+            cli2.read_frame()
+        cli2.close()
+        t2.join(timeout=30)
+        # decoding stayed byte-exact through the restart: the client's
+        # reconstruction equals the server-side previous-frame state
+        np.testing.assert_array_equal(cli2.frame, ex2.resync())
+
 
 class TestProfiling:
     def test_frame_profiler(self):

@@ -349,6 +349,37 @@ class TestShardedExecutor:
         )
         assert self._capture(cfg, executor=ex) == baseline
 
+    def test_auto_fetch_pinned_to_tiles_on_real_mesh(self):
+        """ADVICE r3: the lander's flat landing runs ``merge_tiles`` — a
+        pallas_call with no SPMD partitioning rule — on P('space')
+        unit blocks, so on any mesh that actually shards the payload the
+        'auto' mode must be pinned to the per-tile block path. Force the
+        link stats to values that would flip 'auto' to flat and verify
+        the landing never takes the flat path while the wire bytes stay
+        identical to single-device serving."""
+        from cudavideostream_tpu.runtime.sharded_executor import (
+            ShardedStreamExecutor,
+            make_mesh,
+        )
+
+        if len(jax.devices()) < 4:
+            pytest.skip("needs 4 virtual devices")
+        cfg = StreamConfig(height=48, width=64, overlay_scale=1, port=0)
+        assert cfg.fetch_mode == "auto"
+        baseline = self._capture(cfg)
+        ex = ShardedStreamExecutor(cfg, mesh=make_mesh(1, 4))
+        assert ex._lander.mode == "tiles"
+        # make the flat decision maximally attractive: were the mode
+        # still 'auto', use_flat would return True on every frame
+        ex.link.bps = 1e12
+        ex.link.merge_s = 0.0
+        assert self._capture(cfg, executor=ex) == baseline
+        assert ex._lander.fetch_counts["flat"] == 0
+        assert ex._lander.fetch_counts["tiles"] > 0
+        # a (1,1) mesh holds single-device arrays: 'auto' stays legal
+        ex1 = ShardedStreamExecutor(cfg, mesh=make_mesh(1, 1))
+        assert ex1._lander.mode == "auto"
+
     def test_mesh_cli_exclusive(self):
         from cudavideostream_tpu.runtime.server import main
 
