@@ -97,6 +97,83 @@ class DeltaStreamClient:
             self._rec = None
 
 
+def make_http_relay(listen_port: int, server_host: str, server_port: int,
+                    height: int, width: int, verbose: bool = False):
+    """Live browser bridge — parity with the reference client's display
+    loop (``client/opencv.cpp:68-69``), sans GUI dependency.
+
+    Returns a ``ThreadingHTTPServer`` bound to ``listen_port`` serving:
+
+    * ``/`` — ``examples/viewer.html`` with the W/H defaults rewritten
+      to this stream's geometry; its "live" button starts decoding;
+    * ``/stream`` — connects to the delta-stream server and pipes the
+      raw wire bytes through as an HTTP/1.0 close-delimited response;
+      the browser decodes the stream incrementally (all three wire
+      formats — the magic prefix self-describes).
+
+    Each ``/stream`` request opens its own upstream connection, so the
+    solo server (sequential clients) and the broadcast server (parallel
+    clients) both work. Caller runs ``serve_forever()``.
+    """
+    import http.server
+    import os
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    viewer = os.path.join(repo_root, "examples", "viewer.html")
+    upstream = (server_host, server_port)
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def log_message(self, fmt, *a):  # noqa: A002 - stdlib signature
+            if verbose:
+                sys.stderr.write("[http] " + fmt % a + "\n")
+
+        def do_GET(self):
+            if self.path in ("/", "/index.html", "/viewer.html"):
+                try:
+                    with open(viewer, "rb") as f:
+                        html = f.read()
+                except OSError:
+                    self.send_error(404, "examples/viewer.html not found")
+                    return
+                html = html.replace(
+                    b'id="w" value="480"', f'id="w" value="{width}"'.encode()
+                ).replace(
+                    b'id="h" value="270"', f'id="h" value="{height}"'.encode()
+                )
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(html)))
+                self.end_headers()
+                self.wfile.write(html)
+                return
+            if self.path.split("?")[0] == "/stream":
+                try:
+                    up = socket.create_connection(upstream)
+                except OSError as e:
+                    self.send_error(502, f"server {upstream} unreachable: {e}")
+                    return
+                self.send_response(200)
+                self.send_header("Content-Type", "application/octet-stream")
+                self.send_header("Cache-Control", "no-store")
+                self.end_headers()
+                try:
+                    while True:
+                        data = up.recv(1 << 16)
+                        if not data:
+                            break
+                        self.wfile.write(data)
+                except (BrokenPipeError, ConnectionResetError, OSError):
+                    pass  # browser went away; just drop the upstream too
+                finally:
+                    up.close()
+                return
+            self.send_error(404)
+
+    return http.server.ThreadingHTTPServer(("0.0.0.0", listen_port), Handler)
+
+
 def write_ppm(path: str, frame: np.ndarray, height: int, width: int) -> None:
     """Dependency-free viewable dump: binary PPM (P6), BGR -> RGB."""
     img = frame.reshape(height, width, 3)[:, :, ::-1]
@@ -123,7 +200,26 @@ def main(argv=None) -> int:
     p.add_argument("--wire", default="auto",
                    choices=["auto", "v1", "v2", "v3"],
                    help="auto sniffs the v2/v3 magic; v1 = reference wire")
+    p.add_argument("--http", type=int, default=None, metavar="PORT",
+                   help="instead of decoding here, serve a LIVE browser "
+                        "viewer on this port: / renders the canvas page, "
+                        "/stream relays the raw wire bytes from the "
+                        "server at --host/--port (open http://localhost:"
+                        "PORT/ and press 'live')")
     args = p.parse_args(argv)
+
+    if args.http is not None:
+        srv = make_http_relay(args.http, args.host, args.port,
+                              args.height, args.width, verbose=args.check)
+        print(f"live viewer at http://localhost:{args.http}/ "
+              f"(relaying {args.host}:{args.port})", flush=True)
+        try:
+            srv.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            srv.server_close()
+        return 0
 
     cli = DeltaStreamClient(args.host, args.port, args.height, args.width,
                             record=args.record, wire_format=args.wire)

@@ -1039,3 +1039,225 @@ class TestSustainedSoak:
                 exp_i += 1
             assert exp_i < len(expected), f"frame {k} matches no oracle state"
         np.testing.assert_array_equal(got[-1][1], expected[-1])
+
+
+class TestHttpLiveViewer:
+    """client.py --http: the live browser bridge (reference display-loop
+    parity, client/opencv.cpp:68-69). /stream must relay the identical
+    wire bytes a direct socket client would read; / serves viewer.html
+    with the stream geometry substituted in."""
+
+    @staticmethod
+    def _serve(cfg, seed, n_frames):
+        server = DeltaStreamServer(
+            cfg, SyntheticSource(cfg, seed=seed),
+            verbose=False, overlay_status=False,
+        )
+        server.listen()
+        t = threading.Thread(
+            target=server.serve, kwargs={"max_frames": n_frames}, daemon=True
+        )
+        t.start()
+        return server, t
+
+    @staticmethod
+    def _capture_direct(port):
+        import socket
+
+        sock = socket.create_connection(("127.0.0.1", port))
+        chunks = []
+        while True:
+            b = sock.recv(1 << 16)
+            if not b:
+                break
+            chunks.append(b)
+        sock.close()
+        return b"".join(chunks)
+
+    @pytest.mark.parametrize("wire_format", ["v1", "v3"])
+    def test_stream_relays_identical_wire_bytes(self, small_config, wire_format):
+        import dataclasses
+        import urllib.request
+
+        from cudavideostream_tpu.runtime.client import make_http_relay
+
+        cfg = dataclasses.replace(small_config, port=0,
+                                  wire_format=wire_format)
+        s1, t1 = self._serve(cfg, seed=6, n_frames=3)
+        baseline = self._capture_direct(s1.port)
+        t1.join(timeout=30)
+
+        s2, t2 = self._serve(cfg, seed=6, n_frames=3)
+        relay = make_http_relay(0, "127.0.0.1", s2.port,
+                                cfg.height, cfg.width)
+        rt = threading.Thread(target=relay.serve_forever, daemon=True)
+        rt.start()
+        try:
+            rport = relay.server_address[1]
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{rport}/stream", timeout=30
+            ) as resp:
+                relayed = resp.read()
+            t2.join(timeout=30)
+        finally:
+            relay.shutdown()
+            relay.server_close()
+        assert relayed == baseline
+        assert len(relayed) > cfg.frame_bytes
+
+    def test_index_serves_viewer_with_geometry(self, small_config):
+        import dataclasses
+        import urllib.request
+
+        from cudavideostream_tpu.runtime.client import make_http_relay
+
+        cfg = dataclasses.replace(small_config, port=0)
+        relay = make_http_relay(0, "127.0.0.1", 59999, cfg.height, cfg.width)
+        rt = threading.Thread(target=relay.serve_forever, daemon=True)
+        rt.start()
+        try:
+            rport = relay.server_address[1]
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{rport}/", timeout=10
+            ) as resp:
+                html = resp.read().decode()
+        finally:
+            relay.shutdown()
+            relay.server_close()
+        assert f'id="w" value="{cfg.width}"' in html
+        assert f'id="h" value="{cfg.height}"' in html
+        assert "connectLive" in html  # the live decoder shipped
+
+    def test_stream_502_when_server_down(self, small_config):
+        import urllib.error
+        import urllib.request
+
+        from cudavideostream_tpu.runtime.client import make_http_relay
+
+        relay = make_http_relay(0, "127.0.0.1", 1, 48, 64)  # port 1: refused
+        rt = threading.Thread(target=relay.serve_forever, daemon=True)
+        rt.start()
+        try:
+            rport = relay.server_address[1]
+            with pytest.raises(urllib.error.HTTPError) as e:
+                urllib.request.urlopen(
+                    f"http://127.0.0.1:{rport}/stream", timeout=10
+                )
+            assert e.value.code == 502
+        finally:
+            relay.shutdown()
+            relay.server_close()
+
+    @pytest.mark.parametrize("wire_format", ["v1", "v2", "v3"])
+    def test_live_decoder_state_machine(self, small_config, wire_format):
+        """Python mirror of viewer.html's connectLive incremental parser,
+        fed the /stream response in deliberately tiny chunks: the frame
+        boundary math must hold on partial buffers and the resulting
+        reconstruction must byte-equal an oracle replay of the source."""
+        import dataclasses
+        import urllib.request
+
+        from cudavideostream_tpu.runtime.client import make_http_relay
+        from cudavideostream_tpu.runtime.oracle_executor import OracleExecutor
+
+        cfg = dataclasses.replace(small_config, port=0,
+                                  wire_format=wire_format)
+        n_frames = 3
+        s, t = self._serve(cfg, seed=8, n_frames=n_frames)
+        relay = make_http_relay(0, "127.0.0.1", s.port,
+                                cfg.height, cfg.width)
+        rt = threading.Thread(target=relay.serve_forever, daemon=True)
+        rt.start()
+        n = cfg.frame_bytes
+        frame = None
+        buf = b""
+        stage = 0
+        fmt = "v1"
+        base_off = 0
+        decoded = 0
+        try:
+            rport = relay.server_address[1]
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{rport}/stream", timeout=30
+            ) as resp:
+                while True:
+                    chunk = resp.read(701)  # force partial-buffer parsing
+                    if not chunk:
+                        break
+                    buf += chunk
+                    if stage == 0:
+                        if len(buf) < 16:
+                            continue
+                        from cudavideostream_tpu.runtime import wire as w
+
+                        fmt = ("v2" if buf[:16] == w.MAGIC_V2 else
+                               "v3" if buf[:16] == w.MAGIC_V3 else "v1")
+                        base_off = 0 if fmt == "v1" else 16
+                        if len(buf) < base_off + n:
+                            continue
+                        frame = np.frombuffer(
+                            buf[base_off:base_off + n], np.uint8
+                        ).copy()
+                        buf = buf[base_off + n:]
+                        stage = 1
+                    min_hdr = {"v3": 9, "v2": 8, "v1": 4}[fmt]
+                    while len(buf) >= min_hdr:
+                        # the same end-offset math as viewer.html
+                        if fmt == "v3":
+                            mode = buf[0]
+                            if mode == 2:
+                                end = 1 + n
+                            elif mode == 1:
+                                end = (5 + (n + 7) // 8
+                                       + int.from_bytes(buf[1:5], "little"))
+                            else:
+                                pos = int.from_bytes(buf[1:5], "little")
+                                nexc = int.from_bytes(buf[5:9], "little")
+                                end = 9 + 2 * pos + 4 * nexc + pos
+                        elif fmt == "v2":
+                            pos = int.from_bytes(buf[0:4], "little")
+                            nexc = int.from_bytes(buf[4:8], "little")
+                            end = 8 + 2 * pos + 4 * nexc + pos
+                        else:
+                            pos = int.from_bytes(buf[0:4], "little")
+                            end = 4 + 5 * pos
+                        if end > len(buf):
+                            break
+                        payload = buf[:end]
+                        buf = buf[end:]
+                        # decode via the tested wire readers (the JS
+                        # apply loop mirrors these byte-for-byte)
+                        reads = [payload]
+
+                        def read_exact(k, _r=reads):
+                            head, _r[0] = _r[0][:k], _r[0][k:]
+                            assert len(head) == k
+                            return head
+
+                        from cudavideostream_tpu.runtime import wire as w
+
+                        if fmt == "v3":
+                            p2, xs, vals, raw = w.read_frame_v3(read_exact, n)
+                            if raw is not None:
+                                frame = raw.copy()
+                                decoded += 1
+                                continue
+                        elif fmt == "v2":
+                            p2, xs, vals = w.read_payload_v2(read_exact)
+                        else:
+                            p2, xs, vals = w.read_payload(read_exact)
+                        if p2:
+                            np.add.at(frame, xs, vals)  # uint8 wrap-add
+                        decoded += 1
+            t.join(timeout=30)
+        finally:
+            relay.shutdown()
+            relay.server_close()
+        assert decoded == n_frames
+        # oracle replay: reconstruction equals the server's final state
+        replay = SyntheticSource(cfg, seed=8)
+        orc = OracleExecutor(cfg)
+        orc.start(replay.base_frame())
+        for _ in range(n_frames):
+            orc.process(next(replay))
+        np.testing.assert_array_equal(frame, orc.resync())
