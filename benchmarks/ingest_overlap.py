@@ -158,9 +158,101 @@ def run(out_path: str | None = None, n_frames: int = N_FRAMES):
     return results
 
 
+class _SlowSource:
+    """Stand-in for the reference's real bottleneck: a ~33 ms camera
+    grab (V4L2+MJPG decode, report.tex:782)."""
+
+    def __init__(self, inner, delay_s: float):
+        self.inner = inner
+        self.delay_s = delay_s
+
+    def base_frame(self):
+        return self.inner.base_frame()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        time.sleep(self.delay_s)
+        return next(self.inner)
+
+
+def run_prefetch_ab(out_path: str | None = None, n_frames: int = 60,
+                    source_ms: float = 33.0):
+    """--prefetch A/B: the full executor loop fed by a deliberately slow
+    source, with and without the capture-prefetch thread
+    (``runtime.sources.PrefetchSource`` = the reference's ``th_cap``).
+
+    Expectation: when source latency dominates, prefetch collapses
+    ms/frame from (source + compute) toward max(source, compute); when
+    the source is instant, prefetch is a wash (one extra queue hop)."""
+    import dataclasses
+
+    import jax
+
+    from cudavideostream_tpu.config import StreamConfig
+    from cudavideostream_tpu.runtime.executor import StreamExecutor
+    from cudavideostream_tpu.runtime.sources import (
+        PrefetchSource,
+        SyntheticSource,
+    )
+
+    on_tpu = jax.default_backend() not in ("cpu",)
+    cfg = StreamConfig() if on_tpu else StreamConfig(height=48, width=64)
+    delay_s = source_ms * 1e-3
+
+    def measure(slow: bool, prefetch: bool) -> float:
+        src = SyntheticSource(cfg, seed=0)
+        if slow:
+            src = _SlowSource(src, delay_s)
+        if prefetch:
+            src = PrefetchSource(src)
+        ex = StreamExecutor(cfg)
+        ex.start(src.base_frame())
+        # warm the jit outside the timed region
+        ex.process(next(src))
+        t0 = time.perf_counter()
+        for _ in range(n_frames):
+            ex.process(next(src))
+        ms = 1e3 * (time.perf_counter() - t0) / n_frames
+        if prefetch:
+            src.close()
+        return ms
+
+    rows = []
+    for slow, prefetch in ((True, False), (True, True),
+                           (False, False), (False, True)):
+        label = (f"{'slow' if slow else 'fast'}_src_"
+                 f"{'prefetch' if prefetch else 'inline'}")
+        ms = measure(slow, prefetch)
+        rows.append((label, ms))
+        print(f"{label:24s} {ms:8.2f} ms/frame")
+    if out_path:
+        with open(out_path, "w") as f:
+            f.write(
+                f"# variant\tms_per_frame ({cfg.height}x{cfg.width} on "
+                f"{jax.devices()[0].platform}; slow source = synthetic + "
+                f"{source_ms:.0f} ms sleep, the reference's camera grab "
+                f"latency report.tex:782; n={n_frames}; th_cap analogue "
+                f"= runtime.sources.PrefetchSource, server --prefetch)\n"
+            )
+            for label, ms in rows:
+                f.write(f"{label}\t{ms:.3f}\n")
+        print(f"wrote {out_path}", file=sys.stderr)
+    return rows
+
+
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--out", default=None)
     p.add_argument("--frames", type=int, default=N_FRAMES)
+    p.add_argument("--prefetch-ab", action="store_true",
+                   help="run the capture-prefetch (th_cap) A/B instead "
+                        "of the transfer-overlap experiment")
+    p.add_argument("--source-ms", type=float, default=33.0)
     args = p.parse_args()
-    run(args.out, n_frames=args.frames)
+    if args.prefetch_ab:
+        run_prefetch_ab(args.out, n_frames=args.frames,
+                        source_ms=args.source_ms)
+    else:
+        run(args.out, n_frames=args.frames)

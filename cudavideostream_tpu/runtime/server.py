@@ -285,6 +285,13 @@ def main(argv=None) -> int:
     p.add_argument("--pipelined", action="store_true",
                    help="one-frame-deep software pipeline: overlap frame N's "
                         "compute with frame N-1's payload landing")
+    p.add_argument("--prefetch", action="store_true",
+                   help="capture frames on a dedicated thread (the "
+                        "reference's th_cap): overlaps source latency "
+                        "with compute+send — wins when the source is "
+                        "slow (a real ~30-40 ms camera), buys nothing "
+                        "on transfer-bound links (benchmarks/"
+                        "ingest_overlap_results), so default off")
     p.add_argument("--frames", type=int, default=None,
                    help="stop after N frames (default: run forever)")
     p.add_argument("--seed", type=int, default=0)
@@ -339,6 +346,10 @@ def main(argv=None) -> int:
         ),
     )
     source = make_source(args.source, cfg, path=args.path, seed=args.seed)
+    if args.prefetch:
+        from cudavideostream_tpu.runtime.sources import PrefetchSource
+
+        source = PrefetchSource(source)
     thr_map = None
     if args.threshold_map:
         tm = np.load(args.threshold_map)

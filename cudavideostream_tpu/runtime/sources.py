@@ -220,6 +220,85 @@ class V4L2Source(FrameSource):
         self.close()
 
 
+class PrefetchSource(FrameSource):
+    """Capture-prefetch thread — the reference's dedicated capture
+    pthread (``th_cap_hdl``, ``threads.cpp:166-179``), whose whole point
+    is overlapping the ~30-40 ms V4L2/MJPG grab (the reference's real
+    fps ceiling, report.tex:782) with compute+send.
+
+    Wraps any source: a daemon thread pulls ``next(inner)`` into a small
+    bounded queue; the serving loop pops ready frames. Wins when source
+    latency dominates the loop (a real camera); on the ~16 MB/s tunnel
+    the serving loop is transfer-bound and overlap buys nothing
+    (``benchmarks/ingest_overlap_results``), so the server default is
+    OFF (``--prefetch`` opts in).
+
+    The queue depth bounds staleness: depth 1 means at most one frame is
+    captured ahead, matching the reference's one-in-flight ring handoff.
+    Source exceptions (camera death mid-stream) re-raise in the consumer.
+    """
+
+    _DONE = object()
+
+    def __init__(self, inner: FrameSource, depth: int = 1):
+        import queue
+        import threading
+
+        if depth < 1:
+            raise ValueError("prefetch depth must be >= 1")
+        self.inner = inner
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._stop = threading.Event()
+        self._exc: BaseException | None = None
+        self._thread: threading.Thread | None = None
+
+    def base_frame(self) -> np.ndarray:
+        # handshake stays synchronous (the thread starts on first __next__)
+        return self.inner.base_frame()
+
+    def _run(self) -> None:
+        import queue
+
+        try:
+            while not self._stop.is_set():
+                frame = next(self.inner)
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(frame, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+        except StopIteration:
+            self._q.put(self._DONE)
+        except BaseException as e:  # camera died: surface it, don't hang
+            self._exc = e
+            self._q.put(self._DONE)
+
+    def __next__(self) -> np.ndarray:
+        import threading
+
+        if self._thread is None:
+            self._thread = threading.Thread(
+                target=self._run, name="cvstpu-prefetch", daemon=True
+            )
+            self._thread.start()
+        item = self._q.get()
+        if item is self._DONE:
+            if self._exc is not None:
+                raise self._exc
+            raise StopIteration
+        return item
+
+    def close(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=2.0)
+            self._thread = None
+        inner_close = getattr(self.inner, "close", None)
+        if inner_close is not None:
+            inner_close()
+
+
 def make_source(kind: str, config: StreamConfig, path: Optional[str] = None,
                 seed: int = 0) -> FrameSource:
     if kind == "synthetic":

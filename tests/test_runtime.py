@@ -1261,3 +1261,88 @@ class TestHttpLiveViewer:
         for _ in range(n_frames):
             orc.process(next(replay))
         np.testing.assert_array_equal(frame, orc.resync())
+
+
+class TestPrefetchSource:
+    """The capture-prefetch thread (server --prefetch, the reference's
+    th_cap). Measured A/B: benchmarks/prefetch_ab — wins when source
+    latency dominates, a wash otherwise (hence default off)."""
+
+    def test_order_and_exhaustion(self, small_config):
+        from cudavideostream_tpu.runtime.sources import PrefetchSource
+
+        base = np.zeros(small_config.frame_bytes, np.uint8)
+        frames = [np.full(small_config.frame_bytes, i, np.uint8)
+                  for i in range(5)]
+        src = PrefetchSource(_ScriptedSource(base, frames))
+        np.testing.assert_array_equal(src.base_frame(), base)
+        got = list(src)
+        assert len(got) == 5
+        for i, f in enumerate(got):
+            np.testing.assert_array_equal(f, frames[i])
+        src.close()
+
+    def test_source_exception_propagates(self, small_config):
+        from cudavideostream_tpu.runtime.sources import (
+            FrameSource,
+            PrefetchSource,
+        )
+
+        class Dying(FrameSource):
+            def __init__(self):
+                self.n = 0
+
+            def __next__(self):
+                self.n += 1
+                if self.n > 2:
+                    raise RuntimeError("camera died")
+                return np.zeros(small_config.frame_bytes, np.uint8)
+
+        src = PrefetchSource(Dying())
+        next(src)
+        next(src)
+        with pytest.raises(RuntimeError, match="camera died"):
+            while True:
+                next(src)
+        src.close()
+
+    def test_bad_depth_rejected(self, small_config):
+        from cudavideostream_tpu.runtime.sources import PrefetchSource
+
+        with pytest.raises(ValueError):
+            PrefetchSource(SyntheticSource(small_config), depth=0)
+
+    def test_server_prefetch_loopback(self, small_config):
+        """--prefetch end-to-end: identical wire bytes to inline capture
+        (the thread must not reorder or drop frames)."""
+        import dataclasses
+        import socket
+
+        cfg = dataclasses.replace(small_config, port=0)
+
+        def capture(source):
+            server = DeltaStreamServer(
+                cfg, source, verbose=False, overlay_status=False
+            )
+            server.listen()
+            t = threading.Thread(
+                target=server.serve, kwargs={"max_frames": 4}, daemon=True
+            )
+            t.start()
+            sock = socket.create_connection(("127.0.0.1", server.port))
+            chunks = []
+            while True:
+                b = sock.recv(1 << 16)
+                if not b:
+                    break
+                chunks.append(b)
+            sock.close()
+            t.join(timeout=30)
+            return b"".join(chunks)
+
+        from cudavideostream_tpu.runtime.sources import PrefetchSource
+
+        baseline = capture(SyntheticSource(cfg, seed=13))
+        pf = PrefetchSource(SyntheticSource(cfg, seed=13))
+        assert capture(pf) == baseline
+        pf.close()
