@@ -170,14 +170,14 @@ class BatchedDeltaPipeline:
         elif cfg.visualizer == Visualizer.GRAYSCALE:
             aux = filter_ops.grayscale_weighted(cur)
         elif cfg.visualizer == Visualizer.BINARIZE:
-            g = filter_ops.grayscale_weighted(cur)
+            # fused per stream (ops/filters.binarize_pipeline): gray
+            # computed once per slice; histogram/threshold stay
+            # per-stream globals
             outs = []
             for b in range(B):
-                gb = jax.lax.slice(g, (b * n,), ((b + 1) * n,))
-                t = filter_ops.binarize_threshold(
-                    filter_ops.gray_histogram(gb)
-                )
-                outs.append(filter_ops.binarize(gb, t))
+                outs.append(filter_ops.binarize_pipeline(
+                    jax.lax.slice(cur, (b * n,), ((b + 1) * n,))
+                ))
             aux = jnp.concatenate(outs)
 
         # Chunk the batch so each pallas_call's grid stays inside the

@@ -129,6 +129,52 @@ def grayscale_weighted(frame: Array) -> Array:
     return _replicate(g).astype(jnp.uint8).reshape(-1)
 
 
+def gray_pixels(frame: Array) -> Array:
+    """Per-pixel weighted gray values (0..255) as int32, NOT replicated
+    back to a 3-channel frame: the (M, 128) form every consumer in the
+    binarize chain actually wants. One extract-matmul over the frame."""
+    if _layout_ok(frame):
+        s = _per_pixel(frame, (114, 587, 299)).astype(jnp.int32)
+        return s // 1000  # (M, 128)
+    px = frame.reshape(-1, 3).astype(jnp.int32)
+    return (114 * px[:, 0] + 587 * px[:, 1] + 299 * px[:, 2]) // 1000
+
+
+def value_histogram(g: Array) -> Array:
+    """256-bin compare-reduce histogram over int values in [0, 255].
+
+    Fused compare-and-sum over bin chunks — counts accumulate in int32
+    without scatter-adds; the comparison broadcast fuses into the
+    reduction. ~256 VPU compare+add per value, compute-bound but
+    entirely in registers (the closed-lead analysis of cheaper units
+    lives in :func:`gray_histogram`'s docstring)."""
+    g = g.astype(jnp.int32)
+    chunk = 64
+    parts = []
+    for b0 in range(0, 256, chunk):
+        bins = jax.lax.broadcasted_iota(jnp.int32, (chunk,), 0) + b0
+        parts.append(
+            jnp.sum(
+                (g[..., None] == bins).astype(jnp.int32),
+                axis=tuple(range(g.ndim)),
+            )
+        )
+    return jnp.concatenate(parts)
+
+
+def binarize_pixels(gray_px: Array, threshold: Array) -> Array:
+    """Per-pixel ``gray > threshold -> 255 else 0`` replicated to all
+    three channels of a flat uint8 frame. Byte-identical to
+    :func:`binarize` on the replicated gray frame (all three bytes of a
+    gray pixel are equal)."""
+    b = (gray_px.astype(jnp.int32) > threshold.astype(jnp.int32))
+    if gray_px.ndim == 2:
+        return _replicate(
+            b.astype(jnp.float32) * 255.0
+        ).astype(jnp.uint8).reshape(-1)
+    return jnp.repeat(jnp.where(b, 255, 0).astype(jnp.uint8), 3)
+
+
 def gray_histogram(gray_frame: Array, mxu: bool = False) -> Array:
     """256-bin per-pixel histogram (samples channel 0 of the 3-channel
     gray buffer, like ``generate_histogram`` kernels.cu:147-149).
@@ -177,17 +223,7 @@ def gray_histogram(gray_frame: Array, mxu: bool = False) -> Array:
         lo = ((g2 & 15) == nib).astype(jnp.bfloat16)   # (N, 16)
         h = jnp.dot(hi.T, lo, preferred_element_type=jnp.float32)
         return h.reshape(256).astype(jnp.int32)
-    chunk = 64
-    parts = []
-    for b0 in range(0, 256, chunk):
-        bins = jax.lax.broadcasted_iota(jnp.int32, (chunk,), 0) + b0
-        parts.append(
-            jnp.sum(
-                (g[..., None] == bins).astype(jnp.int32),
-                axis=tuple(range(g.ndim)),
-            )
-        )
-    return jnp.concatenate(parts)
+    return value_histogram(g)
 
 
 def top2_prefix_max(histogram: Array) -> Tuple[Array, Array]:
@@ -228,7 +264,24 @@ def binarize(gray_frame: Array, threshold: Array) -> Array:
     return jnp.where(gray_frame > threshold.astype(jnp.uint8), 255, 0).astype(jnp.uint8)
 
 
-def binarize_pipeline(frame: Array) -> Array:
+def binarize_pipeline(frame: Array, fused: bool = True) -> Array:
+    """Full binarize chain: gray -> histogram -> top-2 threshold -> 255/0.
+
+    ``fused`` (default) computes the per-pixel gray (M, 128) ONCE and
+    feeds it to both the histogram and the thresholded output — the
+    reference (and the round-3 build) writes the 3-channel gray frame
+    and re-reads it twice (``kernels.cu:491-499``: grayscale_v3 then
+    generate_histogram then binarize all re-read global memory). The
+    fusion drops one full-frame write, two re-reads, and one extract
+    matmul; the remaining cost is the compute-bound 256-bin
+    compare-reduce (see :func:`gray_histogram`). Byte-exact either way
+    (all three channels of a gray pixel are equal, so per-pixel
+    thresholding replicates to the identical bytes). A/B:
+    ``benchmarks/binarize_fuse_ab``."""
+    if fused:
+        gv = gray_pixels(frame)
+        t = binarize_threshold(value_histogram(gv))
+        return binarize_pixels(gv, t)
     g = grayscale_weighted(frame)
     t = binarize_threshold(gray_histogram(g))
     return binarize(g, t)

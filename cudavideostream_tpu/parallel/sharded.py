@@ -272,12 +272,13 @@ class ShardedDeltaPipeline:
         elif cfg.visualizer == Visualizer.GRAYSCALE:
             aux = filter_ops.grayscale_weighted(cur)
         elif cfg.visualizer == Visualizer.BINARIZE:
-            gray = filter_ops.grayscale_weighted(cur)
-            # global histogram across row shards (works under vmap too:
-            # the collective batches)
-            hist = jax.lax.psum(filter_ops.gray_histogram(gray), "space")
-            aux = filter_ops.binarize(
-                gray, filter_ops.binarize_threshold(hist)
+            # fused chain (ops/filters.binarize_pipeline): per-pixel gray
+            # computed once, global histogram across row shards via psum
+            # (works under vmap too: the collective batches)
+            gv = filter_ops.gray_pixels(cur)
+            hist = jax.lax.psum(filter_ops.value_histogram(gv), "space")
+            aux = filter_ops.binarize_pixels(
+                gv, filter_ops.binarize_threshold(hist)
             )
 
         needs_mask = cfg.visualizer in (

@@ -137,6 +137,34 @@ class TestFilters:
             ref.binarize_pipeline(cur),
         )
 
+    def test_binarize_pipeline_fused_equals_unfused(self, pair):
+        """The fused chain (per-pixel gray once, no 3-channel gray
+        write/re-read) is byte-identical to the write-then-re-read
+        sequence and the oracle — at both the aligned (M, 384) layout
+        and the non-aligned pixel fallback."""
+        from cudavideostream_tpu.ops import filters
+
+        _, cur = pair
+        for frame in (cur, cur[: (len(cur) // 384) * 384 + 3 * 7]):
+            f = jnp.asarray(frame)
+            fused = np.asarray(filters.binarize_pipeline(f, fused=True))
+            unfused = np.asarray(filters.binarize_pipeline(f, fused=False))
+            np.testing.assert_array_equal(fused, unfused)
+            np.testing.assert_array_equal(fused, ref.binarize_pipeline(frame))
+
+    def test_gray_pixels_matches_weighted(self, pair):
+        from cudavideostream_tpu.ops import filters
+
+        _, cur = pair
+        gv = np.asarray(filters.gray_pixels(jnp.asarray(cur))).reshape(-1)
+        g3 = np.asarray(filters.grayscale_weighted(jnp.asarray(cur)))
+        np.testing.assert_array_equal(np.repeat(gv, 3), g3)
+        np.testing.assert_array_equal(
+            np.asarray(filters.value_histogram(
+                filters.gray_pixels(jnp.asarray(cur)))),
+            np.asarray(filters.gray_histogram(jnp.asarray(g3))),
+        )
+
     def test_heatmap(self, pair):
         from cudavideostream_tpu.ops import filters
 
