@@ -275,8 +275,17 @@ class DeltaStreamPipeline:
         char_ids = jnp.asarray(ids, dtype=jnp.int32)
         nc = min(len(text), MAX_OVERLAY_CHARS)
         n_chars = jnp.int32(nc)
-        frame_np = np.asarray(frame, dtype=np.uint8).ravel()
-        frame = jnp.asarray(frame_np)
+        if isinstance(frame, jax.Array) and cfg.compaction.value != "host":
+            # device-resident frame (an HBM-generated source, or a caller
+            # that pre-uploaded): np.asarray here would force a full
+            # device->host download (~390 ms for 6.2 MB over the tunnel)
+            # just to re-upload it — keep it on device. The HOST backend
+            # is excluded: its packer derives values from the host bytes.
+            frame_np = None
+            frame = frame.astype(jnp.uint8).ravel()
+        else:
+            frame_np = np.asarray(frame, dtype=np.uint8).ravel()
+            frame = jnp.asarray(frame_np)
         out = self._step(prev, frame, char_ids, n_chars)
 
         if cfg.compaction.value == "host":

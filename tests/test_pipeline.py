@@ -443,3 +443,27 @@ def test_batched_fast_path_respects_grid_bound():
             jnp.zeros(B * cfg.frame_bytes, jnp.uint8),
             n_streams=B, interpret=True,
         )
+
+
+def test_device_resident_frame_identical(small_config):
+    """A jax-array frame takes the no-download path in pipe.step and
+    must produce the identical payload/state as the numpy frame."""
+    import jax.numpy as jnp
+
+    from cudavideostream_tpu.models import DeltaStreamPipeline
+
+    rng = np.random.default_rng(21)
+    base = rng.integers(0, 255, small_config.frame_bytes, endpoint=True,
+                        dtype=np.uint8)
+    f1 = rng.integers(0, 255, small_config.frame_bytes, endpoint=True,
+                      dtype=np.uint8)
+    pipe_a = DeltaStreamPipeline(small_config)
+    pipe_b = DeltaStreamPipeline(small_config)
+    sa = pipe_a.init_state(base)
+    sb = pipe_b.init_state(base)
+    out_a = pipe_a.step(sa, f1, text="FPS: 3")
+    out_b = pipe_b.step(sb, jnp.asarray(f1), text="FPS: 3")
+    assert int(out_a[1]) == int(out_b[1])
+    np.testing.assert_array_equal(np.asarray(out_a[0]), np.asarray(out_b[0]))
+    np.testing.assert_array_equal(np.asarray(out_a[2]), np.asarray(out_b[2]))
+    np.testing.assert_array_equal(np.asarray(out_a[3]), np.asarray(out_b[3]))
