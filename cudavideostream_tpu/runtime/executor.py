@@ -97,6 +97,16 @@ class TieredFetcher:
                 return t
         return self.capacity
 
+    def tier_checked(self, pos: int) -> int:
+        """``tier()``, but fail loudly past capacity (see :meth:`fetch`:
+        truncation would silently desync v1/v2 clients)."""
+        for t in self.tiers:
+            if pos <= t:
+                return t
+        raise PayloadOverflowError(
+            f"frame changed {pos} bytes > payload_capacity {self.capacity}"
+        )
+
     def _get(self, arr) -> np.ndarray:
         if self.stats is None:
             return np.asarray(self._jax.device_get(arr))
@@ -110,30 +120,46 @@ class TieredFetcher:
             return arr[:pos]
         if pos <= 0:
             return np.empty((0,) + arr.shape[1:], dtype=arr.dtype)
-        for t in self.tiers:
-            if pos <= t:
-                return self._get(arr[:t])[:pos]
-        # pos exceeds every tier, i.e. the configured payload_capacity:
-        # the true changed count no longer fits the arrays. Truncating
-        # would silently desync v1/v2 clients (the dropped deltas are
-        # already folded into the server's prev state) — fail loudly.
-        raise PayloadOverflowError(
-            f"frame changed {pos} bytes > payload_capacity {self.capacity}"
-        )
+        # pos exceeding every tier means the configured payload_capacity
+        # is blown: the true changed count no longer fits the arrays.
+        # Truncating would silently desync v1/v2 clients (the dropped
+        # deltas are already folded into the server's prev state) —
+        # tier_checked fails loudly instead.
+        return self._get(arr[: self.tier_checked(pos)])[:pos]
 
 
 class TiledLander:
     """Landing strategy for per-tile payload blocks, shared by the solo
     executor, multiserve, and broadcast paths.
 
-    Per call: either fetch the blocks up to the last non-empty tile
+    Per call: either fetch the block RANGE covering the non-empty tiles
     (cheapest on fast links / clustered scenes) or run the device-side
     ``merge_tiles`` and fetch only the ``pos``-prefix (fewest bytes —
     wins on slow links / scattered scenes). ``"auto"`` predicts both
     times from measured link-throughput and merge-cost EMAs; until the
     link speed is known it takes the block path, which is what measures
     it. Wire bytes are identical either way.
+
+    Latency discipline (the hardware sweep, benchmarks/loopback_tpu_tunnel
+    r4, measured the old landing spending ~120 ms/frame in FOUR
+    sequential ``device_get`` round trips over the ~30 ms-RTT tunnel —
+    pure latency, not bytes):
+
+    * every fetch a landing needs — all streams' block ranges and all
+      flat-path prefixes — goes through ONE blocking ``device_get``;
+    * the tiles path fetches the ``[t_lo, t_hi)`` RANGE of non-empty
+      tiles via a jitted ``dynamic_slice`` (static length from a
+      geometric ladder, dynamic start — no recompile as a clustered
+      scene drifts through the frame, and leading static tiles cost
+      nothing, unlike the old ``[0:t_hi)`` prefix);
+    * the solo path (:meth:`land_fused`) additionally SPECULATES: it
+      fetches ``pos``/``counts`` and the previous frame's tile window
+      (re-centered, with margin) in one round trip, topping up with a
+      second fetch only when the scene jumped outside the window.
     """
+
+    #: smallest range-slice length (units); ladder grows ~1.5x from here
+    RANGE_MIN = 256
 
     def __init__(self, mode: str = "auto", link: Optional[LinkStats] = None):
         # modes: "auto" / "tiles" / "flat" (see class docstring) and
@@ -151,9 +177,13 @@ class TiledLander:
         self._fetch_vals = None
         self._fetch_tiles = None
         self._shard_tier = None   # tier math for the "shards" mode
+        self._range_slicers = {}  # (length, fused) -> jitted dynamic-slice
+        self._spec = None         # land_fused speculation: (start, length)
         self.fetch_counts = {"tiles": 0, "flat": 0}
+        self.spec_counts = {"hit": 0, "miss": 0}
 
-    def use_flat(self, pos: int, t_hi: int, tile_cap: int) -> bool:
+    def use_flat(self, pos: int, t_hi: int, tile_cap: int,
+                 t_lo: int = 0) -> bool:
         """The per-frame decision (see class docstring)."""
         if self.mode == "tiles":
             return False
@@ -161,7 +191,8 @@ class TiledLander:
             return True
         if t_hi == 0:
             return False
-        block_bytes = 5 * t_hi * tile_cap        # int32 xs + uint8 vals
+        # the tiles path moves the [t_lo, t_hi) block range
+        block_bytes = 5 * (t_hi - t_lo) * tile_cap   # int32 xs + uint8 vals
         tier = self._fetch_xs.tier(pos) if self._fetch_xs else pos
         flat_bytes = 5 * tier
         t_tiles = self.link.fetch_seconds(block_bytes)
@@ -169,6 +200,64 @@ class TiledLander:
             return False
         t_flat = self.link.merge_s + (self.link.fetch_seconds(flat_bytes) or 0.0)
         return t_flat < t_tiles
+
+    # ---- range-fetch machinery ------------------------------------------
+    def _range_len(self, span: int, n_tiles: int) -> int:
+        """Slice length for a ``span``-unit range: a ~1.5x geometric
+        ladder quantized to 256 units. Finer than the TieredFetcher's
+        power-of-two (over-fetch bounded ~1.5x, not 2x); each rung costs
+        one small dynamic-slice compile, lazily, and the ladder has ~14
+        rungs at 1080p sub_rows=1 (48600 units)."""
+        L = self.RANGE_MIN
+        while L < span:
+            L = max(L + 256, (L * 3 // 2 + 255) // 256 * 256)
+        return min(L, n_tiles)
+
+    def _slicer(self, length: int, fused: bool):
+        """Jitted ``[start : start+length)`` block slice — static length,
+        DYNAMIC start: one compile per ladder rung, none as the window
+        drifts (a plain ``arr[a:b]`` would recompile per distinct start).
+        ``fused`` additionally passes pos/counts through, so the solo
+        path's speculative fetch is one device round trip."""
+        key = (length, fused)
+        fn = self._range_slicers.get(key)
+        if fn is None:
+            import jax
+            from jax import lax
+
+            if fused:
+                def f(pos_d, counts_d, xs, vs, start):
+                    return (
+                        pos_d,
+                        counts_d,
+                        lax.dynamic_slice_in_dim(xs, start, length, 0),
+                        lax.dynamic_slice_in_dim(vs, start, length, 0),
+                    )
+            else:
+                def f(xs, vs, start):
+                    return (
+                        lax.dynamic_slice_in_dim(xs, start, length, 0),
+                        lax.dynamic_slice_in_dim(vs, start, length, 0),
+                    )
+            fn = jax.jit(f)
+            self._range_slicers[key] = fn
+        return fn
+
+    @staticmethod
+    def _single_device(arr) -> bool:
+        """True for a device array living on ONE device. Blocks sharded
+        across a mesh (the sharded executor's P("space") payload layout)
+        must NOT go through the dynamic-slice range fetch: SPMD lowers a
+        dynamic-slice over the sharded dim to the very all-gather the
+        zero-collective layout exists to avoid — those keep the static
+        prefix path."""
+        sharding = getattr(arr, "sharding", None)
+        if sharding is None:
+            return False  # host array: no device fetch at all
+        try:
+            return len(sharding.device_set) == 1
+        except Exception:
+            return True
 
     def _ensure_fetchers(self, n_tiles: int, tile_cap: int) -> None:
         if self._fetch_xs is None:
@@ -188,7 +277,7 @@ class TiledLander:
         import jax
 
         reqs = []  # per plan: list of (tile, count, xs_slice, vals_slice)
-        for pos, counts, t_hi, _, _, xs_t_d, vals_t_d in plans:
+        for pos, counts, _t_lo, t_hi, _flat, _cd, xs_t_d, vals_t_d in plans:
             part = []
             for s in range(t_hi):
                 c = int(counts[s])
@@ -205,7 +294,7 @@ class TiledLander:
         if nbytes:
             self.link.record_fetch(nbytes, time.perf_counter() - t0)
         out = []
-        for (pos, counts, t_hi, *_), part, host in zip(plans, reqs, fetched):
+        for (pos, counts, _t_lo, t_hi, *_), part, host in zip(plans, reqs, fetched):
             tile_cap = self._shard_tier.capacity
             xs_b = np.zeros((t_hi, tile_cap), np.int32)
             vals_b = np.zeros((t_hi, tile_cap), np.uint8)
@@ -228,8 +317,10 @@ class TiledLander:
     def land_many(self, items):
         """Land several tiled payloads from one device step (multiserve:
         one item per stream). Decisions are per item, but every flat
-        item's device merge dispatches BEFORE the single sync, so B
-        merges cost one round-trip of latency instead of B.
+        item's device merge dispatches BEFORE the single sync, and every
+        fetch — all streams' block ranges and flat prefixes — goes
+        through ONE blocking ``device_get``, so B landings cost one
+        round trip of link latency, not 2B+.
 
         Each item is ``(pos, counts_host, counts_d, xs_t_d, vals_t_d)``;
         returns a same-length list of TiledPayload / flat ``(xs, vals)``.
@@ -240,13 +331,15 @@ class TiledLander:
         for pos, counts, counts_d, xs_t_d, vals_t_d in items:
             n_tiles, tile_cap = xs_t_d.shape
             self._ensure_fetchers(n_tiles, tile_cap)
-            # fetch only up to the last non-empty tile: trailing static
-            # regions of the frame cost nothing on the host link
+            # fetch only the non-empty tile range: static regions of the
+            # frame — leading and trailing — cost nothing on the link
             nz = np.nonzero(counts)[0]
+            t_lo = int(nz[0]) if nz.size else 0
             t_hi = int(nz[-1]) + 1 if nz.size else 0
             flat = False if self.mode == "shards" else self.use_flat(
-                pos, t_hi, tile_cap)
-            plans.append((pos, counts, t_hi, flat, counts_d, xs_t_d, vals_t_d))
+                pos, t_hi, tile_cap, t_lo=t_lo)
+            plans.append((pos, counts, t_lo, t_hi, flat,
+                          counts_d, xs_t_d, vals_t_d))
         if self.mode == "shards":
             return self._land_shard_prefixes(plans)
         # dispatch the merges AFTER the planning loop so merge_s measures
@@ -256,7 +349,7 @@ class TiledLander:
         tm0 = time.perf_counter()
         merged = [
             logcompact.merge_tiles(counts_d, xs_t_d, vals_t_d) if flat else None
-            for _, _, _, flat, counts_d, xs_t_d, vals_t_d in plans
+            for _, _, _, _, flat, counts_d, xs_t_d, vals_t_d in plans
         ]
         n_flat = sum(1 for m in merged if m is not None)
         if n_flat:
@@ -270,23 +363,175 @@ class TiledLander:
                 # first flat landing skipped: it carries the one-time
                 # jit compile, which would poison the EMA
                 self.link.record_merge(merge_s)
-        out = []
-        for (pos, counts, t_hi, flat, _, xs_t_d, vals_t_d), m in zip(plans, merged):
-            if flat:
-                xs_d, vals_d = m
-                out.append((
-                    self._fetch_xs.fetch(xs_d, pos),
-                    self._fetch_vals.fetch(vals_d, pos),
-                ))
-                self.fetch_counts["flat"] += 1
-            else:
-                self.fetch_counts["tiles"] += 1
-                out.append(wire.TiledPayload(
-                    pos, counts[:t_hi],
-                    self._fetch_tiles[0].fetch(xs_t_d, t_hi),
-                    self._fetch_tiles[1].fetch(vals_t_d, t_hi),
-                ))
-        return out
+        reqs = [self._plan_fetch(plan, m) for plan, m in zip(plans, merged)]
+        fetched = self._get_batched([r[1] for r in reqs])
+        return [
+            self._assemble(plan, kind_meta, host)
+            for plan, (kind_meta, _), host in zip(plans, reqs, fetched)
+        ]
+
+    def _plan_fetch(self, plan, m):
+        """The (device or host) slice pair one landing needs. Returns
+        ``((kind, *meta), slices)``, consumed by :meth:`_assemble` after
+        the batched transfer — nothing here blocks."""
+        pos, counts, t_lo, t_hi, flat, counts_d, xs_t_d, vals_t_d = plan
+        if flat:
+            if pos <= 0:
+                return ("flat_empty",), ()
+            xs_d, vals_d = m
+            t = self._fetch_xs.tier_checked(pos)
+            return ("flat",), (xs_d[:t], vals_d[:t])
+        if t_hi == 0:
+            return ("tiles_empty",), ()
+        if isinstance(xs_t_d, np.ndarray):
+            # host blocks (oracle executors, tests): plain views
+            return ("range", t_lo), (xs_t_d[t_lo:t_hi], vals_t_d[t_lo:t_hi])
+        if not self._single_device(xs_t_d):
+            # mesh-sharded blocks keep the static prefix slice (see
+            # _single_device); the tier ladder bounds the compile set
+            t = self._fetch_tiles[0].tier(t_hi)
+            return ("range", 0), (xs_t_d[:t], vals_t_d[:t])
+        n_tiles = xs_t_d.shape[0]
+        L = self._range_len(t_hi - t_lo, n_tiles)
+        start = min(t_lo, n_tiles - L)
+        xs_s, vals_s = self._slicer(L, False)(xs_t_d, vals_t_d,
+                                              np.int32(start))
+        return ("range", start), (xs_s, vals_s)
+
+    def _get_batched(self, slice_pairs):
+        """ONE blocking ``device_get`` for every landing's slices; host
+        pairs pass through untouched."""
+        import jax
+
+        dev = [p for p in slice_pairs
+               if p and not isinstance(p[0], np.ndarray)]
+        if not dev:
+            return list(slice_pairs)
+        t0 = time.perf_counter()
+        host = jax.device_get(dev)
+        dt = time.perf_counter() - t0
+        nbytes = sum(x.nbytes + v.nbytes for x, v in host)
+        if nbytes:
+            self.link.record_fetch(nbytes, dt)
+        it = iter(host)
+        return [
+            p if not p or isinstance(p[0], np.ndarray) else next(it)
+            for p in slice_pairs
+        ]
+
+    def _assemble(self, plan, kind_meta, host):
+        """Build the landing result from fetched host slices."""
+        pos, counts, t_lo, t_hi = plan[0], plan[1], plan[2], plan[3]
+        kind = kind_meta[0]
+        if kind == "flat":
+            self.fetch_counts["flat"] += 1
+            xs_h, vals_h = host
+            return xs_h[:pos], vals_h[:pos]
+        if kind == "flat_empty":
+            self.fetch_counts["flat"] += 1
+            return np.empty(0, np.int32), np.empty(0, np.uint8)
+        self.fetch_counts["tiles"] += 1
+        if kind == "tiles_empty":
+            tile_cap = plan[6].shape[1]
+            return wire.TiledPayload(
+                pos, counts[:0],
+                np.empty((0, tile_cap), np.int32),
+                np.empty((0, tile_cap), np.uint8),
+            )
+        start = kind_meta[1]
+        xs_h, vals_h = host
+        a = t_lo - start
+        # rows pair with counts[t_lo:t_hi]; leading/trailing all-empty
+        # tiles are dropped entirely (wire bytes are identical — xs
+        # entries carry GLOBAL byte indices, so tile rows are
+        # self-describing)
+        return wire.TiledPayload(
+            pos, counts[t_lo:t_hi],
+            xs_h[a: a + (t_hi - t_lo)],
+            vals_h[a: a + (t_hi - t_lo)],
+        )
+
+    def land_fused(self, pos_d, counts_d, xs_t_d, vals_t_d):
+        """Solo landing with SPECULATIVE single-round-trip fetch.
+
+        The generic path costs two link round trips (counts, then the
+        slices the counts prove necessary). On a ~30 ms-RTT link that
+        latency dominates the whole serving loop (the r4 hardware sweep,
+        benchmarks/loopback_tpu_tunnel), so the solo path bets that the
+        scene moves slowly: it fetches ``pos``/``counts`` AND the
+        previous frame's tile window — re-centered with a margin of a
+        quarter span each side — in ONE ``device_get``, then verifies
+        coverage against the counts it just fetched. A miss (scene cut,
+        first frame, flat decision) falls back to the generic second
+        fetch; correctness never depends on the bet.
+
+        Returns ``(pos, TiledPayload | (xs, vals))``.
+        """
+        import jax
+
+        n_tiles, tile_cap = xs_t_d.shape
+        self._ensure_fetchers(n_tiles, tile_cap)
+        spec = self._spec if self.mode in ("tiles", "auto") else None
+        if spec is not None and self._single_device(xs_t_d):
+            start0, L0 = spec
+            out = self._slicer(L0, True)(
+                pos_d, counts_d, xs_t_d, vals_t_d, np.int32(start0)
+            )
+            t0 = time.perf_counter()
+            pos_h, counts, xs_h, vals_h = jax.device_get(out)
+            self.link.record_fetch(
+                counts.nbytes + xs_h.nbytes + vals_h.nbytes,
+                time.perf_counter() - t0,
+            )
+        else:
+            start0 = L0 = xs_h = vals_h = None
+            pos_h, counts = jax.device_get((pos_d, counts_d))
+        pos = int(pos_h)
+        nz = np.nonzero(counts)[0]
+        t_lo = int(nz[0]) if nz.size else 0
+        t_hi = int(nz[-1]) + 1 if nz.size else 0
+        flat = self.use_flat(pos, t_hi, tile_cap, t_lo=t_lo)
+        if flat:
+            self._spec = None
+        elif t_hi > 0 and self._single_device(xs_t_d):
+            # re-center the window for the NEXT frame
+            span = t_hi - t_lo
+            margin = max(64, span // 4)
+            L = self._range_len(span + 2 * margin, n_tiles)
+            self._spec = (max(0, min(t_lo - margin, n_tiles - L)), L)
+        if (
+            not flat
+            and xs_h is not None
+            and t_hi > 0
+            and start0 <= t_lo
+            and t_hi <= start0 + L0
+        ):
+            # speculation covered the frame: zero extra round trips
+            self.spec_counts["hit"] += 1
+            self.fetch_counts["tiles"] += 1
+            a = t_lo - start0
+            return pos, wire.TiledPayload(
+                pos, counts[t_lo:t_hi],
+                xs_h[a: a + (t_hi - t_lo)],
+                vals_h[a: a + (t_hi - t_lo)],
+            )
+        if xs_h is not None:
+            self.spec_counts["miss"] += 1
+        # generic second fetch (also the flat / empty / first-frame path)
+        plan = (pos, counts, t_lo, t_hi, flat, counts_d, xs_t_d, vals_t_d)
+        if flat:
+            from cudavideostream_tpu.ops import logcompact
+
+            tm0 = time.perf_counter()
+            m = logcompact.merge_tiles(counts_d, xs_t_d, vals_t_d)
+            self._fetch_xs._jax.device_get(m[0][:1])
+            if self.fetch_counts["flat"] > 0:
+                self.link.record_merge(time.perf_counter() - tm0)
+        else:
+            m = None
+        kind_meta, slices = self._plan_fetch(plan, m)
+        host = self._get_batched([slices])[0]
+        return pos, self._assemble(plan, kind_meta, host)
 
 
 class StreamExecutor:
@@ -374,9 +619,12 @@ class StreamExecutor:
     def _land(self, t0: float, rest) -> Tuple[int, np.ndarray, np.ndarray, Optional[np.ndarray]]:
         if self.cfg.tiled_payload:
             pos_d, counts_d, xs_t_d, vals_t_d, aux_d = rest
-            counts = np.asarray(counts_d)
-            pos = int(pos_d)
-            res = self._lander.land(pos, counts, counts_d, xs_t_d, vals_t_d)
+            # single fused (often speculative) landing: pos + counts +
+            # payload window in as few link round trips as possible —
+            # see TiledLander.land_fused
+            pos, res = self._lander.land_fused(
+                pos_d, counts_d, xs_t_d, vals_t_d
+            )
             aux = np.asarray(aux_d) if aux_d is not None else None
             self.metrics.record(time.perf_counter() - t0, pos)
             if isinstance(res, wire.TiledPayload):
@@ -384,9 +632,21 @@ class StreamExecutor:
             xs, vals = res
             return pos, xs, vals, aux
         pos_d, xs_d, vals_d, aux_d = rest
-        pos = int(pos_d)
-        xs = self._fetch_xs.fetch(xs_d, pos)
-        vals = self._fetch_vals.fetch(vals_d, pos)
+        pos = int(np.asarray(pos_d))
+        if isinstance(xs_d, np.ndarray) or pos <= 0:
+            xs = self._fetch_xs.fetch(xs_d, pos)
+            vals = self._fetch_vals.fetch(vals_d, pos)
+        else:
+            # one device_get for both prefixes (one link round trip)
+            import jax
+
+            t = self._fetch_xs.tier_checked(pos)
+            t1 = time.perf_counter()
+            xs, vals = jax.device_get((xs_d[:t], vals_d[:t]))
+            self.link.record_fetch(
+                xs.nbytes + vals.nbytes, time.perf_counter() - t1
+            )
+            xs, vals = xs[:pos], vals[:pos]
         aux = np.asarray(aux_d) if aux_d is not None else None
         self.metrics.record(time.perf_counter() - t0, pos)
         return pos, xs, vals, aux

@@ -150,8 +150,16 @@ class ShardedStreamExecutor:
             self.metrics.record(time.perf_counter() - t0, pos)
             return pos, payload, None, aux
         pos = int(np.asarray(rest[0]))
-        xs = self._fetch_xs.fetch(rest[1], pos)
-        vals = self._fetch_vals.fetch(rest[2], pos)
+        if isinstance(rest[1], np.ndarray) or pos <= 0:
+            xs = self._fetch_xs.fetch(rest[1], pos)
+            vals = self._fetch_vals.fetch(rest[2], pos)
+        else:
+            # one device_get for both prefixes (one link round trip)
+            import jax
+
+            t = self._fetch_xs.tier_checked(pos)
+            xs, vals = jax.device_get((rest[1][:t], rest[2][:t]))
+            xs, vals = xs[:pos], vals[:pos]
         self.metrics.record(time.perf_counter() - t0, pos)
         return pos, xs, vals, aux
 

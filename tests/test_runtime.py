@@ -1504,3 +1504,104 @@ class TestV4L2GrabLoop:
         cli.close()
         t.join(timeout=30)
         src.close()
+
+
+class TestLanderRangeFetch:
+    """The latency-disciplined landing (r4): [t_lo, t_hi) range fetch
+    through jitted dynamic-slices, batched single-round-trip gets, and
+    the solo path's speculative fused fetch (TiledLander.land_fused).
+    The hardware motivation is benchmarks/loopback_tpu_tunnel (r4): the
+    old landing spent ~120 ms/frame in four sequential device_get round
+    trips over the ~30 ms-RTT tunnel."""
+
+    @staticmethod
+    def _cfg():
+        # 96x128x3 = 36864 bytes = 288 units of 128: larger than
+        # TiledLander.RANGE_MIN, so the window genuinely slides (at the
+        # 48x64 test geometry every range is the whole block array and
+        # speculation can never miss)
+        return StreamConfig(
+            height=96, width=128, overlay_scale=4,
+            tiled_payload=True, fetch_mode="tiles",
+        )
+
+    def _band_frame(self, base, start, width, delta):
+        f = base.copy()
+        end = min(start + width, f.size)
+        f[start:end] += np.uint8(delta)  # uint8 wrap
+        return f
+
+    def test_speculative_drift_hits_and_stays_exact(self, rng):
+        cfg = self._cfg()
+        ex = StreamExecutor(cfg)
+        base = rng.integers(0, 255, cfg.frame_bytes, endpoint=True,
+                            dtype=np.uint8)
+        ex.start(base)
+        prev = base.copy()
+        start, width = 0, 4000
+        for k in range(8):
+            frame = self._band_frame(base, start, width, 77 + k)
+            pos, payload, _, _ = ex.process(frame)
+            pr, xr, vr, prev = ref.diff_encode(frame, prev)
+            assert pos == pr
+            fx, fv = payload.to_flat()
+            np.testing.assert_array_equal(fx, xr)
+            np.testing.assert_array_equal(fv, vr)
+            start += 1000  # ~8 units/frame: inside the margin
+        lander = ex._lander
+        # frame 0 has no window yet; every drift frame after it should hit
+        assert lander.spec_counts["hit"] >= 5
+        # a scene CUT: the band jumps to the far end of the frame —
+        # outside any speculative window; must stay byte-exact via the
+        # top-up fetch and book a miss
+        frame = self._band_frame(base, cfg.frame_bytes - 5000, 4000, 99)
+        pos, payload, _, _ = ex.process(frame)
+        pr, xr, vr, prev = ref.diff_encode(frame, prev)
+        assert pos == pr
+        fx, fv = payload.to_flat()
+        np.testing.assert_array_equal(fx, xr)
+        np.testing.assert_array_equal(fv, vr)
+        assert lander.spec_counts["miss"] >= 1
+
+    def test_range_payload_drops_empty_edge_tiles(self, rng):
+        """The landed TiledPayload holds exactly the [t_lo, t_hi) rows —
+        leading/trailing all-empty tiles are gone — and its wire bytes
+        equal the flat reference encoding."""
+        from cudavideostream_tpu.runtime import wire
+
+        cfg = self._cfg()
+        ex = StreamExecutor(cfg)
+        base = rng.integers(0, 255, cfg.frame_bytes, endpoint=True,
+                            dtype=np.uint8)
+        ex.start(base)
+        # band in the MIDDLE of the frame: old [0:t_hi) prefix fetching
+        # would have moved every leading empty tile over the link
+        mid = cfg.frame_bytes // 2
+        frame = self._band_frame(base, mid, 3000, 80)
+        pos, payload, _, _ = ex.process(frame)
+        pr, xr, vr, _ = ref.diff_encode(frame, base)
+        assert pos == pr > 0
+        assert isinstance(payload, wire.TiledPayload)
+        # every returned row is within the non-empty range: row 0 and
+        # row -1 both carry at least one entry
+        assert payload.counts.shape[0] == payload.xs.shape[0]
+        assert payload.counts[0] > 0 and payload.counts[-1] > 0
+        assert payload.to_wire_bytes() == wire.pack_payload(pr, xr, vr)
+
+    def test_range_len_ladder(self):
+        from cudavideostream_tpu.runtime.executor import TiledLander
+
+        lander = TiledLander("tiles")
+        n = 48600
+        prev_len = 0
+        for span in range(1, 20000, 37):
+            L = lander._range_len(span, n)
+            assert L >= min(span, n)
+            assert L <= max(
+                TiledLander.RANGE_MIN, ((span * 3 // 2 + 255) // 256) * 256
+            )
+            assert L >= prev_len or L == n
+            prev_len = max(prev_len, L) if L < n else prev_len
+        # clamps to the tile count
+        assert lander._range_len(10 ** 9, n) == n
+        assert lander._range_len(1, 72) == 72  # small geometry: whole array
