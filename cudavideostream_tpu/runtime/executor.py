@@ -213,35 +213,73 @@ class TiledLander:
             L = max(L + 256, (L * 3 // 2 + 255) // 256 * 256)
         return min(L, n_tiles)
 
-    def _slicer(self, length: int, fused: bool):
+    @staticmethod
+    def _compact_dtype(tile_cap: int):
+        """Narrowest dtype holding a unit-LOCAL index. Payload blocks are
+        tile-locally compacted, so every entry's global index sits inside
+        its own unit's byte range: ``local = global % tile_cap`` loses
+        nothing, and the host rebuilds ``global = row * tile_cap + local``
+        for free. At the product default (sub_rows=1, tile_cap=128) this
+        shrinks a fetched unit from 640 B (int32 xs + uint8 vals) to
+        256 B — 2.5x fewer bytes over the link, zero kernel changes."""
+        import numpy as _np
+
+        if tile_cap <= 256:
+            return _np.uint8
+        if tile_cap <= 65536:
+            return _np.uint16
+        return None
+
+    def _slicer(self, length: int, fused: bool, tile_cap: int = 0):
         """Jitted ``[start : start+length)`` block slice — static length,
         DYNAMIC start: one compile per ladder rung, none as the window
         drifts (a plain ``arr[a:b]`` would recompile per distinct start).
         ``fused`` additionally passes pos/counts through, so the solo
-        path's speculative fetch is one device round trip."""
-        key = (length, fused)
+        path's speculative fetch is one device round trip. With a
+        ``tile_cap`` whose unit-local indices fit a narrow dtype, xs is
+        compacted to ``xs % tile_cap`` on device (see _compact_dtype)."""
+        key = (length, fused, tile_cap)
         fn = self._range_slicers.get(key)
         if fn is None:
             import jax
             from jax import lax
 
+            narrow = self._compact_dtype(tile_cap) if tile_cap else None
+
+            def slice_pair(xs, vs, start):
+                xw = lax.dynamic_slice_in_dim(xs, start, length, 0)
+                vw = lax.dynamic_slice_in_dim(vs, start, length, 0)
+                if narrow is not None:
+                    xw = (xw % tile_cap).astype(narrow)
+                return xw, vw
+
             if fused:
                 def f(pos_d, counts_d, xs, vs, start):
-                    return (
-                        pos_d,
-                        counts_d,
-                        lax.dynamic_slice_in_dim(xs, start, length, 0),
-                        lax.dynamic_slice_in_dim(vs, start, length, 0),
-                    )
+                    return (pos_d, counts_d) + slice_pair(xs, vs, start)
             else:
-                def f(xs, vs, start):
-                    return (
-                        lax.dynamic_slice_in_dim(xs, start, length, 0),
-                        lax.dynamic_slice_in_dim(vs, start, length, 0),
-                    )
+                f = slice_pair
             fn = jax.jit(f)
             self._range_slicers[key] = fn
         return fn
+
+    @staticmethod
+    def _rebuild_xs(xs_w, counts, row0: int, t_lo: int, t_hi: int,
+                    tile_cap: int):
+        """Rows ``[t_lo, t_hi)`` of a fetched xs window starting at
+        ``row0``, as int32 GLOBAL indices. Narrow (unit-local) windows
+        are rebuilt as ``row * tile_cap + local``, masked to the counted
+        prefix so padding stays exactly 0 (the invariant the int32 path
+        ships natively)."""
+        a = t_lo - row0
+        w = xs_w[a: a + (t_hi - t_lo)]
+        if w.dtype == np.int32:
+            return w
+        base = (np.arange(t_lo, t_hi, dtype=np.int32) * tile_cap)[:, None]
+        valid = (
+            np.arange(tile_cap, dtype=np.int32)[None, :]
+            < np.asarray(counts[t_lo:t_hi], dtype=np.int32)[:, None]
+        )
+        return np.where(valid, w.astype(np.int32) + base, np.int32(0))
 
     @staticmethod
     def _single_device(arr) -> bool:
@@ -391,11 +429,12 @@ class TiledLander:
             # _single_device); the tier ladder bounds the compile set
             t = self._fetch_tiles[0].tier(t_hi)
             return ("range", 0), (xs_t_d[:t], vals_t_d[:t])
-        n_tiles = xs_t_d.shape[0]
+        n_tiles, tile_cap = xs_t_d.shape
         L = self._range_len(t_hi - t_lo, n_tiles)
         start = min(t_lo, n_tiles - L)
-        xs_s, vals_s = self._slicer(L, False)(xs_t_d, vals_t_d,
-                                              np.int32(start))
+        xs_s, vals_s = self._slicer(L, False, tile_cap)(
+            xs_t_d, vals_t_d, np.int32(start)
+        )
         return ("range", start), (xs_s, vals_s)
 
     def _get_batched(self, slice_pairs):
@@ -441,13 +480,14 @@ class TiledLander:
         start = kind_meta[1]
         xs_h, vals_h = host
         a = t_lo - start
+        tile_cap = plan[6].shape[1]
         # rows pair with counts[t_lo:t_hi]; leading/trailing all-empty
         # tiles are dropped entirely (wire bytes are identical — xs
         # entries carry GLOBAL byte indices, so tile rows are
         # self-describing)
         return wire.TiledPayload(
             pos, counts[t_lo:t_hi],
-            xs_h[a: a + (t_hi - t_lo)],
+            self._rebuild_xs(xs_h, counts, start, t_lo, t_hi, tile_cap),
             vals_h[a: a + (t_hi - t_lo)],
         )
 
@@ -474,7 +514,7 @@ class TiledLander:
         spec = self._spec if self.mode in ("tiles", "auto") else None
         if spec is not None and self._single_device(xs_t_d):
             start0, L0 = spec
-            out = self._slicer(L0, True)(
+            out = self._slicer(L0, True, tile_cap)(
                 pos_d, counts_d, xs_t_d, vals_t_d, np.int32(start0)
             )
             t0 = time.perf_counter()
@@ -512,7 +552,7 @@ class TiledLander:
             a = t_lo - start0
             return pos, wire.TiledPayload(
                 pos, counts[t_lo:t_hi],
-                xs_h[a: a + (t_hi - t_lo)],
+                self._rebuild_xs(xs_h, counts, start0, t_lo, t_hi, tile_cap),
                 vals_h[a: a + (t_hi - t_lo)],
             )
         if xs_h is not None:

@@ -1605,3 +1605,29 @@ class TestLanderRangeFetch:
         # clamps to the tile count
         assert lander._range_len(10 ** 9, n) == n
         assert lander._range_len(1, 72) == 72  # small geometry: whole array
+
+    def test_compact_fetch_rebuild(self):
+        """The narrow on-device xs window (local = global % tile_cap)
+        rebuilds to exact int32 globals with zero padding preserved."""
+        from cudavideostream_tpu.runtime.executor import TiledLander
+
+        assert TiledLander._compact_dtype(128) == np.uint8
+        assert TiledLander._compact_dtype(4096) == np.uint16
+        assert TiledLander._compact_dtype(1 << 20) is None
+        rng = np.random.default_rng(0)
+        tile_cap, rows = 128, 6
+        counts = np.array([0, 3, 128, 1, 0, 7], np.uint8)
+        xs32 = np.zeros((rows, tile_cap), np.int32)
+        for r in range(rows):
+            c = int(counts[r])
+            xs32[r, :c] = np.sort(
+                rng.choice(tile_cap, size=c, replace=False)
+            ) + r * tile_cap
+        local = (xs32 % tile_cap).astype(np.uint8)
+        # window starting two rows before the range, as a spec hit would
+        row0, t_lo, t_hi = 0, 1, 4
+        rebuilt = TiledLander._rebuild_xs(
+            local, counts, row0, t_lo, t_hi, tile_cap
+        )
+        np.testing.assert_array_equal(rebuilt, xs32[t_lo:t_hi])
+        assert rebuilt.dtype == np.int32
