@@ -132,17 +132,23 @@ def main():
         lines.append(f"# cost_analysis unavailable: {type(e).__name__}: {e}")
 
     # ---- 1. trace K steps ----------------------------------------------
-    # warm (compile outside the trace)
+    # warm (compile outside the trace); frames are pre-generated OUTSIDE
+    # the trace so the per-op table below is purely the product step —
+    # the synthetic source's hash/select fusions would otherwise dominate
+    # it (they are a benchmark fixture, not pipeline work)
     out = step(prev0, next_frame(key0, jnp.int32(0)))
     _ = jax.device_get(out[1])
+    key, frames = key0, []
+    for t in range(args.steps):
+        key, sub = jax.random.split(key)
+        frames.append(next_frame(sub, jnp.int32(t)))
+    _ = jax.device_get(frames[-1][:1])
     print("warm; tracing...", file=sys.stderr, flush=True)
     tdir = tempfile.mkdtemp(prefix="cvstpu_trace_")
     jax.profiler.start_trace(tdir)
-    prev, key = prev0, key0
+    prev = prev0
     with jax.profiler.TraceAnnotation("flagship_steps"):
-        for t in range(args.steps):
-            key, sub = jax.random.split(key)
-            frame = next_frame(sub, jnp.int32(t))
+        for frame in frames:
             o = step(prev, frame)
             prev = o[0]
         _ = jax.device_get(o[1])
