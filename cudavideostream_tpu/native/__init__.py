@@ -93,6 +93,13 @@ def load_native() -> Optional[ctypes.CDLL]:
         c.POINTER(c.c_uint8), c.POINTER(c.c_uint64),
     ]
     lib.client_decode.restype = c.c_int64
+    lib.wire_encode_v3.argtypes = [
+        c.POINTER(c.c_int32), c.c_int64, c.c_int64,
+        c.POINTER(c.c_int32), c.POINTER(c.c_uint8),
+        c.POINTER(c.c_uint8), c.c_int64, c.c_int,
+        c.POINTER(c.c_uint8), c.c_int64,
+    ]
+    lib.wire_encode_v3.restype = c.c_int64
     lib.v4l2_open.argtypes = [c.c_char_p, c.c_int, c.c_int]
     lib.v4l2_open.restype = c.c_int
     lib.v4l2_grab.argtypes = [c.c_int, c.POINTER(c.c_uint8), c.c_int64]
@@ -162,6 +169,54 @@ def compact_update_np(cur, prev, bitmask):
         vals.ctypes.data_as(c.POINTER(c.c_uint8)),
     )
     return xs[:n], vals[:n]
+
+
+def encode_v3_np(counts, xs, vals, shadow, apply: bool):
+    """Adaptive v3 frame encode in C over tiled payload blocks (a flat
+    payload passes 1-D ``xs``/``vals`` and ``counts=[pos]``). Byte-
+    identical to ``runtime.wire.encode_frame_v3``. Returns the wire
+    bytes, or None when the native lib is unavailable (callers fall
+    back to the numpy encoder). ``shadow`` is the client-state frame;
+    with ``apply`` the payload is folded into it first (uint8 wrap-add
+    — the V3Encoder contract), so it must be writable then."""
+    import numpy as np
+
+    lib = load_native()
+    if lib is None:
+        return None
+    # hard errors, not asserts: the C encoder reads/writes raw pointers
+    if shadow.dtype != np.uint8 or not shadow.flags.c_contiguous:
+        raise ValueError("shadow must be a contiguous uint8 array")
+    if apply and not shadow.flags.writeable:
+        raise ValueError("shadow must be writable when apply is set")
+    counts = np.ascontiguousarray(counts, dtype=np.int32)
+    xs = np.ascontiguousarray(xs, dtype=np.int32)
+    vals = np.ascontiguousarray(vals, dtype=np.uint8)
+    if xs.ndim == 1:
+        xs = xs.reshape(1, -1)
+        vals = vals.reshape(1, -1)
+    if xs.shape != vals.shape or counts.size != xs.shape[0]:
+        raise ValueError("counts/xs/vals block shapes disagree")
+    n_tiles, tile_cap = xs.shape
+    pos = int(counts.sum())
+    n = shadow.size
+    # enough for the delta16 working area and any chosen mode
+    cap = max(10 + 7 * pos, 1 + n)
+    out = np.empty(cap, dtype=np.uint8)
+    c = ctypes
+    rc = lib.wire_encode_v3(
+        counts.ctypes.data_as(c.POINTER(c.c_int32)),
+        n_tiles, tile_cap,
+        xs.ctypes.data_as(c.POINTER(c.c_int32)),
+        vals.ctypes.data_as(c.POINTER(c.c_uint8)),
+        shadow.ctypes.data_as(c.POINTER(c.c_uint8)),
+        n, 1 if apply else 0,
+        out.ctypes.data_as(c.POINTER(c.c_uint8)),
+        cap,
+    )
+    if rc < 0:
+        return None
+    return out[:rc].tobytes()
 
 
 def client_apply_np(frame, xs, vals) -> None:

@@ -436,3 +436,101 @@ void v4l2_close(int handle) {
     memset(&g_cam, 0, sizeof g_cam);
     g_cam.fd = -1;
 }
+
+/* ------------------------------------------------------------------ */
+/* wire v3 adaptive frame encode                                      */
+/* (byte-identical to runtime/wire.py:encode_frame_v3 / v3_sizes)     */
+/* ------------------------------------------------------------------ */
+
+/* One-pass adaptive v3 encode over TILED payload blocks: tile t holds
+ * counts[t] ascending entries at xs + t*tile_cap / vals + t*tile_cap
+ * (a flat payload is the n_tiles=1, tile_cap=pos special case).
+ *
+ * When `apply` is nonzero the payload is first folded into the client
+ * shadow with the client's own uint8 wrap-add (V3Encoder semantics);
+ * with apply=0 the shadow must already be the post-apply state
+ * (encode_frame_v3 semantics — broadcast/multiserve keep their own
+ * reconstruction). Either way the raw mode ships the shadow.
+ *
+ * Emits the cheapest of delta16 / bitmask / raw with the exact numpy
+ * encoder's layout and tie-breaking:
+ *   delta16: [0][u32 pos][u32 n_exc][u16 gaps][u32 absolutes][vals]
+ *            gap = x - prev_x (prev starts -1); gap >= 0xFFFF escapes
+ *   bitmask: [1][u32 pos][LSB-first mask (n+7)/8][vals]
+ *   raw:     [2][shadow bytes]
+ * Returns bytes written, or -1 when out_cap can't hold the worst-case
+ * delta16 working area (10 + 7*pos) or the chosen mode's size. */
+int64_t wire_encode_v3(const int32_t *counts, int64_t n_tiles,
+                       int64_t tile_cap, const int32_t *xs,
+                       const uint8_t *vals, uint8_t *shadow, int64_t n,
+                       int apply, uint8_t *out, int64_t out_cap) {
+    int64_t pos = 0;
+    for (int64_t t = 0; t < n_tiles; ++t) pos += counts[t];
+    if (out_cap < 10 + 7 * pos) return -1;
+
+    /* pass 1: shadow apply + delta16 gaps, each section written at its
+     * FINAL offset (the exception array starts exactly at 9 + 2*pos) */
+    uint8_t *g16 = out + 9;
+    uint8_t *exc = out + 9 + 2 * pos;
+    int64_t n_exc = 0, i = 0;
+    int64_t last = -1;
+    for (int64_t t = 0; t < n_tiles; ++t) {
+        const int32_t *xt = xs + t * tile_cap;
+        const uint8_t *vt = vals + t * tile_cap;
+        for (int32_t j = 0; j < counts[t]; ++j, ++i) {
+            int64_t x = xt[j];
+            if (apply) shadow[x] = (uint8_t)(shadow[x] + vt[j]);
+            int64_t gap = x - last;
+            last = x;
+            uint16_t g = 0xFFFF;
+            if (gap < 0xFFFF) {
+                g = (uint16_t)gap;
+            } else {
+                uint32_t x32 = (uint32_t)x;
+                memcpy(exc + 4 * n_exc, &x32, 4);
+                ++n_exc;
+            }
+            memcpy(g16 + 2 * i, &g, 2);
+        }
+    }
+
+    int64_t size_d = 1 + 8 + 3 * pos + 4 * n_exc;
+    int64_t size_b = 1 + 4 + (n + 7) / 8 + pos;
+    int64_t size_r = 1 + n;
+    uint32_t pos32 = (uint32_t)pos;
+
+    if (size_d <= size_b && size_d <= size_r) {
+        out[0] = 0; /* MODE_DELTA16 */
+        uint32_t e32 = (uint32_t)n_exc;
+        memcpy(out + 1, &pos32, 4);
+        memcpy(out + 5, &e32, 4);
+        uint8_t *vo = out + 9 + 2 * pos + 4 * n_exc;
+        for (int64_t t = 0; t < n_tiles; ++t) {
+            memcpy(vo, vals + t * tile_cap, (size_t)counts[t]);
+            vo += counts[t];
+        }
+        return size_d;
+    }
+    if (size_b <= size_r) {
+        if (out_cap < size_b) return -1;
+        out[0] = 1; /* MODE_BITMASK */
+        memcpy(out + 1, &pos32, 4);
+        uint8_t *mask = out + 5;
+        memset(mask, 0, (size_t)((n + 7) / 8));
+        uint8_t *vo = mask + (n + 7) / 8;
+        for (int64_t t = 0; t < n_tiles; ++t) {
+            const int32_t *xt = xs + t * tile_cap;
+            for (int32_t j = 0; j < counts[t]; ++j) {
+                int64_t x = xt[j];
+                mask[x >> 3] |= (uint8_t)(1u << (x & 7));
+            }
+            memcpy(vo, vals + t * tile_cap, (size_t)counts[t]);
+            vo += counts[t];
+        }
+        return size_b;
+    }
+    if (out_cap < size_r) return -1;
+    out[0] = 2; /* MODE_RAW */
+    memcpy(out + 1, shadow, (size_t)n);
+    return size_r;
+}

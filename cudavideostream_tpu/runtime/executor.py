@@ -191,10 +191,13 @@ class TiledLander:
             return True
         if t_hi == 0:
             return False
-        # the tiles path moves the [t_lo, t_hi) block range
-        block_bytes = 5 * (t_hi - t_lo) * tile_cap   # int32 xs + uint8 vals
+        # the tiles path moves the [t_lo, t_hi) block range; xs ride the
+        # narrowest unit-local dtype (see _compact_dtype), vals one byte
+        narrow = self._compact_dtype(tile_cap)
+        xs_bytes = 4 if narrow is None else np.dtype(narrow).itemsize
+        block_bytes = (1 + xs_bytes) * (t_hi - t_lo) * tile_cap
         tier = self._fetch_xs.tier(pos) if self._fetch_xs else pos
-        flat_bytes = 5 * tier
+        flat_bytes = 5 * tier                        # int32 xs + uint8 vals
         t_tiles = self.link.fetch_seconds(block_bytes)
         if t_tiles is None:
             return False

@@ -165,11 +165,30 @@ class V3Encoder:
         self.last_mode: int = MODE_DELTA16
 
     def encode(self, pos: int, xs, vals) -> bytes:
-        """One frame -> ``[u8 mode][body]`` bytes, cheapest mode."""
+        """One frame -> ``[u8 mode][body]`` bytes, cheapest mode.
+
+        The native C encoder (``cvstpu.c:wire_encode_v3``) does the
+        shadow apply + gap encode in one pass straight off the tiled
+        blocks — no flatten, no numpy passes; byte-identical output.
+        Falls back to the numpy path when the lib is unbuilt."""
+        from cudavideostream_tpu import native
+
         if isinstance(xs, TiledPayload):
+            buf = native.encode_v3_np(
+                xs.counts, xs.xs, xs.vals, self.frame, apply=True
+            )
+            if buf is not None:
+                self.last_mode = buf[0]
+                return buf
             xs, vals = xs.to_flat()
         xs = np.asarray(xs, dtype=np.int64)[:pos]
         vals = np.asarray(vals, dtype=np.uint8)[:pos]
+        buf = native.encode_v3_np(
+            np.array([pos], np.int32), xs, vals, self.frame, apply=True
+        )
+        if buf is not None:
+            self.last_mode = buf[0]
+            return buf
         if pos:
             self.frame[xs] = self.frame[xs] + vals  # uint8 wrap-add
         buf = encode_frame_v3(pos, xs, vals, self.frame)
@@ -198,6 +217,28 @@ def encode_frame_v3(pos: int, xs: np.ndarray, vals: np.ndarray,
     joiner state, multiserve per-stream recon) pass it directly; others
     use :class:`V3Encoder`, which maintains one.
     """
+    from cudavideostream_tpu import native
+
+    xs = np.asarray(xs, dtype=np.int64)[:pos]
+    vals = np.asarray(vals, dtype=np.uint8)[:pos]
+    if (
+        isinstance(frame_after, np.ndarray)
+        and frame_after.dtype == np.uint8
+        and frame_after.flags.c_contiguous
+    ):
+        buf = native.encode_v3_np(
+            np.array([pos], np.int32), xs, vals, frame_after, apply=False
+        )
+        if buf is not None:
+            return buf
+    return encode_frame_v3_numpy(pos, xs, vals, frame_after)
+
+
+def encode_frame_v3_numpy(pos: int, xs: np.ndarray, vals: np.ndarray,
+                          frame_after: np.ndarray) -> bytes:
+    """The pure-numpy v3 encode — the byte-layout SPEC the native
+    encoder must match exactly (tests/test_native.py pins the identity
+    across mode crossovers, escapes, and ties)."""
     n = frame_after.size
     xs = np.asarray(xs, dtype=np.int64)[:pos]
     vals = np.asarray(vals, dtype=np.uint8)[:pos]

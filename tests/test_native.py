@@ -200,3 +200,108 @@ def test_c_client_rejects_out_of_range_indices(lib, small_config):
     with pytest.raises(ValueError, match="client_decode"):
         native.client_decode_np("127.0.0.1", port, n_bytes, 4)
     t.join(timeout=10)
+
+
+class TestNativeV3Encode:
+    """cvstpu.c:wire_encode_v3 must be byte-identical to the numpy SPEC
+    (wire.encode_frame_v3_numpy) in every mode, at the crossovers, on
+    escapes, and must maintain the V3Encoder shadow exactly."""
+
+    N = 20000  # frame bytes: small enough to sweep densities fast
+
+    def _payload(self, rng, density):
+        k = max(0, int(self.N * density))
+        xs = np.sort(rng.choice(self.N, size=k, replace=False)).astype(np.int64)
+        vals = rng.integers(1, 255, size=k, endpoint=True, dtype=np.uint8)
+        return k, xs, vals
+
+    @pytest.mark.parametrize("density", [0.0, 0.0005, 0.02, 0.2, 0.6, 1.0])
+    def test_identical_to_numpy_spec(self, lib, rng, density):
+        pos, xs, vals = self._payload(rng, density)
+        shadow = rng.integers(0, 255, self.N, endpoint=True, dtype=np.uint8)
+        after = shadow.copy()
+        after[xs] = after[xs] + vals
+        expected = wire.encode_frame_v3_numpy(pos, xs, vals, after)
+        got = native.encode_v3_np(
+            np.array([pos], np.int32), xs, vals, after, apply=False
+        )
+        assert got == expected
+        # and the applying variant folds the payload into the shadow
+        sh2 = shadow.copy()
+        got2 = native.encode_v3_np(
+            np.array([pos], np.int32), xs, vals, sh2, apply=True
+        )
+        assert got2 == expected
+        np.testing.assert_array_equal(sh2, after)
+
+    def test_escape_gaps(self, lib):
+        """Gaps >= 0xFFFF take the 4-byte absolute escape path."""
+        xs = np.array([0, 1, 70000, 70001, 140000], np.int64)
+        vals = np.array([5, 6, 7, 8, 9], np.uint8)
+        after = np.zeros(150000, np.uint8)
+        after[xs] = vals
+        expected = wire.encode_frame_v3_numpy(len(xs), xs, vals, after)
+        got = native.encode_v3_np(
+            np.array([len(xs)], np.int32), xs, vals, after, apply=False
+        )
+        assert got == expected
+        assert got[0] == wire.MODE_DELTA16
+        # decode round-trip through the public reader
+        pos, dxs, dvals, raw, used = wire.unpack_frame_v3(got, 0, after.size)
+        assert raw is None and used == len(got)
+        np.testing.assert_array_equal(dxs, xs)
+        np.testing.assert_array_equal(dvals, vals)
+
+    def test_tiled_blocks_match_flat(self, lib, rng):
+        """Block-form input == flat-form input == numpy SPEC."""
+        pos, xs, vals = self._payload(rng, 0.05)
+        after = rng.integers(0, 255, self.N, endpoint=True, dtype=np.uint8)
+        tile_cap = 128
+        n_tiles = -(-self.N // tile_cap)  # ceil: last tile partial
+        counts = np.zeros(n_tiles, np.int32)
+        xs_b = np.zeros((n_tiles, tile_cap), np.int32)
+        vals_b = np.zeros((n_tiles, tile_cap), np.uint8)
+        for t in range(n_tiles):
+            sel = (xs >= t * tile_cap) & (xs < (t + 1) * tile_cap)
+            c = int(sel.sum())
+            counts[t] = c
+            xs_b[t, :c] = xs[sel]
+            vals_b[t, :c] = vals[sel]
+        expected = wire.encode_frame_v3_numpy(pos, xs, vals, after)
+        got = native.encode_v3_np(counts, xs_b, vals_b, after, apply=False)
+        assert got == expected
+
+    def test_v3encoder_uses_native_and_matches(self, lib, rng):
+        """V3Encoder over TiledPayload: wire bytes and shadow equal the
+        numpy path driven with identical inputs."""
+        pos, xs, vals = self._payload(rng, 0.03)
+        base = rng.integers(0, 255, self.N, endpoint=True, dtype=np.uint8)
+        tp = wire.TiledPayload(
+            pos,
+            np.array([pos], np.int32),
+            xs.astype(np.int32).reshape(1, -1),
+            vals.reshape(1, -1),
+        )
+        enc_native = wire.V3Encoder(base)
+        buf_n = enc_native.encode(pos, tp, None)
+        # numpy reference: flat arrays + stateless encode on a hand-kept
+        # shadow
+        shadow = base.copy()
+        shadow[xs] = shadow[xs] + vals
+        buf_ref = wire.encode_frame_v3_numpy(pos, xs, vals, shadow)
+        assert buf_n == buf_ref
+        np.testing.assert_array_equal(enc_native.frame, shadow)
+
+    def test_mode_crossovers(self, lib, rng):
+        """The C encoder picks the same mode as the SPEC at both
+        boundaries (delta16 <-> bitmask <-> raw)."""
+        n = 4096
+        after = rng.integers(0, 255, n, endpoint=True, dtype=np.uint8)
+        for k in range(0, n + 1, 64):
+            xs = np.arange(k, dtype=np.int64)
+            vals = np.full(k, 3, np.uint8)
+            expected = wire.encode_frame_v3_numpy(k, xs, vals, after)
+            got = native.encode_v3_np(
+                np.array([k], np.int32), xs, vals, after, apply=False
+            )
+            assert got == expected, f"k={k}"
