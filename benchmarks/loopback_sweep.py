@@ -199,6 +199,11 @@ def main():
     p.add_argument("--out", default=None, help="append results here")
     p.add_argument("--quick", action="store_true",
                    help="only the headline rows (device capture)")
+    p.add_argument("--height", type=int, default=None,
+                   help="override frame geometry (e.g. 2160 for 4K)")
+    p.add_argument("--width", type=int, default=None)
+    p.add_argument("--rows", default=None,
+                   help="comma-separated row labels to run (subset)")
     args = p.parse_args()
 
     import jax
@@ -212,6 +217,8 @@ def main():
 
     on_tpu = jax.default_backend() not in ("cpu",)
     geo = {} if on_tpu else {"height": 48, "width": 64, "overlay_scale": 1}
+    if args.height:
+        geo = {"height": args.height, "width": args.width or args.height}
     base_cfg = StreamConfig(tiled_payload=True, **geo)
     print(f"sweep on {jax.devices()[0].platform} "
           f"{base_cfg.height}x{base_cfg.width}", file=sys.stderr)
@@ -244,8 +251,8 @@ def main():
         ]
 
     lines = [
-        "# hardware end-to-end 1080p serving sweep: real executor + real "
-        "TCP client, per-leg medians (ms).",
+        f"# hardware end-to-end {base_cfg.height}x{base_cfg.width} serving "
+        "sweep: real executor + real TCP client, per-leg medians (ms).",
         "# capture=host pays the 6.2 MB host->device upload inside "
         "dispatch/land; capture=device generates frames in HBM "
         "(SURVEY §6's sanctioned capture fix). land = device sync + "
@@ -254,6 +261,9 @@ def main():
         "# row  capture_ms dispatch_ms land_ms send_ms total_ms fps "
         "pos_mean exact",
     ]
+    if args.rows:
+        wanted = set(args.rows.split(","))
+        matrix = [m for m in matrix if m[0] in wanted]
     print("\n".join(lines))
     for label, capture, density, fetch, wirefmt, backend, pipelined in matrix:
         if backend == "host":

@@ -281,7 +281,14 @@ class TestSoak:
 
         from cudavideostream_tpu.runtime import wire
 
-        cfg = dataclasses.replace(small_config, tiled_payload=True)
+        # subtile_rows=0 (whole-tile units): at sub_rows=1 this tiny
+        # geometry's narrow-dtype blocks (2 B/slot x 72 units) are
+        # cheaper than the 4096-entry minimum flat tier at EVERY link
+        # speed, so the flat landing would be unreachable — the flip
+        # machinery, not the threshold, is what's under test
+        cfg = dataclasses.replace(
+            small_config, tiled_payload=True, subtile_rows=0
+        )
         ex = StreamExecutor(cfg)
         src = SyntheticSource(cfg, seed=11)
         base = next(src).copy()
@@ -289,11 +296,9 @@ class TestSoak:
         prev = base.copy()
         for k in range(60):
             # alternate the measured-link regime every 7 frames. (4 MB/s,
-            # not the tunnel's 16: sub-tiled payloads trim block fetches
-            # to the last non-empty 1 KB unit, so at this tiny geometry
-            # the block path is only ~1.3x the flat path's bytes and a
-            # slower link is needed to tip the decision — the flip
-            # itself, not the exact threshold, is what's under test.)
+            # not the tunnel's 16: whole-tile blocks at this geometry are
+            # only ~1.3x the flat path's bytes and a slower link is
+            # needed to tip the decision.)
             if k % 14 < 7:
                 ex.link.bps = 4e6       # slow link: flat should win
             else:
