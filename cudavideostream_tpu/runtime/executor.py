@@ -152,14 +152,27 @@ class TiledLander:
       geometric ladder, dynamic start — no recompile as a clustered
       scene drifts through the frame, and leading static tiles cost
       nothing, unlike the old ``[0:t_hi)`` prefix);
-    * the solo path (:meth:`land_fused`) additionally SPECULATES: it
-      fetches ``pos``/``counts`` and the previous frame's tile window
-      (re-centered, with margin) in one round trip, topping up with a
-      second fetch only when the scene jumped outside the window.
+    * the solo path (:meth:`land_fused` / :meth:`land_fused_many`)
+      additionally SPECULATES: it fetches ``pos``, device-computed
+      ``t_lo``/``t_hi`` span scalars, the counts WINDOW covering the
+      previous frame's span (a few KB instead of the full counts array —
+      48 KB/frame at 1080p ``sub_rows=1``), and the payload window —
+      all in one round trip, topping up with a second fetch only when
+      the scene jumped outside the window;
+    * :meth:`land_fused_many` lands a DEPTH-K batch of frames through
+      ONE ``device_get`` (one link round trip for K frames — the RTT
+      amortization the reference gets from its ring of six in-flight
+      buffers, ``threads.cpp:84-106``);
+    * the flat landing is NARROW: the device emits the merged stream's
+      xs as unit-local ``xs % tile_cap`` (uint8 at the product
+      geometry), and the host rebuilds global indices from the counts
+      window — 2 B per changed byte over the link instead of 5.
     """
 
     #: smallest range-slice length (units); ladder grows ~1.5x from here
     RANGE_MIN = 256
+    #: smallest merged-prefix slice (entries); ladder grows ~1.25x
+    FLAT_MIN = 8192
 
     def __init__(self, mode: str = "auto", link: Optional[LinkStats] = None):
         # modes: "auto" / "tiles" / "flat" (see class docstring) and
@@ -177,8 +190,10 @@ class TiledLander:
         self._fetch_vals = None
         self._fetch_tiles = None
         self._shard_tier = None   # tier math for the "shards" mode
-        self._range_slicers = {}  # (length, fused) -> jitted dynamic-slice
-        self._spec = None         # land_fused speculation: (start, length)
+        self._range_slicers = {}  # key -> jitted dynamic-slice fn
+        # land_fused speculation: ("tiles"|"flat", window_start,
+        # window_len_units, merged_prefix_len_entries)
+        self._spec = None
         self.fetch_counts = {"tiles": 0, "flat": 0}
         self.spec_counts = {"hit": 0, "miss": 0}
 
@@ -196,8 +211,12 @@ class TiledLander:
         narrow = self._compact_dtype(tile_cap)
         xs_bytes = 4 if narrow is None else np.dtype(narrow).itemsize
         block_bytes = (1 + xs_bytes) * (t_hi - t_lo) * tile_cap
-        tier = self._fetch_xs.tier(pos) if self._fetch_xs else pos
-        flat_bytes = 5 * tier                        # int32 xs + uint8 vals
+        tier = (self._flat_len(pos, self._fetch_xs.capacity)
+                if self._fetch_xs else pos)
+        # the flat path fetches the merged prefix in the SAME narrow
+        # unit-local dtype (global indices rebuilt host-side from the
+        # counts window, _rebuild_flat_xs) — (1 + xs_bytes) per entry
+        flat_bytes = (1 + xs_bytes) * tier
         t_tiles = self.link.fetch_seconds(block_bytes)
         if t_tiles is None:
             return False
@@ -215,6 +234,20 @@ class TiledLander:
         while L < span:
             L = max(L + 256, (L * 3 // 2 + 255) // 256 * 256)
         return min(L, n_tiles)
+
+    def _flat_len(self, want: int, cap: int) -> int:
+        """Slice length for a ``want``-entry merged prefix: a ~1.25x
+        geometric ladder quantized to FLAT_MIN entries. Finer than the
+        TieredFetcher's power-of-two because the flat prefix IS the
+        payload bytes — 2x over-fetch would double the link time the
+        flat landing exists to minimize. Small frames scale the quantum
+        down (cap/8, >=256): an 8192-entry floor would exceed a tiny
+        frame's whole capacity and lock ``auto`` out of the flat path."""
+        q = min(self.FLAT_MIN, max(256, cap // 8))
+        L = q
+        while L < want:
+            L = max(L + q, (L * 5 // 4 + q - 1) // q * q)
+        return min(L, cap)
 
     @staticmethod
     def _compact_dtype(tile_cap: int):
@@ -265,14 +298,113 @@ class TiledLander:
             self._range_slicers[key] = fn
         return fn
 
+    def _spec_slicer(self, L: int, tile_cap: int, flat_P: int = 0):
+        """Jitted speculative fused fetch for :meth:`land_fused_many`.
+
+        Returns ``(pos, t_lo, t_hi, counts_window, xs_window,
+        vals_window)`` in one dispatch: the span scalars are computed ON
+        DEVICE (argmax over the nonzero mask), so the host never fetches
+        the full counts array — only the ``L``-unit window at the
+        dynamic ``start``. With ``flat_P`` the payload window is the
+        ``[:flat_P]`` prefix of the (already merged) flat stream instead
+        of the ``[start, start+L)`` block rows; both ride the narrow
+        unit-local dtype when one fits (see ``_compact_dtype``)."""
+        key = ("spec", L, tile_cap, flat_P)
+        fn = self._range_slicers.get(key)
+        if fn is None:
+            import jax
+            import jax.numpy as jnp
+            from jax import lax
+
+            narrow = self._compact_dtype(tile_cap)
+
+            def f(pos_d, counts_d, xs, vs, start):
+                nz = counts_d > 0
+                any_nz = jnp.any(nz)
+                t_lo = jnp.where(any_nz, jnp.argmax(nz), 0).astype(jnp.int32)
+                t_hi = jnp.where(
+                    any_nz, counts_d.shape[0] - jnp.argmax(nz[::-1]), 0
+                ).astype(jnp.int32)
+                cw = lax.dynamic_slice_in_dim(counts_d, start, L, 0)
+                if flat_P:
+                    xw, vw = xs[:flat_P], vs[:flat_P]
+                else:
+                    xw = lax.dynamic_slice_in_dim(xs, start, L, 0)
+                    vw = lax.dynamic_slice_in_dim(vs, start, L, 0)
+                if narrow is not None:
+                    xw = (xw % tile_cap).astype(narrow)
+                return pos_d, t_lo, t_hi, cw, xw, vw
+
+            fn = jax.jit(f)
+            self._range_slicers[key] = fn
+        return fn
+
+    def _probe_slicer(self):
+        """Jitted 12-byte probe: ``(pos, t_lo, t_hi)`` only — the cold
+        first fetch when no speculative window exists yet."""
+        key = ("probe",)
+        fn = self._range_slicers.get(key)
+        if fn is None:
+            import jax
+            import jax.numpy as jnp
+
+            def f(pos_d, counts_d):
+                nz = counts_d > 0
+                any_nz = jnp.any(nz)
+                t_lo = jnp.where(any_nz, jnp.argmax(nz), 0).astype(jnp.int32)
+                t_hi = jnp.where(
+                    any_nz, counts_d.shape[0] - jnp.argmax(nz[::-1]), 0
+                ).astype(jnp.int32)
+                return pos_d, t_lo, t_hi
+
+            fn = jax.jit(f)
+            self._range_slicers[key] = fn
+        return fn
+
+    def _counts_win(self, L: int):
+        """Jitted ``counts[start : start+L)`` window slice."""
+        key = ("counts", L)
+        fn = self._range_slicers.get(key)
+        if fn is None:
+            import jax
+            from jax import lax
+
+            fn = jax.jit(
+                lambda counts_d, start:
+                lax.dynamic_slice_in_dim(counts_d, start, L, 0)
+            )
+            self._range_slicers[key] = fn
+        return fn
+
+    def _flat_narrow(self, P: int, tile_cap: int):
+        """Jitted ``[:P]`` prefix of a merged flat stream, xs narrowed to
+        the unit-local dtype when one fits."""
+        key = ("flatn", P, tile_cap)
+        fn = self._range_slicers.get(key)
+        if fn is None:
+            import jax
+
+            narrow = self._compact_dtype(tile_cap)
+
+            def f(xs_m, vals_m):
+                xw = xs_m[:P]
+                if narrow is not None:
+                    xw = (xw % tile_cap).astype(narrow)
+                return xw, vals_m[:P]
+
+            fn = jax.jit(f)
+            self._range_slicers[key] = fn
+        return fn
+
     @staticmethod
-    def _rebuild_xs(xs_w, counts, row0: int, t_lo: int, t_hi: int,
+    def _rebuild_xs(xs_w, counts_span, row0: int, t_lo: int, t_hi: int,
                     tile_cap: int):
         """Rows ``[t_lo, t_hi)`` of a fetched xs window starting at
         ``row0``, as int32 GLOBAL indices. Narrow (unit-local) windows
         are rebuilt as ``row * tile_cap + local``, masked to the counted
-        prefix so padding stays exactly 0 (the invariant the int32 path
-        ships natively)."""
+        prefix (``counts_span`` = counts for exactly ``[t_lo, t_hi)``)
+        so padding stays exactly 0 (the invariant the int32 path ships
+        natively)."""
         a = t_lo - row0
         w = xs_w[a: a + (t_hi - t_lo)]
         if w.dtype == np.int32:
@@ -280,9 +412,25 @@ class TiledLander:
         base = (np.arange(t_lo, t_hi, dtype=np.int32) * tile_cap)[:, None]
         valid = (
             np.arange(tile_cap, dtype=np.int32)[None, :]
-            < np.asarray(counts[t_lo:t_hi], dtype=np.int32)[:, None]
+            < np.asarray(counts_span, dtype=np.int32)[:, None]
         )
         return np.where(valid, w.astype(np.int32) + base, np.int32(0))
+
+    @staticmethod
+    def _rebuild_flat_xs(lo, counts_span, pos: int, t_lo: int,
+                         tile_cap: int):
+        """Global int32 xs for a NARROW merged prefix: entry ``k`` of the
+        merged stream belongs to the unit whose counted prefix covers it
+        (units concatenate in ascending order), so
+        ``global = unit * tile_cap + local`` with the unit index repeated
+        ``counts[unit]`` times. Exact because the merge preserves unit
+        order and ``sum(counts_span) == pos``."""
+        if lo.dtype == np.int32:     # no narrow dtype for this geometry
+            return np.asarray(lo[:pos])
+        c = np.asarray(counts_span, dtype=np.int64)
+        units = np.arange(t_lo, t_lo + c.size, dtype=np.int64)
+        base = np.repeat(units * tile_cap, c).astype(np.int32)
+        return base + lo[:pos].astype(np.int32)
 
     @staticmethod
     def _single_device(arr) -> bool:
@@ -420,8 +568,17 @@ class TiledLander:
             if pos <= 0:
                 return ("flat_empty",), ()
             xs_d, vals_d = m
-            t = self._fetch_xs.tier_checked(pos)
-            return ("flat",), (xs_d[:t], vals_d[:t])
+            cap = self._fetch_xs.capacity
+            if pos > cap:
+                # unreachable for tiled layouts (pos <= total slots) but
+                # kept for parity with tier_checked's fail-loud contract
+                raise PayloadOverflowError(
+                    f"frame changed {pos} bytes > payload capacity {cap}"
+                )
+            tile_cap = xs_t_d.shape[1]
+            P = self._flat_len(pos, cap)
+            lo_s, vw_s = self._flat_narrow(P, tile_cap)(xs_d, vals_d)
+            return ("flat",), (lo_s, vw_s)
         if t_hi == 0:
             return ("tiles_empty",), ()
         if isinstance(xs_t_d, np.ndarray):
@@ -440,25 +597,25 @@ class TiledLander:
         )
         return ("range", start), (xs_s, vals_s)
 
-    def _get_batched(self, slice_pairs):
+    def _get_batched(self, slice_tuples):
         """ONE blocking ``device_get`` for every landing's slices; host
-        pairs pass through untouched."""
+        tuples pass through untouched."""
         import jax
 
-        dev = [p for p in slice_pairs
+        dev = [p for p in slice_tuples
                if p and not isinstance(p[0], np.ndarray)]
         if not dev:
-            return list(slice_pairs)
+            return list(slice_tuples)
         t0 = time.perf_counter()
         host = jax.device_get(dev)
         dt = time.perf_counter() - t0
-        nbytes = sum(x.nbytes + v.nbytes for x, v in host)
+        nbytes = sum(a.nbytes for tup in host for a in tup)
         if nbytes:
             self.link.record_fetch(nbytes, dt)
         it = iter(host)
         return [
             p if not p or isinstance(p[0], np.ndarray) else next(it)
-            for p in slice_pairs
+            for p in slice_tuples
         ]
 
     def _assemble(self, plan, kind_meta, host):
@@ -467,8 +624,11 @@ class TiledLander:
         kind = kind_meta[0]
         if kind == "flat":
             self.fetch_counts["flat"] += 1
-            xs_h, vals_h = host
-            return xs_h[:pos], vals_h[:pos]
+            lo_h, vals_h = host
+            xs = self._rebuild_flat_xs(
+                lo_h, counts[t_lo:t_hi], pos, t_lo, plan[6].shape[1]
+            )
+            return xs, np.asarray(vals_h[:pos])
         if kind == "flat_empty":
             self.fetch_counts["flat"] += 1
             return np.empty(0, np.int32), np.empty(0, np.uint8)
@@ -490,91 +650,230 @@ class TiledLander:
         # self-describing)
         return wire.TiledPayload(
             pos, counts[t_lo:t_hi],
-            self._rebuild_xs(xs_h, counts, start, t_lo, t_hi, tile_cap),
+            self._rebuild_xs(
+                xs_h, counts[t_lo:t_hi], start, t_lo, t_hi, tile_cap
+            ),
             vals_h[a: a + (t_hi - t_lo)],
         )
 
     def land_fused(self, pos_d, counts_d, xs_t_d, vals_t_d):
-        """Solo landing with SPECULATIVE single-round-trip fetch.
+        """Solo landing with SPECULATIVE single-round-trip fetch — the
+        depth-1 case of :meth:`land_fused_many`."""
+        return self.land_fused_many(
+            [(pos_d, counts_d, xs_t_d, vals_t_d)]
+        )[0]
 
-        The generic path costs two link round trips (counts, then the
-        slices the counts prove necessary). On a ~30 ms-RTT link that
-        latency dominates the whole serving loop (the r4 hardware sweep,
-        benchmarks/loopback_tpu_tunnel), so the solo path bets that the
-        scene moves slowly: it fetches ``pos``/``counts`` AND the
-        previous frame's tile window — re-centered with a margin of a
-        quarter span each side — in ONE ``device_get``, then verifies
-        coverage against the counts it just fetched. A miss (scene cut,
-        first frame, flat decision) falls back to the generic second
-        fetch; correctness never depends on the bet.
+    def land_fused_many(self, items):
+        """Land a DEPTH-K batch of frames' tiled payloads.
 
-        Returns ``(pos, TiledPayload | (xs, vals))``.
+        The generic landing costs two link round trips PER FRAME
+        (counts, then the slices the counts prove necessary). On a
+        ~30 ms-RTT link that latency dominates the whole serving loop
+        (the r4 hardware sweep, benchmarks/loopback_tpu_tunnel), so this
+        path (a) bets that the scene moves slowly and (b) amortizes the
+        round trip over the whole batch:
+
+        * phase 1 — ONE ``device_get`` fetches, for every frame:
+          ``pos``, device-computed ``t_lo``/``t_hi`` span scalars, the
+          counts window at the previous batch's span, and the payload
+          window (block rows, or the narrow merged prefix when the
+          speculation mode is "flat");
+        * phase 2 — frames the window missed (scene cut, density flip,
+          cold start) share ONE more batched get.
+
+        Correctness never depends on the bet: a miss re-fetches exactly
+        what the device scalars prove necessary. ``items`` is a list of
+        ``(pos_d, counts_d, xs_t_d, vals_t_d)``; returns a same-length
+        list of ``(pos, TiledPayload | (xs, vals))``.
         """
+        from cudavideostream_tpu.ops import logcompact
+
+        K = len(items)
+        n_tiles, tile_cap = items[0][2].shape
+        self._ensure_fetchers(n_tiles, tile_cap)
+        single = all(
+            self._single_device(it[2]) and self._single_device(it[3])
+            for it in items
+        )
+        if not single or self.mode not in ("tiles", "auto", "flat"):
+            return self._land_generic_many(items)
+
+        results: list = [None] * K
+        scalars: list = [None] * K      # (pos, t_lo, t_hi) per item
+        merged: list = [None] * K
+        spec = self._spec
+        misses: list = []
+        if spec is None:
+            probe = self._probe_slicer()
+            host = self._get_batched(
+                [probe(it[0], it[1]) for it in items]
+            )
+            scalars = [tuple(int(x) for x in h) for h in host]
+            misses = list(range(K))
+        else:
+            smode, start0, L0, P0 = spec
+            if smode == "flat":
+                for i, it in enumerate(items):
+                    merged[i] = logcompact.merge_tiles(it[1], it[2], it[3])
+                sl = self._spec_slicer(L0, tile_cap, flat_P=P0)
+                dev = [
+                    sl(it[0], it[1], m[0], m[1], np.int32(start0))
+                    for it, m in zip(items, merged)
+                ]
+            else:
+                sl = self._spec_slicer(L0, tile_cap)
+                dev = [
+                    sl(it[0], it[1], it[2], it[3], np.int32(start0))
+                    for it in items
+                ]
+            host = self._get_batched(dev)
+            for i, h in enumerate(host):
+                pos, t_lo, t_hi = int(h[0]), int(h[1]), int(h[2])
+                scalars[i] = (pos, t_lo, t_hi)
+                cw, xw, vw = h[3], h[4], h[5]
+                if t_hi == 0:
+                    results[i] = (pos, self._empty_result(
+                        smode == "flat", tile_cap))
+                    continue
+                covered = start0 <= t_lo and t_hi <= start0 + L0
+                want_flat = self.use_flat(pos, t_hi, tile_cap, t_lo=t_lo)
+                span = cw[t_lo - start0: t_hi - start0] if covered else None
+                if smode == "flat" and want_flat and covered and pos <= P0:
+                    self.spec_counts["hit"] += 1
+                    self.fetch_counts["flat"] += 1
+                    results[i] = (pos, (
+                        self._rebuild_flat_xs(xw, span, pos, t_lo, tile_cap),
+                        np.asarray(vw[:pos]),
+                    ))
+                elif smode == "tiles" and not want_flat and covered:
+                    self.spec_counts["hit"] += 1
+                    self.fetch_counts["tiles"] += 1
+                    a = t_lo - start0
+                    results[i] = (pos, wire.TiledPayload(
+                        pos, span,
+                        self._rebuild_xs(
+                            xw, span, start0, t_lo, t_hi, tile_cap),
+                        vw[a: a + (t_hi - t_lo)],
+                    ))
+                else:
+                    self.spec_counts["miss"] += 1
+                    misses.append(i)
+
+        if misses:
+            reqs = []
+            for i in misses:
+                pos, t_lo, t_hi = scalars[i]
+                if t_hi == 0:
+                    # cold-start empty frame (phase-1 empties returned
+                    # above; flat-vs-tiles is moot at pos == 0)
+                    results[i] = (pos, self._empty_result(False, tile_cap))
+                    continue
+                _, counts_d, xs_t_d, vals_t_d = items[i]
+                want_flat = self.use_flat(pos, t_hi, tile_cap, t_lo=t_lo)
+                Lc = self._range_len(t_hi - t_lo, n_tiles)
+                startc = max(0, min(t_lo, n_tiles - Lc))
+                cw_s = self._counts_win(Lc)(counts_d, np.int32(startc))
+                if want_flat:
+                    if merged[i] is None:
+                        merged[i] = logcompact.merge_tiles(
+                            counts_d, xs_t_d, vals_t_d)
+                    P = self._flat_len(pos, self._fetch_xs.capacity)
+                    lo_s, vw_s = self._flat_narrow(P, tile_cap)(
+                        merged[i][0], merged[i][1])
+                    reqs.append((i, ("flat2", startc), (cw_s, lo_s, vw_s)))
+                else:
+                    xw_s, vw_s = self._slicer(Lc, False, tile_cap)(
+                        xs_t_d, vals_t_d, np.int32(startc))
+                    reqs.append((i, ("tiles2", startc), (cw_s, xw_s, vw_s)))
+            fetched = self._get_batched([r[2] for r in reqs])
+            for (i, meta, _), host in zip(reqs, fetched):
+                pos, t_lo, t_hi = scalars[i]
+                startc = meta[1]
+                cw, xw, vw = host
+                span = cw[t_lo - startc: t_hi - startc]
+                if meta[0] == "flat2":
+                    self.fetch_counts["flat"] += 1
+                    results[i] = (pos, (
+                        self._rebuild_flat_xs(xw, span, pos, t_lo, tile_cap),
+                        np.asarray(vw[:pos]),
+                    ))
+                else:
+                    self.fetch_counts["tiles"] += 1
+                    a = t_lo - startc
+                    results[i] = (pos, wire.TiledPayload(
+                        pos, span,
+                        self._rebuild_xs(
+                            xw, span, startc, t_lo, t_hi, tile_cap),
+                        vw[a: a + (t_hi - t_lo)],
+                    ))
+
+        self._update_spec(scalars, K, n_tiles, tile_cap)
+        return results
+
+    def _empty_result(self, flat: bool, tile_cap: int):
+        if flat:
+            self.fetch_counts["flat"] += 1
+            return np.empty(0, np.int32), np.empty(0, np.uint8)
+        self.fetch_counts["tiles"] += 1
+        return wire.TiledPayload(
+            0, np.zeros(0, np.int32),
+            np.empty((0, tile_cap), np.int32),
+            np.empty((0, tile_cap), np.uint8),
+        )
+
+    def _update_spec(self, scalars, K: int, n_tiles: int,
+                     tile_cap: int) -> None:
+        """Re-center the speculative window for the NEXT batch from the
+        batch's LAST frame. The margin scales with the batch depth —
+        the window must absorb K frames of drift, not one. Empty frames
+        keep the previous window (a blank frame says nothing about where
+        the scene will resume)."""
+        pos, t_lo, t_hi = scalars[-1]
+        if t_hi == 0:
+            return
+        if self.mode == "tiles":
+            want_flat = False
+        elif self.mode == "flat":
+            want_flat = True
+        else:
+            want_flat = self.use_flat(pos, t_hi, tile_cap, t_lo=t_lo)
+        span = t_hi - t_lo
+        margin = max(64, span // 4) * K
+        L = self._range_len(span + 2 * margin, n_tiles)
+        start = max(0, min(t_lo - margin, n_tiles - L))
+        if want_flat:
+            P = self._flat_len(
+                pos + max(pos // 4, 2048) * K, self._fetch_xs.capacity
+            )
+            self._spec = ("flat", start, L, P)
+        else:
+            self._spec = ("tiles", start, L, 0)
+
+    def _land_generic_many(self, items):
+        """Fallback for mesh-sharded / host payload blocks and the
+        "shards" mode: fetch ``(pos, counts)`` for every item in one
+        batched get, then delegate to the :meth:`land_many` machinery
+        (which keeps the SPMD-safe static-prefix slicing for sharded
+        arrays)."""
         import jax
 
-        n_tiles, tile_cap = xs_t_d.shape
-        self._ensure_fetchers(n_tiles, tile_cap)
-        spec = self._spec if self.mode in ("tiles", "auto") else None
-        if spec is not None and self._single_device(xs_t_d):
-            start0, L0 = spec
-            out = self._slicer(L0, True, tile_cap)(
-                pos_d, counts_d, xs_t_d, vals_t_d, np.int32(start0)
-            )
-            t0 = time.perf_counter()
-            pos_h, counts, xs_h, vals_h = jax.device_get(out)
-            self.link.record_fetch(
-                counts.nbytes + xs_h.nbytes + vals_h.nbytes,
-                time.perf_counter() - t0,
-            )
-        else:
-            start0 = L0 = xs_h = vals_h = None
-            pos_h, counts = jax.device_get((pos_d, counts_d))
-        pos = int(pos_h)
-        nz = np.nonzero(counts)[0]
-        t_lo = int(nz[0]) if nz.size else 0
-        t_hi = int(nz[-1]) + 1 if nz.size else 0
-        flat = self.use_flat(pos, t_hi, tile_cap, t_lo=t_lo)
-        if flat:
-            self._spec = None
-        elif t_hi > 0 and self._single_device(xs_t_d):
-            # re-center the window for the NEXT frame
-            span = t_hi - t_lo
-            margin = max(64, span // 4)
-            L = self._range_len(span + 2 * margin, n_tiles)
-            self._spec = (max(0, min(t_lo - margin, n_tiles - L)), L)
-        if (
-            not flat
-            and xs_h is not None
-            and t_hi > 0
-            and start0 <= t_lo
-            and t_hi <= start0 + L0
-        ):
-            # speculation covered the frame: zero extra round trips
-            self.spec_counts["hit"] += 1
-            self.fetch_counts["tiles"] += 1
-            a = t_lo - start0
-            return pos, wire.TiledPayload(
-                pos, counts[t_lo:t_hi],
-                self._rebuild_xs(xs_h, counts, start0, t_lo, t_hi, tile_cap),
-                vals_h[a: a + (t_hi - t_lo)],
-            )
-        if xs_h is not None:
-            self.spec_counts["miss"] += 1
-        # generic second fetch (also the flat / empty / first-frame path)
-        plan = (pos, counts, t_lo, t_hi, flat, counts_d, xs_t_d, vals_t_d)
-        if flat:
-            from cudavideostream_tpu.ops import logcompact
-
-            tm0 = time.perf_counter()
-            m = logcompact.merge_tiles(counts_d, xs_t_d, vals_t_d)
-            self._fetch_xs._jax.device_get(m[0][:1])
-            if self.fetch_counts["flat"] > 0:
-                self.link.record_merge(time.perf_counter() - tm0)
-        else:
-            m = None
-        kind_meta, slices = self._plan_fetch(plan, m)
-        host = self._get_batched([slices])[0]
-        return pos, self._assemble(plan, kind_meta, host)
+        heads = []
+        for pos_d, counts_d, _, _ in items:
+            if isinstance(counts_d, np.ndarray):
+                heads.append((np.asarray(pos_d), counts_d))
+            else:
+                heads.append(None)
+        dev = [(it[0], it[1]) for it, h in zip(items, heads) if h is None]
+        if dev:
+            fetched = iter(jax.device_get(dev))
+            heads = [h if h is not None else next(fetched) for h in heads]
+        landed = self.land_many([
+            (int(ph), np.asarray(ch), it[1], it[2], it[3])
+            for (ph, ch), it in zip(heads, items)
+        ])
+        return [
+            (int(ph), res) for (ph, _), res in zip(heads, landed)
+        ]
 
 
 class StreamExecutor:
@@ -767,6 +1066,73 @@ class PipelinedExecutor(StreamExecutor):
         # the pending payload's deltas are vs a state the raw frame
         # replaces — a client that applied them afterwards would corrupt
         self._pending = None
+        return super().resync()
+
+
+class BatchedLandExecutor(StreamExecutor):
+    """Depth-K landing batch: dispatch K frames' pipeline steps, then
+    land ALL K payloads through one (speculative) ``device_get`` round
+    trip (:meth:`TiledLander.land_fused_many`).
+
+    On a high-latency host↔device link the per-frame round trip is the
+    serving bottleneck (~30 ms RTT on the tunnel vs ~0.15 ms of device
+    compute — benchmarks/loopback_tpu_tunnel); batching K frames per
+    landing divides that latency by K at the cost of K frames of output
+    latency. This is the same throughput/latency trade the reference
+    makes with its ring of six in-flight pinned buffers
+    (``threads.cpp:84-106``) — frames are pipelined K-deep, not
+    dropped. :meth:`process` returns ``None`` until the batch fills,
+    then a LIST of per-frame results (oldest first); callers must also
+    drain :meth:`flush`, which returns a list too.
+    """
+
+    def __init__(self, config: StreamConfig,
+                 pipeline: Optional[DeltaStreamPipeline] = None,
+                 depth: int = 4):
+        super().__init__(config, pipeline)
+        if not config.tiled_payload:
+            raise ValueError(
+                "BatchedLandExecutor requires tiled_payload=True (the "
+                "batched landing speaks the per-tile block layout)"
+            )
+        if depth < 1:
+            raise ValueError("depth must be >= 1")
+        self.depth = depth
+        self._queue: list = []  # (t0, step outputs past new_prev)
+
+    def process(self, frame, text: str = ""):
+        if self._state is None:
+            raise RuntimeError("call start(base_frame) first")
+        t0, rest = self._dispatch(frame, text)
+        self._queue.append((t0, rest))
+        if len(self._queue) < self.depth:
+            return None
+        return self._land_queue()
+
+    def _land_queue(self):
+        q, self._queue = self._queue, []
+        landed = self._lander.land_fused_many(
+            [(r[0], r[1], r[2], r[3]) for _, r in q]
+        )
+        out = []
+        for (t0, rest), (pos, res) in zip(q, landed):
+            aux_d = rest[4]
+            aux = np.asarray(aux_d) if aux_d is not None else None
+            self.metrics.record(time.perf_counter() - t0, pos)
+            if isinstance(res, wire.TiledPayload):
+                out.append((pos, res, None, aux))
+            else:
+                xs, vals = res
+                out.append((pos, xs, vals, aux))
+        return out
+
+    def flush(self):
+        """Land whatever is queued (the sub-depth tail); list result."""
+        return self._land_queue() if self._queue else None
+
+    def resync(self) -> np.ndarray:
+        # queued payloads' deltas are vs states the raw frame replaces
+        self._queue = []
         return super().resync()
 
 

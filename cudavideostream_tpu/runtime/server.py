@@ -115,6 +115,7 @@ class DeltaStreamServer:
         conn.sendall(base.tobytes())
         text = ""
         n = 0
+        self._n_out = 0  # landed-frame index (lags n under batching)
         while max_frames is None or n < max_frames:
             t0 = time.perf_counter()
             try:
@@ -140,20 +141,13 @@ class DeltaStreamServer:
                     wire_bytes=len(buf),
                 )
                 result = None
-            if result is not None:  # pipelined executors lag one frame
-                sent = self._send_payload(
-                    conn, result, self.cfg.wire_format, v3enc
-                )
-                if sent is not None:  # v2/v3: correct the wire-bytes stat
-                    self.executor.metrics.wire_bytes += sent - (4 + 5 * result[0])
-                aux = result[3]
-                if self.aux_dir and aux is not None and n % self.aux_every == 0:
-                    from cudavideostream_tpu.runtime.client import write_ppm
-
-                    write_ppm(
-                        f"{self.aux_dir}/aux_{n:06d}.ppm",
-                        aux, self.cfg.height, self.cfg.width,
-                    )
+            if result is not None:  # pipelined/batched executors lag
+                # batched-landing executors return a LIST of per-frame
+                # results (oldest first); normalize so both shapes share
+                # one send path
+                for res in (result if isinstance(result, list) else [result]):
+                    self._emit(conn, res, v3enc, self._n_out)
+                    self._n_out += 1
             n += 1
             line = self.executor.metrics.status_line(read_s)
             if line:
@@ -173,10 +167,26 @@ class DeltaStreamServer:
             conn.sendall(buf)
             self.executor.metrics.record(0.0, 0, wire_bytes=len(buf))
         if tail is not None:
-            self._send_payload(conn, tail, self.cfg.wire_format, v3enc)
+            for res in (tail if isinstance(tail, list) else [tail]):
+                self._emit(conn, res, v3enc, self._n_out)
+                self._n_out += 1
         if self.verbose:
             print()
         return n
+
+    def _emit(self, conn: socket.socket, res, v3enc, idx: int) -> None:
+        """Send one landed frame result and run its side channels."""
+        sent = self._send_payload(conn, res, self.cfg.wire_format, v3enc)
+        if sent is not None:  # v2/v3: correct the wire-bytes stat
+            self.executor.metrics.wire_bytes += sent - (4 + 5 * res[0])
+        aux = res[3]
+        if self.aux_dir and aux is not None and idx % self.aux_every == 0:
+            from cudavideostream_tpu.runtime.client import write_ppm
+
+            write_ppm(
+                f"{self.aux_dir}/aux_{idx:06d}.ppm",
+                aux, self.cfg.height, self.cfg.width,
+            )
 
     @staticmethod
     def _send_payload(conn: socket.socket, result, wire_format: str = "v1",
@@ -285,6 +295,12 @@ def main(argv=None) -> int:
     p.add_argument("--pipelined", action="store_true",
                    help="one-frame-deep software pipeline: overlap frame N's "
                         "compute with frame N-1's payload landing")
+    p.add_argument("--land-batch", type=int, default=0, metavar="K",
+                   help="land K frames' payloads per device round trip "
+                        "(requires --tiled): divides the host<->device "
+                        "link latency by K at the cost of K frames of "
+                        "output latency — the big lever on high-RTT "
+                        "links (benchmarks/loopback_tpu_tunnel); 0 = off")
     p.add_argument("--prefetch", action="store_true",
                    help="capture frames on a dedicated thread (the "
                         "reference's th_cap): overlaps source latency "
@@ -324,6 +340,13 @@ def main(argv=None) -> int:
         # sharded/tiled payload layouts are always worst-case capacity
         # (config.py validates tiled; sharded.py pins capacity itself)
         p.error("--capacity applies to flat single-chip payloads only")
+    if args.land_batch:
+        if not args.tiled:
+            p.error("--land-batch requires --tiled payloads")
+        if args.pipelined or args.mesh or args.backend == "oracle":
+            p.error("--land-batch is exclusive with --pipelined/--mesh/"
+                    "--backend oracle (batching subsumes the one-frame "
+                    "pipeline; the mesh/oracle executors land per frame)")
 
     cfg = StreamConfig(
         height=args.height,
@@ -383,6 +406,18 @@ def main(argv=None) -> int:
                 DeltaStreamPipeline(cfg, threshold_map=thr_map)
                 if thr_map is not None else None
             ),
+        )
+    elif args.land_batch:
+        from cudavideostream_tpu.models import DeltaStreamPipeline
+        from cudavideostream_tpu.runtime.executor import BatchedLandExecutor
+
+        executor = BatchedLandExecutor(
+            cfg,
+            pipeline=(
+                DeltaStreamPipeline(cfg, threshold_map=thr_map)
+                if thr_map is not None else None
+            ),
+            depth=args.land_batch,
         )
     if thr_map is not None and executor is None:
         from cudavideostream_tpu.models import DeltaStreamPipeline

@@ -1,0 +1,276 @@
+"""Depth-K batched payload landing (TiledLander.land_fused_many +
+BatchedLandExecutor + server --land-batch).
+
+The hardware motivation is benchmarks/loopback_tpu_tunnel: at 1080p the
+landing was one ~30 ms link round trip PER FRAME; batching K frames per
+``device_get`` divides that latency by K — the rebuild's analogue of the
+reference's ring of six in-flight pinned buffers (threads.cpp:84-106).
+Every test is byte-exact vs the CPU reference oracle: the batching and
+the narrow flat merged emit must never change a single wire byte.
+"""
+
+import dataclasses
+import threading
+
+import numpy as np
+import pytest
+
+from cudavideostream_tpu.config import StreamConfig
+from cudavideostream_tpu.ops import reference_cpu as ref
+from cudavideostream_tpu.runtime import wire
+from cudavideostream_tpu.runtime.client import DeltaStreamClient
+from cudavideostream_tpu.runtime.executor import (
+    BatchedLandExecutor,
+    StreamExecutor,
+    TiledLander,
+)
+from cudavideostream_tpu.runtime.server import DeltaStreamServer
+from cudavideostream_tpu.runtime.sources import SyntheticSource
+
+
+def _cfg(**kw):
+    # 96x128x3 = 36864 bytes = 288 units of 128 at sub_rows=1: larger
+    # than TiledLander.RANGE_MIN so the speculative window genuinely
+    # slides (see TestLanderRangeFetch for the same choice)
+    base = dict(height=96, width=128, overlay_scale=4,
+                tiled_payload=True, fetch_mode="tiles")
+    base.update(kw)
+    return StreamConfig(**base)
+
+
+def _band_frame(base, start, width, delta):
+    f = base.copy()
+    end = min(start + width, f.size)
+    f[start:end] += np.uint8(delta)
+    return f
+
+
+def _check(results, frames, prev):
+    """Assert landed results byte-equal the reference encode, frame by
+    frame; returns the advanced reference prev."""
+    assert len(results) == len(frames)
+    for (pos, xs, vals, _aux), frame in zip(results, frames):
+        pr, xr, vr, prev = ref.diff_encode(frame, prev)
+        assert pos == pr
+        if isinstance(xs, wire.TiledPayload):
+            fx, fv = xs.to_flat()
+        else:
+            fx, fv = xs, vals
+        np.testing.assert_array_equal(fx, xr)
+        np.testing.assert_array_equal(fv, vr)
+    return prev
+
+
+class TestBatchedLandExecutor:
+    @pytest.mark.parametrize("fetch_mode", ["tiles", "flat", "auto"])
+    def test_drift_cut_and_empty_byte_exact(self, rng, fetch_mode):
+        """Depth-4 batches across a drifting band, a scene cut (window
+        miss), an EMPTY frame, and a density burst — every landed frame
+        byte-equals the CPU reference."""
+        cfg = _cfg(fetch_mode=fetch_mode)
+        ex = BatchedLandExecutor(cfg, depth=4)
+        base = rng.integers(0, 255, cfg.frame_bytes, endpoint=True,
+                            dtype=np.uint8)
+        ex.start(base)
+        prev = base.copy()
+
+        scripted = []
+        start = 0
+        for k in range(9):           # two full batches + one queued
+            scripted.append(_band_frame(base, start, 3000, 60 + k))
+            start += 1200
+        scripted.append(scripted[-1].copy())               # EMPTY frame
+        scripted.append(_band_frame(base, cfg.frame_bytes - 6000, 5000, 90))
+        scripted.append(rng.integers(0, 255, cfg.frame_bytes, endpoint=True,
+                                     dtype=np.uint8))      # density burst
+        scripted.append(_band_frame(base, 2000, 2600, 33)) # sub-depth tail
+
+        pending = []
+        for frame in scripted:
+            out = ex.process(frame)
+            pending.append(frame)
+            if out is not None:
+                assert isinstance(out, list) and len(out) == 4
+                prev = _check(out, pending[:4], prev)
+                pending = pending[4:]
+        tail = ex.flush()
+        assert ex.flush() is None          # queue drained
+        prev = _check(tail, pending, prev)
+        # the device state agrees with the oracle's prev after all that
+        np.testing.assert_array_equal(ex.resync(), prev)
+
+    def test_depth1_matches_solo_executor(self, rng):
+        """depth=1 is the solo landing wrapped in a list."""
+        cfg = _cfg()
+        bat = BatchedLandExecutor(cfg, depth=1)
+        solo = StreamExecutor(cfg)
+        base = rng.integers(0, 255, cfg.frame_bytes, endpoint=True,
+                            dtype=np.uint8)
+        bat.start(base)
+        solo.start(base)
+        for k in range(4):
+            frame = _band_frame(base, 700 * k, 2500, 40 + k)
+            (bp, bxs, bvals, _), = bat.process(frame)
+            sp, sxs, svals, _ = solo.process(frame)
+            assert bp == sp
+            bf = bxs.to_flat() if isinstance(bxs, wire.TiledPayload) \
+                else (bxs, bvals)
+            sf = sxs.to_flat() if isinstance(sxs, wire.TiledPayload) \
+                else (sxs, svals)
+            np.testing.assert_array_equal(bf[0], sf[0])
+            np.testing.assert_array_equal(bf[1], sf[1])
+
+    def test_flat_speculation_hits(self, rng):
+        """fetch_mode='flat' speculates the merged narrow prefix: after
+        the cold batch, steady drift lands in one round trip."""
+        cfg = _cfg(fetch_mode="flat")
+        ex = BatchedLandExecutor(cfg, depth=3)
+        base = rng.integers(0, 255, cfg.frame_bytes, endpoint=True,
+                            dtype=np.uint8)
+        ex.start(base)
+        prev = base.copy()
+        frames = [_band_frame(base, 900 * k, 2800, 30 + k) for k in range(9)]
+        pending, landed = [], []
+        for f in frames:
+            out = ex.process(f)
+            pending.append(f)
+            if out is not None:
+                prev = _check(out, pending[: len(out)], prev)
+                pending = pending[len(out):]
+                landed.extend(out)
+        # flat results are flat (xs, vals) pairs, not TiledPayload
+        assert all(not isinstance(r[1], wire.TiledPayload) for r in landed)
+        # batches 2 and 3 should speculative-hit (batch 1 is the cold probe)
+        assert ex._lander.spec_counts["hit"] >= 4
+        assert ex._lander.fetch_counts["flat"] >= 6
+
+    def test_requires_tiled_payload(self):
+        with pytest.raises(ValueError, match="tiled_payload"):
+            BatchedLandExecutor(StreamConfig(height=48, width=64,
+                                             overlay_scale=4), depth=2)
+        with pytest.raises(ValueError, match="depth"):
+            BatchedLandExecutor(_cfg(), depth=0)
+
+    def test_resync_drops_queue(self, rng):
+        cfg = _cfg()
+        ex = BatchedLandExecutor(cfg, depth=4)
+        base = rng.integers(0, 255, cfg.frame_bytes, endpoint=True,
+                            dtype=np.uint8)
+        ex.start(base)
+        f = _band_frame(base, 100, 2000, 55)
+        assert ex.process(f) is None
+        raw = ex.resync()
+        assert ex.flush() is None
+        _, _, _, want = ref.diff_encode(f, base.copy())
+        np.testing.assert_array_equal(raw, want)
+
+
+class TestNarrowFlat:
+    def test_rebuild_flat_xs(self):
+        """The narrow merged prefix (xs % tile_cap) rebuilds to exact
+        int32 globals via the counts window."""
+        tile_cap = 128
+        counts_span = np.array([3, 0, 128, 1], np.uint8)  # units 5..8
+        t_lo = 5
+        rng = np.random.default_rng(1)
+        parts = []
+        for off, c in enumerate(counts_span):
+            loc = np.sort(rng.choice(tile_cap, size=int(c), replace=False))
+            parts.append(loc.astype(np.int64) + (t_lo + off) * tile_cap)
+        want = np.concatenate(parts).astype(np.int32)
+        pos = want.size
+        lo = (want % tile_cap).astype(np.uint8)
+        lo = np.concatenate([lo, np.zeros(17, np.uint8)])  # padded prefix
+        got = TiledLander._rebuild_flat_xs(lo, counts_span, pos, t_lo,
+                                           tile_cap)
+        np.testing.assert_array_equal(got, want)
+        assert got.dtype == np.int32
+        # int32 passthrough (geometries with no narrow dtype)
+        got32 = TiledLander._rebuild_flat_xs(
+            np.concatenate([want, np.zeros(5, np.int32)]),
+            counts_span, pos, t_lo, tile_cap)
+        np.testing.assert_array_equal(got32, want)
+
+    def test_flat_len_ladder(self):
+        lander = TiledLander("flat")
+        cap = 6220800
+        prev = 0
+        for want in range(1, 400000, 7919):
+            L = lander._flat_len(want, cap)
+            assert L >= min(want, cap)
+            # over-fetch bounded ~1.25x (+ quantum)
+            assert L <= max(lander.FLAT_MIN,
+                            (want * 5 // 4) + 2 * lander.FLAT_MIN)
+            assert L % lander.FLAT_MIN == 0 or L == cap
+            assert L >= prev or L == cap
+            prev = max(prev, L) if L < cap else prev
+        assert lander._flat_len(10 ** 9, cap) == cap
+
+    def test_land_many_flat_narrow_byte_exact(self, rng):
+        """The land_many flat path (multiserve's) now fetches the narrow
+        merged prefix — wire-identical to the tiles path."""
+        import jax.numpy as jnp
+
+        from cudavideostream_tpu.ops import logcompact
+
+        cfg = _cfg(fetch_mode="flat")
+        from cudavideostream_tpu.models import DeltaStreamPipeline
+
+        pipe = DeltaStreamPipeline(cfg)
+        base = rng.integers(0, 255, cfg.frame_bytes, endpoint=True,
+                            dtype=np.uint8)
+        state = pipe.init_state(base)
+        frame = _band_frame(base, 5000, 3000, 70)
+        state, pos_d, counts_d, xs_t, vals_t, _aux = pipe.step(state, frame)
+        pos = int(np.asarray(pos_d))
+        counts = np.asarray(counts_d)
+        lander = TiledLander("flat")
+        res = lander.land(pos, counts, counts_d, xs_t, vals_t)
+        xs, vals = res
+        pr, xr, vr, _ = ref.diff_encode(frame, base.copy())
+        assert pos == pr
+        np.testing.assert_array_equal(xs, xr)
+        np.testing.assert_array_equal(vals, vr)
+        assert lander.fetch_counts["flat"] == 1
+
+
+class TestServerLandBatch:
+    @pytest.mark.parametrize("wire_format", ["v1", "v3"])
+    def test_loopback_byte_exact(self, wire_format):
+        """server --tiled --land-batch 3 over a real socket: the client
+        reconstruction byte-equals the oracle replay, including the
+        sub-depth flush tail."""
+        cfg = _cfg(port=0, wire_format=wire_format)
+        n_frames = 7  # 2 full batches + a 1-frame tail
+        server = DeltaStreamServer(
+            cfg, SyntheticSource(cfg, seed=3),
+            executor=BatchedLandExecutor(cfg, depth=3),
+            verbose=False, overlay_status=False,
+        )
+        server.listen()
+        t = threading.Thread(target=server.serve,
+                             kwargs={"max_frames": n_frames}, daemon=True)
+        t.start()
+        cli = DeltaStreamClient("127.0.0.1", server.port, cfg.height,
+                                cfg.width,
+                                wire_format="auto" if wire_format != "v1"
+                                else "v1")
+        cli.connect()
+        replay = SyntheticSource(cfg, seed=3)
+        prev = next(replay).copy()
+        np.testing.assert_array_equal(cli.frame, prev)
+        for _ in range(n_frames):
+            frame = next(replay)
+            prev, _, _, _, _ = ref.step_oracle(prev, frame, cfg)
+            _, recon = cli.read_frame()
+            np.testing.assert_array_equal(recon, prev)
+        cli.close()
+        t.join(timeout=60)
+
+    def test_cli_rejects_bad_combos(self):
+        from cudavideostream_tpu.runtime.server import main
+
+        with pytest.raises(SystemExit):
+            main(["--land-batch", "4"])  # no --tiled
+        with pytest.raises(SystemExit):
+            main(["--land-batch", "4", "--tiled", "--pipelined"])

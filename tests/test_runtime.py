@@ -1632,7 +1632,7 @@ class TestLanderRangeFetch:
         # window starting two rows before the range, as a spec hit would
         row0, t_lo, t_hi = 0, 1, 4
         rebuilt = TiledLander._rebuild_xs(
-            local, counts, row0, t_lo, t_hi, tile_cap
+            local, counts[t_lo:t_hi], row0, t_lo, t_hi, tile_cap
         )
         np.testing.assert_array_equal(rebuilt, xs32[t_lo:t_hi])
         assert rebuilt.dtype == np.int32
