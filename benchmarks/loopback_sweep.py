@@ -122,8 +122,14 @@ def _client_thread(port, height, width, n_frames, out):
         cli.close()
 
 
-def run_row(cfg, source, executor, n_frames, warm=2, pipelined=False):
-    """One serving row; returns (legs ms dict, fps, pos_mean, ok)."""
+def run_row(cfg, source, executor, n_frames, warm=2, pipelined=False,
+            batched=False):
+    """One serving row; returns (legs ms dict, fps, pos_mean, ok).
+
+    Batched rows (``BatchedLandExecutor``) land every K-th frame: their
+    legs are MEANS over the batch window (medians would report the K-1
+    zero-cost land legs), so per-leg numbers stay per-frame-amortized
+    and directly comparable to the solo rows."""
     from cudavideostream_tpu.runtime import wire
     from cudavideostream_tpu.runtime.server import DeltaStreamServer
 
@@ -161,14 +167,27 @@ def run_row(cfg, source, executor, n_frames, warm=2, pipelined=False):
         t0 = time.perf_counter()
         frame = next(source)
         t1 = time.perf_counter()
-        td, rest = executor._dispatch(frame, "")
-        t2 = time.perf_counter()
-        res = executor._land(td, rest)
-        t3 = time.perf_counter()
-        if res is not None:
-            DeltaStreamServer._send_payload(conn, res, cfg.wire_format, v3enc)
-            poss.append(res[0])
-            sent += 1
+        if batched:
+            # process() = dispatch + (every K-th frame) the batched
+            # landing; report it under "land" — that's what dominates
+            t2 = t1
+            out = executor.process(frame)
+            t3 = time.perf_counter()
+            for res in (out or []):
+                DeltaStreamServer._send_payload(
+                    conn, res, cfg.wire_format, v3enc)
+                poss.append(res[0])
+                sent += 1
+        else:
+            td, rest = executor._dispatch(frame, "")
+            t2 = time.perf_counter()
+            res = executor._land(td, rest)
+            t3 = time.perf_counter()
+            if res is not None:
+                DeltaStreamServer._send_payload(
+                    conn, res, cfg.wire_format, v3enc)
+                poss.append(res[0])
+                sent += 1
         t4 = time.perf_counter()
         if timed:
             legs["capture"].append(1e3 * (t1 - t0))
@@ -178,14 +197,16 @@ def run_row(cfg, source, executor, n_frames, warm=2, pipelined=False):
             legs["total"].append(1e3 * (t4 - t0))
     tail = executor.flush()
     if tail is not None:
-        DeltaStreamServer._send_payload(conn, tail, cfg.wire_format, v3enc)
-        sent += 1
+        for res in (tail if isinstance(tail, list) else [tail]):
+            DeltaStreamServer._send_payload(conn, res, cfg.wire_format, v3enc)
+            sent += 1
     assert sent == total, (sent, total)
     ct.join(timeout=120)
     conn.close()
     srv.close()
 
-    med = {k: float(np.median(v)) for k, v in legs.items()}
+    agg = np.mean if batched else np.median
+    med = {k: float(agg(v)) for k, v in legs.items()}
     fps = 1e3 / med["total"]
     ok = "frame" in result and np.array_equal(
         result["frame"], executor.resync()
@@ -211,6 +232,7 @@ def main():
     from cudavideostream_tpu.config import CompactionBackend, StreamConfig
     from cudavideostream_tpu.models import DeltaStreamPipeline
     from cudavideostream_tpu.runtime.executor import (
+        BatchedLandExecutor,
         PipelinedExecutor,
         StreamExecutor,
     )
@@ -241,6 +263,15 @@ def main():
         ("dev_d1_tiles_v3", "device", 0.01, "tiles", "v3", "pallas", False),
         ("dev_d1_tiles_v3_pipelined",
          "device", 0.01, "tiles", "v3", "pallas", True),
+        # depth-K batched landing (--land-batch): K frames per link
+        # round trip; legs are per-frame MEANS, latency is K frames
+        ("dev_d1_tiles_v3_batch4", "device", 0.01, "tiles", "v3", "pallas", 4),
+        ("dev_d1_tiles_v3_batch8", "device", 0.01, "tiles", "v3", "pallas", 8),
+        ("dev_d3_tiles_v3_batch4", "device", 0.03, "tiles", "v3", "pallas", 4),
+        ("dev_d1_flat_v3_batch8", "device", 0.01, "flat", "v3", "pallas", 8),
+        ("dev_d1_flat_v3_batch16",
+         "device", 0.01, "flat", "v3", "pallas", 16),
+        ("dev_d3_flat_v3_batch8", "device", 0.03, "flat", "v3", "pallas", 8),
     ]
     if not args.quick:
         matrix += [
@@ -266,6 +297,8 @@ def main():
         matrix = [m for m in matrix if m[0] in wanted]
     print("\n".join(lines))
     for label, capture, density, fetch, wirefmt, backend, pipelined in matrix:
+        depth = pipelined if isinstance(pipelined, int) \
+            and not isinstance(pipelined, bool) else 0
         if backend == "host":
             cfg = dataclasses.replace(host_cfg, wire_format=wirefmt)
             executor = StreamExecutor(cfg)
@@ -273,13 +306,28 @@ def main():
             cfg = dataclasses.replace(
                 base_cfg, fetch_mode=fetch, wire_format=wirefmt
             )
-            cls = PipelinedExecutor if pipelined else StreamExecutor
-            executor = cls(cfg, pipeline=pipe_tiled)
+            if depth:
+                executor = BatchedLandExecutor(
+                    cfg, pipeline=pipe_tiled, depth=depth)
+            else:
+                cls = PipelinedExecutor if pipelined else StreamExecutor
+                executor = cls(cfg, pipeline=pipe_tiled)
         src = (DeviceClusteredSource(cfg, density)
                if capture == "device" else HostClusteredSource(cfg, density))
         try:
+            n = args.frames
+            warm = 2
+            if depth:
+                # whole batches, and enough of them that the mean is a
+                # steady-state number: the spec-slicer jits compile
+                # lazily per window rung during the first batches
+                # (measured on CPU: 64-frame window reads 4.7 ms/frame,
+                # 256-frame reads 1.6 — the difference is all compiles)
+                warm = 3 * depth
+                n = max(6 * depth, (n + depth - 1) // depth * depth)
             med, fps, pos_mean, ok = run_row(
-                cfg, src, executor, args.frames, pipelined=pipelined
+                cfg, src, executor, n, warm=warm,
+                pipelined=bool(pipelined) and not depth, batched=bool(depth)
             )
         except Exception as e:
             line = f"{label:28s} FAILED: {type(e).__name__}: {e}"

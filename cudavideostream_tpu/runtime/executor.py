@@ -842,8 +842,15 @@ class TiledLander:
         L = self._range_len(span + 2 * margin, n_tiles)
         start = max(0, min(t_lo - margin, n_tiles - L))
         if want_flat:
+            # P covers pos GROWTH over the next K frames, not spatial
+            # drift: the merged prefix's first pos entries ARE the
+            # payload wherever the scene sits, so the margin is a
+            # density headroom (25%, floored at 2048/frame), NOT the
+            # tiles-style drift margin scaled by K — that over-fetched
+            # 3x the payload bytes and cost ~5 ms/frame on the tunnel
+            # (A/B in benchmarks/loopback_tpu_tunnel, batch8 flat rows)
             P = self._flat_len(
-                pos + max(pos // 4, 2048) * K, self._fetch_xs.capacity
+                pos + max(pos // 4, 2048 * K), self._fetch_xs.capacity
             )
             self._spec = ("flat", start, L, P)
         else:
