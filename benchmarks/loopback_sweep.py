@@ -247,6 +247,7 @@ def main():
     # ONE pipeline per compaction config, shared across rows (one 1080p
     # compile each); executors are fresh per row (lander EMAs reset)
     pipe_tiled = DeltaStreamPipeline(base_cfg)
+    pipe_mask = None     # built lazily: only mask rows pay its compile
     host_cfg = StreamConfig(compaction=CompactionBackend("host"), **geo)
 
     rows = []
@@ -272,6 +273,13 @@ def main():
         ("dev_d1_flat_v3_batch16",
          "device", 0.01, "flat", "v3", "pallas", 16),
         ("dev_d3_flat_v3_batch8", "device", 0.03, "flat", "v3", "pallas", 8),
+        # "mask" flavor (config.emit_bitmask): packed change-bits window
+        # + merged vals prefix — ~1 B/changed byte on clustered scenes
+        ("dev_d1_mask_v3_batch8", "device", 0.01, "mask", "v3", "pallas", 8),
+        ("dev_d1_mask_v3_batch16",
+         "device", 0.01, "mask", "v3", "pallas", 16),
+        ("dev_d3_mask_v3_batch8", "device", 0.03, "mask", "v3", "pallas", 8),
+        ("dev_d6_mask_v3_batch8", "device", 0.06, "mask", "v3", "pallas", 8),
     ]
     if not args.quick:
         matrix += [
@@ -304,14 +312,22 @@ def main():
             executor = StreamExecutor(cfg)
         else:
             cfg = dataclasses.replace(
-                base_cfg, fetch_mode=fetch, wire_format=wirefmt
+                base_cfg, fetch_mode=fetch, wire_format=wirefmt,
+                emit_bitmask=(fetch == "mask"),
             )
+            if fetch == "mask":
+                if pipe_mask is None:
+                    pipe_mask = DeltaStreamPipeline(
+                        dataclasses.replace(base_cfg, emit_bitmask=True))
+                pipe = pipe_mask
+            else:
+                pipe = pipe_tiled
             if depth:
                 executor = BatchedLandExecutor(
-                    cfg, pipeline=pipe_tiled, depth=depth)
+                    cfg, pipeline=pipe, depth=depth)
             else:
                 cls = PipelinedExecutor if pipelined else StreamExecutor
-                executor = cls(cfg, pipeline=pipe_tiled)
+                executor = cls(cfg, pipeline=pipe)
         src = (DeviceClusteredSource(cfg, density)
                if capture == "device" else HostClusteredSource(cfg, density))
         try:

@@ -143,6 +143,15 @@ class StreamConfig:
     # when the geometry doesn't support it (subtile_rows != 1 or an
     # unpaired tile height).
     pair_lanes: bool = True
+    # Emit a packed change-bitmask (n/8 bytes, LSB-first — the
+    # diff.pack_bitmask layout) alongside the tiled payload. One extra
+    # fused elementwise pass on device (~2n bytes re-read); the landing
+    # gains a third fetch flavor — bits window + merged vals prefix,
+    # ~1 B per changed byte over the host<->device link vs the 2 B of
+    # the narrow flat prefix — which wins whenever the changed span is
+    # locally dense (> ~12.5% within its own bounding window, e.g. any
+    # clustered scene). tiled_payload + PALLAS only.
+    emit_bitmask: bool = False
 
     # Text overlay (kernel2_char, kernels.cu:351-375): glyph cell scale,
     # and font style — "stroke" is a thin vector font in the visual
@@ -197,10 +206,16 @@ class StreamConfig:
                 raise ValueError("tiled_payload is always worst-case capacity")
         if self.wire_format not in ("v1", "v2", "v3"):
             raise ValueError(f"unknown wire_format {self.wire_format!r}")
-        if self.fetch_mode not in ("auto", "tiles", "flat"):
+        if self.fetch_mode not in ("auto", "tiles", "flat", "mask"):
             raise ValueError(f"unknown fetch_mode {self.fetch_mode!r}")
         if self.fetch_mode != "auto" and not self.tiled_payload:
-            raise ValueError("fetch_mode tiles/flat applies to tiled_payload")
+            raise ValueError(
+                "fetch_mode tiles/flat/mask applies to tiled_payload"
+            )
+        if self.fetch_mode == "mask" and not self.emit_bitmask:
+            raise ValueError("fetch_mode 'mask' requires emit_bitmask")
+        if self.emit_bitmask and not self.tiled_payload:
+            raise ValueError("emit_bitmask requires tiled_payload")
         if self.subtile_rows < 0 or (
             self.subtile_rows & (self.subtile_rows - 1)
         ):

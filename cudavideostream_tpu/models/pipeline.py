@@ -185,6 +185,26 @@ class DeltaStreamPipeline:
                     pair=cfg.pair_lanes,
                 )
                 payload = (pos, counts, xs_t, vals_t)
+                if cfg.emit_bitmask:
+                    # packed change-bits for the landing's "mask" fetch
+                    # flavor (~1 B per changed byte over the link on
+                    # locally dense scenes). One extra fused elementwise
+                    # pass; with negative feedback the kernel's own prev
+                    # update IS the mask (|df| > thr >= 0 implies
+                    # cur != prev), so no second diff is computed.
+                    if cfg.negative_feedback:
+                        bmask = new_prev != prev
+                    else:
+                        cur_m = (
+                            _apply_region(cur, overlay_region)
+                            if overlay_region is not None else cur
+                        )
+                        bmask = diff_ops.diff_mask(cur_m, prev, thr)[0]
+                    # pad to the tiled emit's unit coverage (n_units *
+                    # unit_bytes >= n): the landing's window math slices
+                    # whole units, and the last tile may be partial
+                    bmask = jnp.pad(bmask, (0, xs_t.size - bmask.shape[0]))
+                    payload = (*payload, diff_ops.pack_bitmask(bmask))
             else:
                 pos, xs, vals, new_prev = logcompact.fused_diff_compact(
                     cur,
@@ -268,7 +288,9 @@ class DeltaStreamPipeline:
           frame changes more than ``payload_capacity`` bytes;
         * tiled payload: returns ``(new_prev, pos, counts, xs_t, vals_t,
           aux)`` with per-tile device blocks (see
-          ``logcompact.fused_diff_compact(emit="tiled")``).
+          ``logcompact.fused_diff_compact(emit="tiled")``); with
+          ``emit_bitmask`` the packed change-bits ride between vals_t
+          and aux: ``(new_prev, pos, counts, xs_t, vals_t, bits, aux)``.
         """
         cfg = self.config
         ids = fonts.encode_text(text, MAX_OVERLAY_CHARS)
@@ -337,7 +359,9 @@ class DeltaStreamPipeline:
             return new_prev, pos, xs, vals, aux
 
         if cfg.tiled_payload:
-            if len(out) == 5:
+            # (new_prev, pos, counts, xs_t, vals_t[, bits][, aux])
+            want = 6 + (1 if cfg.emit_bitmask else 0)
+            if len(out) == want - 1:
                 return (*out, None)
             return out
 

@@ -194,7 +194,7 @@ class TiledLander:
         # land_fused speculation: ("tiles"|"flat", window_start,
         # window_len_units, merged_prefix_len_entries)
         self._spec = None
-        self.fetch_counts = {"tiles": 0, "flat": 0}
+        self.fetch_counts = {"tiles": 0, "flat": 0, "mask": 0}
         self.spec_counts = {"hit": 0, "miss": 0}
 
     def use_flat(self, pos: int, t_hi: int, tile_cap: int,
@@ -222,6 +222,45 @@ class TiledLander:
             return False
         t_flat = self.link.merge_s + (self.link.fetch_seconds(flat_bytes) or 0.0)
         return t_flat < t_tiles
+
+    def _pick_kind(self, pos: int, t_lo: int, t_hi: int, tile_cap: int,
+                   has_bits: bool) -> str:
+        """Per-frame fetch-flavor decision for the fused landing:
+        cheapest estimated link time among
+
+        * ``tiles`` — the ``[t_lo, t_hi)`` block range,
+          ``(1+xs_bytes) * span * tile_cap`` bytes, no device merge;
+        * ``flat``  — narrow merged prefix, ``(1+xs_bytes) * ~pos``
+          bytes + the merge;
+        * ``mask``  — packed change-bits window + merged vals prefix,
+          ``span * tile_cap/8 + ~pos`` bytes + the merge (wins whenever
+          the span's mean density exceeds ``1/(8*xs_bytes)`` ~ 12.5%,
+          e.g. any clustered scene). Offered only when the pipeline
+          emits the bitmask (``config.emit_bitmask``).
+        """
+        if self.mode in ("tiles", "flat"):
+            return self.mode
+        if self.mode == "mask":
+            return "mask"
+        narrow = self._compact_dtype(tile_cap)
+        xs_bytes = 4 if narrow is None else np.dtype(narrow).itemsize
+        span = t_hi - t_lo
+        block_bytes = (1 + xs_bytes) * span * tile_cap
+        t_tiles = self.link.fetch_seconds(block_bytes)
+        if t_tiles is None:
+            return "tiles"
+        P = (self._flat_len(pos, self._fetch_xs.capacity)
+             if self._fetch_xs else pos)
+        t_flat = self.link.merge_s + (
+            self.link.fetch_seconds((1 + xs_bytes) * P) or 0.0)
+        best, t_best = ("flat", t_flat) if t_flat < t_tiles \
+            else ("tiles", t_tiles)
+        if has_bits:
+            t_mask = self.link.merge_s + (
+                self.link.fetch_seconds(span * (tile_cap // 8) + P) or 0.0)
+            if t_mask < t_best:
+                best = "mask"
+        return best
 
     # ---- range-fetch machinery ------------------------------------------
     def _range_len(self, span: int, n_tiles: int) -> int:
@@ -339,6 +378,56 @@ class TiledLander:
             self._range_slicers[key] = fn
         return fn
 
+    def _mask_slicer(self, L: int, tile_cap: int, P: int):
+        """Jitted speculative fused fetch for the "mask" flavor:
+        ``(pos, t_lo, t_hi, bits_window, vals_prefix)`` in one dispatch.
+        The bits window is the packed change-bitmask for units
+        ``[start, start+L)`` (``tile_cap/8`` bytes per unit); the vals
+        prefix is the ``[:P]`` head of the merged flat stream. No xs
+        stream moves at all — the host rebuilds indices from the bits
+        (~1 B per changed byte total on locally dense scenes)."""
+        key = ("mask", L, tile_cap, P)
+        fn = self._range_slicers.get(key)
+        if fn is None:
+            import jax
+            import jax.numpy as jnp
+            from jax import lax
+
+            ub8 = tile_cap // 8
+
+            def f(pos_d, counts_d, bits, vals_m, start):
+                nz = counts_d > 0
+                any_nz = jnp.any(nz)
+                t_lo = jnp.where(any_nz, jnp.argmax(nz), 0).astype(jnp.int32)
+                t_hi = jnp.where(
+                    any_nz, counts_d.shape[0] - jnp.argmax(nz[::-1]), 0
+                ).astype(jnp.int32)
+                bw = lax.dynamic_slice_in_dim(bits, start * ub8, L * ub8, 0)
+                return pos_d, t_lo, t_hi, bw, vals_m[:P]
+
+            fn = jax.jit(f)
+            self._range_slicers[key] = fn
+        return fn
+
+    def _mask_win(self, L: int, tile_cap: int, P: int):
+        """Jitted exact-span mask fetch (the miss path): bits window for
+        units ``[start, start+L)`` + merged vals ``[:P]`` prefix."""
+        key = ("maskw", L, tile_cap, P)
+        fn = self._range_slicers.get(key)
+        if fn is None:
+            import jax
+            from jax import lax
+
+            ub8 = tile_cap // 8
+
+            def f(bits, vals_m, start):
+                bw = lax.dynamic_slice_in_dim(bits, start * ub8, L * ub8, 0)
+                return bw, vals_m[:P]
+
+            fn = jax.jit(f)
+            self._range_slicers[key] = fn
+        return fn
+
     def _probe_slicer(self):
         """Jitted 12-byte probe: ``(pos, t_lo, t_hi)`` only — the cold
         first fetch when no speculative window exists yet."""
@@ -431,6 +520,25 @@ class TiledLander:
         units = np.arange(t_lo, t_lo + c.size, dtype=np.int64)
         base = np.repeat(units * tile_cap, c).astype(np.int32)
         return base + lo[:pos].astype(np.int32)
+
+    @staticmethod
+    def _rebuild_mask_xs(bits_w, pos: int, start_unit: int, tile_cap: int):
+        """Global int32 xs from a packed change-bitmask window covering
+        units ``[start_unit, ...)``. Exact because the window spans
+        every non-empty unit (``[t_lo, t_hi)`` from the device scalars),
+        bits are set exactly where the kernel counted a changed byte,
+        and LSB-first unpack order IS ascending byte order — the wire
+        contract's payload order. Window bytes outside the changed span
+        are zero by construction, so no crop is needed."""
+        w = np.unpackbits(np.asarray(bits_w), bitorder="little")
+        xs = np.flatnonzero(w).astype(np.int32)
+        if xs.size != pos:
+            raise RuntimeError(
+                f"bitmask window rebuilt {xs.size} indices, device "
+                f"counted pos={pos} — the window missed changed units "
+                "(invariant violation, never truncate)"
+            )
+        return xs + np.int32(start_unit * tile_cap)
 
     @staticmethod
     def _single_device(arr) -> bool:
@@ -656,11 +764,11 @@ class TiledLander:
             vals_h[a: a + (t_hi - t_lo)],
         )
 
-    def land_fused(self, pos_d, counts_d, xs_t_d, vals_t_d):
+    def land_fused(self, pos_d, counts_d, xs_t_d, vals_t_d, bits_d=None):
         """Solo landing with SPECULATIVE single-round-trip fetch — the
         depth-1 case of :meth:`land_fused_many`."""
         return self.land_fused_many(
-            [(pos_d, counts_d, xs_t_d, vals_t_d)]
+            [(pos_d, counts_d, xs_t_d, vals_t_d, bits_d)]
         )[0]
 
     def land_fused_many(self, items):
@@ -683,8 +791,10 @@ class TiledLander:
 
         Correctness never depends on the bet: a miss re-fetches exactly
         what the device scalars prove necessary. ``items`` is a list of
-        ``(pos_d, counts_d, xs_t_d, vals_t_d)``; returns a same-length
-        list of ``(pos, TiledPayload | (xs, vals))``.
+        ``(pos_d, counts_d, xs_t_d, vals_t_d[, bits_d])`` (``bits_d`` =
+        the pipeline's packed change-bitmask, enabling the "mask"
+        flavor — see :meth:`_pick_kind`); returns a same-length list of
+        ``(pos, TiledPayload | (xs, vals))``.
         """
         from cudavideostream_tpu.ops import logcompact
 
@@ -695,8 +805,14 @@ class TiledLander:
             self._single_device(it[2]) and self._single_device(it[3])
             for it in items
         )
-        if not single or self.mode not in ("tiles", "auto", "flat"):
+        if not single or self.mode not in ("tiles", "auto", "flat", "mask"):
             return self._land_generic_many(items)
+        has_bits = all(len(it) > 4 and it[4] is not None for it in items)
+        if self.mode == "mask" and not has_bits:
+            raise ValueError(
+                "fetch_mode 'mask' needs the pipeline's packed bitmask "
+                "(config.emit_bitmask)"
+            )
 
         results: list = [None] * K
         scalars: list = [None] * K      # (pos, t_lo, t_hi) per item
@@ -720,6 +836,14 @@ class TiledLander:
                     sl(it[0], it[1], m[0], m[1], np.int32(start0))
                     for it, m in zip(items, merged)
                 ]
+            elif smode == "mask":
+                for i, it in enumerate(items):
+                    merged[i] = logcompact.merge_tiles(it[1], it[2], it[3])
+                sl = self._mask_slicer(L0, tile_cap, P0)
+                dev = [
+                    sl(it[0], it[1], it[4], m[1], np.int32(start0))
+                    for it, m in zip(items, merged)
+                ]
             else:
                 sl = self._spec_slicer(L0, tile_cap)
                 dev = [
@@ -730,22 +854,36 @@ class TiledLander:
             for i, h in enumerate(host):
                 pos, t_lo, t_hi = int(h[0]), int(h[1]), int(h[2])
                 scalars[i] = (pos, t_lo, t_hi)
-                cw, xw, vw = h[3], h[4], h[5]
                 if t_hi == 0:
                     results[i] = (pos, self._empty_result(
-                        smode == "flat", tile_cap))
+                        smode != "tiles", tile_cap))
                     continue
                 covered = start0 <= t_lo and t_hi <= start0 + L0
-                want_flat = self.use_flat(pos, t_hi, tile_cap, t_lo=t_lo)
+                want = self._pick_kind(pos, t_lo, t_hi, tile_cap, has_bits)
+                if smode == "mask":
+                    if want == "mask" and covered and pos <= P0:
+                        self.spec_counts["hit"] += 1
+                        self.fetch_counts["mask"] += 1
+                        results[i] = (pos, (
+                            self._rebuild_mask_xs(
+                                h[3], pos, start0, tile_cap),
+                            np.asarray(h[4][:pos]),
+                        ))
+                    else:
+                        self.spec_counts["miss"] += 1
+                        misses.append(i)
+                    continue
+                cw, xw, vw = h[3], h[4], h[5]
                 span = cw[t_lo - start0: t_hi - start0] if covered else None
-                if smode == "flat" and want_flat and covered and pos <= P0:
+                if smode == "flat" and want == "flat" and covered \
+                        and pos <= P0:
                     self.spec_counts["hit"] += 1
                     self.fetch_counts["flat"] += 1
                     results[i] = (pos, (
                         self._rebuild_flat_xs(xw, span, pos, t_lo, tile_cap),
                         np.asarray(vw[:pos]),
                     ))
-                elif smode == "tiles" and not want_flat and covered:
+                elif smode == "tiles" and want == "tiles" and covered:
                     self.spec_counts["hit"] += 1
                     self.fetch_counts["tiles"] += 1
                     a = t_lo - start0
@@ -768,12 +906,21 @@ class TiledLander:
                     # above; flat-vs-tiles is moot at pos == 0)
                     results[i] = (pos, self._empty_result(False, tile_cap))
                     continue
-                _, counts_d, xs_t_d, vals_t_d = items[i]
-                want_flat = self.use_flat(pos, t_hi, tile_cap, t_lo=t_lo)
+                counts_d, xs_t_d, vals_t_d = items[i][1:4]
+                want = self._pick_kind(pos, t_lo, t_hi, tile_cap, has_bits)
                 Lc = self._range_len(t_hi - t_lo, n_tiles)
                 startc = max(0, min(t_lo, n_tiles - Lc))
+                if want == "mask":
+                    if merged[i] is None:
+                        merged[i] = logcompact.merge_tiles(
+                            counts_d, xs_t_d, vals_t_d)
+                    P = self._flat_len(pos, self._fetch_xs.capacity)
+                    bw_s, vw_s = self._mask_win(Lc, tile_cap, P)(
+                        items[i][4], merged[i][1], np.int32(startc))
+                    reqs.append((i, ("mask2", startc), (bw_s, vw_s)))
+                    continue
                 cw_s = self._counts_win(Lc)(counts_d, np.int32(startc))
-                if want_flat:
+                if want == "flat":
                     if merged[i] is None:
                         merged[i] = logcompact.merge_tiles(
                             counts_d, xs_t_d, vals_t_d)
@@ -789,6 +936,14 @@ class TiledLander:
             for (i, meta, _), host in zip(reqs, fetched):
                 pos, t_lo, t_hi = scalars[i]
                 startc = meta[1]
+                if meta[0] == "mask2":
+                    bw, vw = host
+                    self.fetch_counts["mask"] += 1
+                    results[i] = (pos, (
+                        self._rebuild_mask_xs(bw, pos, startc, tile_cap),
+                        np.asarray(vw[:pos]),
+                    ))
+                    continue
                 cw, xw, vw = host
                 span = cw[t_lo - startc: t_hi - startc]
                 if meta[0] == "flat2":
@@ -807,7 +962,7 @@ class TiledLander:
                         vw[a: a + (t_hi - t_lo)],
                     ))
 
-        self._update_spec(scalars, K, n_tiles, tile_cap)
+        self._update_spec(scalars, K, n_tiles, tile_cap, has_bits)
         return results
 
     def _empty_result(self, flat: bool, tile_cap: int):
@@ -822,26 +977,21 @@ class TiledLander:
         )
 
     def _update_spec(self, scalars, K: int, n_tiles: int,
-                     tile_cap: int) -> None:
+                     tile_cap: int, has_bits: bool = False) -> None:
         """Re-center the speculative window for the NEXT batch from the
-        batch's LAST frame. The margin scales with the batch depth —
-        the window must absorb K frames of drift, not one. Empty frames
-        keep the previous window (a blank frame says nothing about where
-        the scene will resume)."""
+        batch's LAST frame. The spatial margin scales with the batch
+        depth — the window must absorb K frames of drift, not one.
+        Empty frames keep the previous window (a blank frame says
+        nothing about where the scene will resume)."""
         pos, t_lo, t_hi = scalars[-1]
         if t_hi == 0:
             return
-        if self.mode == "tiles":
-            want_flat = False
-        elif self.mode == "flat":
-            want_flat = True
-        else:
-            want_flat = self.use_flat(pos, t_hi, tile_cap, t_lo=t_lo)
+        want = self._pick_kind(pos, t_lo, t_hi, tile_cap, has_bits)
         span = t_hi - t_lo
         margin = max(64, span // 4) * K
         L = self._range_len(span + 2 * margin, n_tiles)
         start = max(0, min(t_lo - margin, n_tiles - L))
-        if want_flat:
+        if want in ("flat", "mask"):
             # P covers pos GROWTH over the next K frames, not spatial
             # drift: the merged prefix's first pos entries ARE the
             # payload wherever the scene sits, so the margin is a
@@ -852,7 +1002,7 @@ class TiledLander:
             P = self._flat_len(
                 pos + max(pos // 4, 2048 * K), self._fetch_xs.capacity
             )
-            self._spec = ("flat", start, L, P)
+            self._spec = (want, start, L, P)
         else:
             self._spec = ("tiles", start, L, 0)
 
@@ -865,7 +1015,8 @@ class TiledLander:
         import jax
 
         heads = []
-        for pos_d, counts_d, _, _ in items:
+        for it in items:
+            pos_d, counts_d = it[0], it[1]
             if isinstance(counts_d, np.ndarray):
                 heads.append((np.asarray(pos_d), counts_d))
             else:
@@ -967,12 +1118,16 @@ class StreamExecutor:
 
     def _land(self, t0: float, rest) -> Tuple[int, np.ndarray, np.ndarray, Optional[np.ndarray]]:
         if self.cfg.tiled_payload:
-            pos_d, counts_d, xs_t_d, vals_t_d, aux_d = rest
+            # (pos, counts, xs_t, vals_t[, bits], aux) — bits rides when
+            # the pipeline emits the packed change-bitmask
+            pos_d, counts_d, xs_t_d, vals_t_d = rest[:4]
+            bits_d = rest[4] if len(rest) == 6 else None
+            aux_d = rest[-1]
             # single fused (often speculative) landing: pos + counts +
             # payload window in as few link round trips as possible —
             # see TiledLander.land_fused
             pos, res = self._lander.land_fused(
-                pos_d, counts_d, xs_t_d, vals_t_d
+                pos_d, counts_d, xs_t_d, vals_t_d, bits_d
             )
             aux = np.asarray(aux_d) if aux_d is not None else None
             self.metrics.record(time.perf_counter() - t0, pos)
@@ -1118,12 +1273,13 @@ class BatchedLandExecutor(StreamExecutor):
 
     def _land_queue(self):
         q, self._queue = self._queue, []
-        landed = self._lander.land_fused_many(
-            [(r[0], r[1], r[2], r[3]) for _, r in q]
-        )
+        landed = self._lander.land_fused_many([
+            (r[0], r[1], r[2], r[3], r[4] if len(r) == 6 else None)
+            for _, r in q
+        ])
         out = []
         for (t0, rest), (pos, res) in zip(q, landed):
-            aux_d = rest[4]
+            aux_d = rest[-1]
             aux = np.asarray(aux_d) if aux_d is not None else None
             self.metrics.record(time.perf_counter() - t0, pos)
             if isinstance(res, wire.TiledPayload):

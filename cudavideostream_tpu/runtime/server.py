@@ -260,11 +260,22 @@ def main(argv=None) -> int:
                         "kernel through the scatter-gather sender "
                         "(skips the device merge epilogue; wire bytes "
                         "identical)")
-    p.add_argument("--fetch", default="auto", choices=["auto", "tiles", "flat"],
+    p.add_argument("--fetch", default="auto",
+                   choices=["auto", "tiles", "flat", "mask"],
                    help="tiled-payload landing: tiles = per-tile block "
                         "fetch; flat = device merge + pos-prefix fetch "
-                        "(fewest bytes over the link); auto = pick per "
-                        "frame from measured link/merge times")
+                        "(fewest bytes over the link on scattered "
+                        "scenes); mask = packed change-bits window + "
+                        "merged vals prefix (~1 B per changed byte — "
+                        "fewest bytes on clustered scenes; implies "
+                        "--bitmask); auto = pick per frame from "
+                        "measured link/merge times")
+    p.add_argument("--bitmask", action="store_true",
+                   help="emit the packed change-bitmask alongside tiled "
+                        "payloads (one extra fused device pass) so the "
+                        "landing can use the 'mask' fetch flavor — on "
+                        "by default under --fetch mask; offered to "
+                        "--fetch auto as a third option")
     p.add_argument("--subtile", type=int, default=None,
                    help="sub-tiled compaction granularity in rows "
                         "(tiled payloads; 0 = whole-tile units; default "
@@ -335,7 +346,9 @@ def main(argv=None) -> int:
         # unconditionally — reject rather than silently drop the flag
         p.error("--mesh supports --compaction pallas only")
     if args.fetch != "auto" and not args.tiled:
-        p.error("--fetch tiles/flat applies to --tiled payloads")
+        p.error("--fetch tiles/flat/mask applies to --tiled payloads")
+    if args.bitmask and not args.tiled:
+        p.error("--bitmask applies to --tiled payloads")
     if args.capacity is not None and (args.mesh or args.tiled):
         # sharded/tiled payload layouts are always worst-case capacity
         # (config.py validates tiled; sharded.py pins capacity itself)
@@ -358,6 +371,7 @@ def main(argv=None) -> int:
         compaction=CompactionBackend(args.compaction),
         tiled_payload=args.tiled,
         fetch_mode=args.fetch,
+        emit_bitmask=args.bitmask or args.fetch == "mask",
         wire_format=args.wire,
         host=args.host,
         port=args.port,

@@ -234,6 +234,126 @@ class TestNarrowFlat:
         assert lander.fetch_counts["flat"] == 1
 
 
+class TestMaskLanding:
+    """The "mask" fetch flavor: packed change-bits window + merged vals
+    prefix (~1 B per changed byte over the link — config.emit_bitmask,
+    TiledLander._pick_kind)."""
+
+    def test_pipeline_emits_exact_bitmask(self, rng):
+        """step()'s bits output == packbits of the oracle's change set,
+        for both negative-feedback settings (the negfeed path derives
+        the mask from the kernel's own prev update; the other recomputes
+        the diff)."""
+        for negfeed in (True, False):
+            cfg = _cfg(emit_bitmask=True, negative_feedback=negfeed)
+            from cudavideostream_tpu.models import DeltaStreamPipeline
+
+            pipe = DeltaStreamPipeline(cfg)
+            base = rng.integers(0, 255, cfg.frame_bytes, endpoint=True,
+                                dtype=np.uint8)
+            state = pipe.init_state(base)
+            frame = _band_frame(base, 4000, 2500, 60)
+            state, pos_d, _c, _x, _v, bits_d, _aux = pipe.step(state, frame)
+            _, xr, _, _ = ref.diff_encode(frame, base.copy())
+            got = np.asarray(bits_d)
+            # bits cover the tiled emit's padded unit extent (>= n);
+            # pad bits are zero by construction
+            want_bits = np.zeros(got.size * 8, np.uint8)
+            want_bits[xr] = 1
+            np.testing.assert_array_equal(
+                got, np.packbits(want_bits, bitorder="little"))
+
+    @pytest.mark.parametrize("fetch_mode", ["mask", "auto"])
+    def test_drift_cut_empty_byte_exact(self, rng, fetch_mode):
+        cfg = _cfg(fetch_mode=fetch_mode, emit_bitmask=True)
+        ex = BatchedLandExecutor(cfg, depth=3)
+        base = rng.integers(0, 255, cfg.frame_bytes, endpoint=True,
+                            dtype=np.uint8)
+        ex.start(base)
+        prev = base.copy()
+        scripted = [_band_frame(base, 1100 * k, 3000, 50 + k)
+                    for k in range(7)]
+        scripted.append(scripted[-1].copy())                # EMPTY
+        scripted.append(_band_frame(base, cfg.frame_bytes - 7000, 6000, 90))
+        scripted.append(rng.integers(0, 255, cfg.frame_bytes, endpoint=True,
+                                     dtype=np.uint8))       # burst
+        pending = []
+        for f in scripted:
+            out = ex.process(f)
+            pending.append(f)
+            if out is not None:
+                prev = _check(out, pending[: len(out)], prev)
+                pending = pending[len(out):]
+        tail = ex.flush()
+        if tail is not None:
+            prev = _check(tail, pending, prev)
+        np.testing.assert_array_equal(ex.resync(), prev)
+        if fetch_mode == "mask":
+            assert ex._lander.fetch_counts["mask"] >= 7
+            assert ex._lander.spec_counts["hit"] >= 3
+
+    def test_auto_picks_mask_on_slow_links(self, rng):
+        """Under a measured slow link, a locally dense scene makes the
+        bits window + vals prefix the cheapest flavor and auto flips to
+        it (the decision math in _pick_kind)."""
+        cfg = _cfg(fetch_mode="auto", emit_bitmask=True)
+        ex = BatchedLandExecutor(cfg, depth=2)
+        base = rng.integers(0, 255, cfg.frame_bytes, endpoint=True,
+                            dtype=np.uint8)
+        ex.start(base)
+        prev = base.copy()
+        ex.link.bps = 1e6          # slow link: bytes dominate
+        ex.link.merge_s = 1e-5
+        pending = []
+        for k in range(8):         # dense contiguous band, slow drift
+            f = _band_frame(base, 600 * k, 12000, 40 + k)
+            out = ex.process(f)
+            pending.append(f)
+            if out is not None:
+                prev = _check(out, pending[: len(out)], prev)
+                pending = pending[len(out):]
+            ex.link.bps = 1e6
+            ex.link.merge_s = 1e-5
+        assert ex._lander.fetch_counts["mask"] > 0
+
+    def test_solo_executor_mask_byte_exact(self, rng):
+        cfg = _cfg(fetch_mode="mask", emit_bitmask=True)
+        ex = StreamExecutor(cfg)
+        base = rng.integers(0, 255, cfg.frame_bytes, endpoint=True,
+                            dtype=np.uint8)
+        ex.start(base)
+        prev = base.copy()
+        for k in range(5):
+            f = _band_frame(base, 900 * k, 2600, 30 + k)
+            pos, xs, vals, _ = ex.process(f)
+            pr, xr, vr, prev = ref.diff_encode(f, prev)
+            assert pos == pr
+            if isinstance(xs, wire.TiledPayload):
+                xs, vals = xs.to_flat()
+            np.testing.assert_array_equal(xs, xr)
+            np.testing.assert_array_equal(vals, vr)
+
+    def test_rebuild_mask_xs(self):
+        tile_cap = 128
+        rng = np.random.default_rng(7)
+        want = np.sort(rng.choice(4096, size=300, replace=False)) + 5 * 128
+        bits = np.zeros(6 * 128 + 4096, np.uint8)
+        bits[want - 5 * 128] = 1   # window starts at unit 5
+        packed = np.packbits(bits, bitorder="little")
+        got = TiledLander._rebuild_mask_xs(packed, 300, 5, tile_cap)
+        np.testing.assert_array_equal(got, want.astype(np.int32))
+        assert got.dtype == np.int32
+        with pytest.raises(RuntimeError, match="invariant"):
+            TiledLander._rebuild_mask_xs(packed, 299, 5, tile_cap)
+
+    def test_config_validation(self):
+        with pytest.raises(ValueError, match="emit_bitmask"):
+            StreamConfig(height=48, width=64, tiled_payload=True,
+                         fetch_mode="mask")
+        with pytest.raises(ValueError, match="tiled_payload"):
+            StreamConfig(height=48, width=64, emit_bitmask=True)
+
+
 class TestServerLandBatch:
     @pytest.mark.parametrize("wire_format", ["v1", "v3"])
     def test_loopback_byte_exact(self, wire_format):
@@ -267,6 +387,34 @@ class TestServerLandBatch:
         cli.close()
         t.join(timeout=60)
 
+    def test_loopback_mask_byte_exact(self):
+        """--tiled --fetch mask --land-batch over a real socket."""
+        cfg = _cfg(port=0, wire_format="v3", fetch_mode="mask",
+                   emit_bitmask=True)
+        n_frames = 7
+        server = DeltaStreamServer(
+            cfg, SyntheticSource(cfg, seed=5),
+            executor=BatchedLandExecutor(cfg, depth=3),
+            verbose=False, overlay_status=False,
+        )
+        server.listen()
+        t = threading.Thread(target=server.serve,
+                             kwargs={"max_frames": n_frames}, daemon=True)
+        t.start()
+        cli = DeltaStreamClient("127.0.0.1", server.port, cfg.height,
+                                cfg.width, wire_format="auto")
+        cli.connect()
+        replay = SyntheticSource(cfg, seed=5)
+        prev = next(replay).copy()
+        np.testing.assert_array_equal(cli.frame, prev)
+        for _ in range(n_frames):
+            frame = next(replay)
+            prev, _, _, _, _ = ref.step_oracle(prev, frame, cfg)
+            _, recon = cli.read_frame()
+            np.testing.assert_array_equal(recon, prev)
+        cli.close()
+        t.join(timeout=60)
+
     def test_cli_rejects_bad_combos(self):
         from cudavideostream_tpu.runtime.server import main
 
@@ -274,3 +422,7 @@ class TestServerLandBatch:
             main(["--land-batch", "4"])  # no --tiled
         with pytest.raises(SystemExit):
             main(["--land-batch", "4", "--tiled", "--pipelined"])
+        with pytest.raises(SystemExit):
+            main(["--fetch", "mask"])    # no --tiled
+        with pytest.raises(SystemExit):
+            main(["--bitmask"])          # no --tiled

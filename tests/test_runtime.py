@@ -387,7 +387,7 @@ class TestExecutor:
             np.testing.assert_array_equal(xs, xr)
             np.testing.assert_array_equal(vals, vr)
             prev = new_prev
-        assert ex.fetch_counts == {"tiles": 0, "flat": 3}
+        assert ex.fetch_counts == {"tiles": 0, "flat": 3, "mask": 0}
 
     def test_fetch_mode_auto_decision(self, small_config):
         """The auto decision picks block fetch on fast links / clustered
