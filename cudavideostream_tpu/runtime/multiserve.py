@@ -51,6 +51,16 @@ class MultiStreamServer:
         # nothing observes
         self.aux_dir = aux_dir
         self.aux_every = aux_every
+        if config.fetch_mode == "mask":
+            # the batched/sharded pipelines don't emit the packed
+            # change-bits (config.emit_bitmask is a solo-pipeline
+            # feature); refuse rather than silently landing through a
+            # different flavor
+            raise ValueError(
+                "fetch_mode 'mask' is not supported by the multi-stream "
+                "server — use tiles/flat/auto (the mask flavor rides "
+                "the solo StreamExecutor/BatchedLandExecutor landings)"
+            )
         self.cfg = config
         self.sources = sources
         self.B = len(sources)

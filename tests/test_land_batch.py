@@ -353,6 +353,19 @@ class TestMaskLanding:
         with pytest.raises(ValueError, match="tiled_payload"):
             StreamConfig(height=48, width=64, emit_bitmask=True)
 
+    def test_multiserve_rejects_mask(self):
+        """The batched pipeline doesn't emit change-bits: a hand-built
+        mask config must be refused, not silently landed through a
+        different flavor. (The sharded executor needs no guard: it
+        rejects every tiled_payload config, and emit_bitmask requires
+        tiled_payload.)"""
+        from cudavideostream_tpu.runtime.multiserve import MultiStreamServer
+        from cudavideostream_tpu.runtime.sources import SyntheticSource
+
+        cfg = _cfg(fetch_mode="mask", emit_bitmask=True)
+        with pytest.raises(ValueError, match="mask"):
+            MultiStreamServer(cfg, [SyntheticSource(cfg)], verbose=False)
+
 
 class TestServerLandBatch:
     @pytest.mark.parametrize("wire_format", ["v1", "v3"])
