@@ -30,6 +30,18 @@ from cudavideostream_tpu.config import PayloadOverflowError, StreamConfig
 from cudavideostream_tpu.models import DeltaStreamPipeline
 from cudavideostream_tpu.runtime import wire
 
+# per-byte-value popcount / set-bit-position tables for the bitmask
+# rebuild (LSB-first: bit k of byte j is frame byte 8*j + k)
+_POPCOUNT = np.unpackbits(
+    np.arange(256, dtype=np.uint8)[:, None], axis=1, bitorder="little"
+).sum(axis=1).astype(np.intp)
+_BITPOS = np.zeros((256, 8), np.uint8)
+for _v in range(256):
+    _idx = np.flatnonzero(
+        np.unpackbits(np.uint8([_v]), bitorder="little"))
+    _BITPOS[_v, : _idx.size] = _idx
+del _v, _idx
+
 
 class LinkStats:
     """EMA estimates of the host↔device link and of the device-side tile
@@ -194,6 +206,11 @@ class TiledLander:
         # land_fused speculation: ("tiles"|"flat", window_start,
         # window_len_units, merged_prefix_len_entries)
         self._spec = None
+        # drift-aware margins (see _update_spec): observed per-frame
+        # span motion / pos delta EMAs + the last batch's tail scalars
+        self._drift_pf = None
+        self._dpos_pf = None
+        self._last_scalar = None
         self.fetch_counts = {"tiles": 0, "flat": 0, "mask": 0}
         self.spec_counts = {"hit": 0, "miss": 0}
 
@@ -529,15 +546,31 @@ class TiledLander:
         bits are set exactly where the kernel counted a changed byte,
         and LSB-first unpack order IS ascending byte order — the wire
         contract's payload order. Window bytes outside the changed span
-        are zero by construction, so no crop is needed."""
-        w = np.unpackbits(np.asarray(bits_w), bitorder="little")
-        xs = np.flatnonzero(w).astype(np.int32)
-        if xs.size != pos:
+        are zero by construction, so no crop is needed.
+
+        LUT formulation: scan the window BYTES for nonzeros (8x fewer
+        elements than unpacking first), then expand each nonzero byte's
+        set-bit positions from a (256, 8) table — row-major boolean
+        selection preserves ascending order. ~25% faster than
+        unpackbits+flatnonzero on both dense and sparse windows
+        (measured host-side; the rebuild was 6.75 ms/frame of the
+        mask@3% landing before the drift-aware window shrank its
+        input)."""
+        b = np.asarray(bits_w)
+        nzb = np.flatnonzero(b)
+        vals = b[nzb]
+        cnts = _POPCOUNT[vals]
+        total = int(cnts.sum())
+        if total != pos:
             raise RuntimeError(
-                f"bitmask window rebuilt {xs.size} indices, device "
+                f"bitmask window rebuilt {total} indices, device "
                 f"counted pos={pos} — the window missed changed units "
                 "(invariant violation, never truncate)"
             )
+        base = np.repeat(nzb * 8, cnts)
+        sel = _BITPOS[vals]                       # (K, 8) per-byte slots
+        keep = np.arange(8, dtype=np.uint8) < cnts[:, None]
+        xs = (base + sel[keep]).astype(np.int32)
         return xs + np.int32(start_unit * tile_cap)
 
     @staticmethod
@@ -979,29 +1012,63 @@ class TiledLander:
     def _update_spec(self, scalars, K: int, n_tiles: int,
                      tile_cap: int, has_bits: bool = False) -> None:
         """Re-center the speculative window for the NEXT batch from the
-        batch's LAST frame. The spatial margin scales with the batch
-        depth — the window must absorb K frames of drift, not one.
-        Empty frames keep the previous window (a blank frame says
-        nothing about where the scene will resume)."""
+        batch's LAST frame.
+
+        The spatial margin is DRIFT-AWARE: the batch's scalars expose
+        the scene's actual per-frame motion (consecutive ``t_lo``/
+        ``t_hi`` deltas within the batch, plus the jump since the last
+        batch), so the window absorbs ``4x`` the observed drift over the
+        next K frames instead of the blind ``span//4 * K`` prior — which
+        over-fetched the bits/blocks window ~5x the span on slow-moving
+        scenes (measured: mask@3% clustered moved 166 KB/frame of bits
+        for a 24 KB span, benchmarks/loopback_tpu_tunnel r4 drift rows).
+        The prior is kept as a CAP (never fetch more than the old
+        heuristic) and as the cold-start fallback; a miss is never
+        wrong, just one extra round trip, and it feeds the next
+        estimate. Empty frames keep the previous window (a blank frame
+        says nothing about where the scene will resume)."""
         pos, t_lo, t_hi = scalars[-1]
         if t_hi == 0:
             return
         want = self._pick_kind(pos, t_lo, t_hi, tile_cap, has_bits)
         span = t_hi - t_lo
-        margin = max(64, span // 4) * K
+        # observed per-frame motion: max consecutive delta in this batch
+        live = [s for s in scalars if s[2] > 0]
+        drift = d_pos = 0
+        for (p0, a0, b0), (p1, a1, b1) in zip(live, live[1:]):
+            drift = max(drift, abs(a1 - a0), abs(b1 - b0))
+            d_pos = max(d_pos, abs(p1 - p0))
+        if self._last_scalar is not None:
+            lp, la, lb = self._last_scalar
+            drift = max(drift, (max(abs(t_lo - la), abs(t_hi - lb))
+                                + K - 1) // K)
+            d_pos = max(d_pos, (abs(pos - lp) + K - 1) // K)
+        self._last_scalar = (pos, t_lo, t_hi)
+        blind = max(64, span // 4) * K
+        if len(live) < 2 and self._drift_pf is None:
+            margin = blind           # cold start: no motion observed yet
+        else:
+            if self._drift_pf is None:
+                self._drift_pf = float(drift)
+            else:                    # fast EMA: misses re-learn quickly
+                self._drift_pf = 0.5 * self._drift_pf + 0.5 * drift
+            margin = min(blind, max(64, int(4 * K * self._drift_pf)))
         L = self._range_len(span + 2 * margin, n_tiles)
         start = max(0, min(t_lo - margin, n_tiles - L))
         if want in ("flat", "mask"):
             # P covers pos GROWTH over the next K frames, not spatial
             # drift: the merged prefix's first pos entries ARE the
-            # payload wherever the scene sits, so the margin is a
-            # density headroom (25%, floored at 2048/frame), NOT the
-            # tiles-style drift margin scaled by K — that over-fetched
-            # 3x the payload bytes and cost ~5 ms/frame on the tunnel
-            # (A/B in benchmarks/loopback_tpu_tunnel, batch8 flat rows)
-            P = self._flat_len(
-                pos + max(pos // 4, 2048 * K), self._fetch_xs.capacity
-            )
+            # payload wherever the scene sits. Headroom = 6x the observed
+            # per-frame pos delta (floored at 1024/frame against scene
+            # cuts; capped at the blind 25% prior) — a too-tight P costs
+            # a 30 ms miss round trip, so the bet stays conservative.
+            if self._dpos_pf is None:
+                self._dpos_pf = float(d_pos)
+            else:
+                self._dpos_pf = 0.5 * self._dpos_pf + 0.5 * d_pos
+            grow = min(max(pos // 4, 2048 * K),
+                       max(1024 * K, int(6 * K * self._dpos_pf)))
+            P = self._flat_len(pos + grow, self._fetch_xs.capacity)
             self._spec = (want, start, L, P)
         else:
             self._spec = ("tiles", start, L, 0)

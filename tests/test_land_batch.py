@@ -367,6 +367,84 @@ class TestMaskLanding:
             MultiStreamServer(cfg, [SyntheticSource(cfg)], verbose=False)
 
 
+class TestDriftAwareSpec:
+    def test_window_tightens_to_observed_drift(self, rng):
+        """A slow-drifting wide band: after the lander observes the
+        motion, the speculative window's margin shrinks from the blind
+        ``span//4 * K`` prior toward ``4x`` the measured per-frame
+        drift — fewer bytes per landing — while batches keep
+        speculative-hitting and stay byte-exact."""
+        # 384x512x3 = 589824 B = 4608 units of 128: span//4 clears the
+        # 64-unit margin floor so blind vs drift-aware genuinely differ
+        cfg = StreamConfig(height=384, width=512, overlay_scale=4,
+                           tiled_payload=True, fetch_mode="tiles")
+        K = 4
+        ex = BatchedLandExecutor(cfg, depth=K)
+        base = rng.integers(0, 255, cfg.frame_bytes, endpoint=True,
+                            dtype=np.uint8)
+        ex.start(base)
+        prev = base.copy()
+        band, step = 40000, 128            # ~312 units span, 1 unit/frame
+        pending = []
+        specs = []
+        for k in range(4 * K):
+            f = _band_frame(base, 2000 + step * k, band, 50 + k)
+            out = ex.process(f)
+            pending.append(f)
+            if out is not None:
+                prev = _check(out, pending[:K], prev)
+                pending = pending[K:]
+                specs.append(ex._lander._spec)
+        tail = ex.flush()
+        if tail:
+            prev = _check(tail, pending, prev)
+        np.testing.assert_array_equal(ex.resync(), prev)
+
+        lander = ex._lander
+        n_tiles = cfg.frame_bytes // 128
+        span = (band // 128) + 2           # band straddles unit edges
+        blind_L = lander._range_len(span + 2 * (max(64, span // 4) * K),
+                                    n_tiles)
+        # the first spec is blind (cold), later ones tighten below it
+        assert specs[-1][2] < blind_L
+        # drift EMA learned ~1 unit/frame: margin floor (64) dominates
+        assert lander._drift_pf is not None and lander._drift_pf <= 4
+        # tightening must not cost the hit rate (batch 1 is the probe)
+        assert lander.spec_counts["hit"] >= 2 * K
+        assert lander.spec_counts["miss"] <= K
+
+    def test_cut_rewide_then_retighten(self, rng):
+        """A scene cut spikes the observed drift (window re-widens, the
+        cut frame itself is a miss that re-fetches exactly), then the
+        EMA decays and the window tightens again. Byte-exact throughout."""
+        cfg = StreamConfig(height=384, width=512, overlay_scale=4,
+                           tiled_payload=True, fetch_mode="tiles")
+        K = 3
+        ex = BatchedLandExecutor(cfg, depth=K)
+        base = rng.integers(0, 255, cfg.frame_bytes, endpoint=True,
+                            dtype=np.uint8)
+        ex.start(base)
+        prev = base.copy()
+        frames = [_band_frame(base, 2000 + 128 * k, 30000, 40 + k)
+                  for k in range(2 * K)]
+        # cut: the band jumps to the far end of the frame
+        frames += [_band_frame(base, cfg.frame_bytes - 40000 + 128 * k,
+                               30000, 70 + k) for k in range(3 * K)]
+        pending = []
+        for f in frames:
+            out = ex.process(f)
+            pending.append(f)
+            if out is not None:
+                prev = _check(out, pending[:K], prev)
+                pending = pending[K:]
+        tail = ex.flush()
+        if tail:
+            prev = _check(tail, pending, prev)
+        np.testing.assert_array_equal(ex.resync(), prev)
+        # hits resumed after the cut (final batches hit again)
+        assert ex._lander.spec_counts["hit"] >= K
+
+
 class TestServerLandBatch:
     @pytest.mark.parametrize("wire_format", ["v1", "v3"])
     def test_loopback_byte_exact(self, wire_format):
