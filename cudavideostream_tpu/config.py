@@ -152,6 +152,14 @@ class StreamConfig:
     # locally dense (> ~12.5% within its own bounding window, e.g. any
     # clustered scene). tiled_payload + PALLAS only.
     emit_bitmask: bool = False
+    # Return "mask"-flavor landings as the raw bits window
+    # (wire.MaskPayload) instead of rebuilding flat indices on the host —
+    # the zero-index path for wire v4's winmask mode: the device's packed
+    # change-bits go over the host link AND over the TCP wire untouched.
+    # The consumer must understand MaskPayload (the v4 encoder does;
+    # v1/v2/v3 senders fall back through MaskPayload.to_flat()).
+    # Requires emit_bitmask.
+    mask_payload: bool = False
 
     # Text overlay (kernel2_char, kernels.cu:351-375): glyph cell scale,
     # and font style — "stroke" is a thin vector font in the visual
@@ -168,8 +176,11 @@ class StreamConfig:
     # absolutes), ~40% fewer wire bytes; "v3" adaptively picks the
     # cheapest of delta16/bitmask/raw per frame (worst case ~one raw
     # frame, and the only format that can RECOVER from a
-    # payload_capacity overflow — see PayloadOverflowError above).
-    # v2/v3 need both ends to opt in (the client auto-sniffs the magic).
+    # payload_capacity overflow — see PayloadOverflowError above);
+    # "v4" adds the winmask mode (window change-bitmask — with
+    # mask_payload the device's packed bits reach the client with zero
+    # server-side translation). v2/v3/v4 need both ends to opt in (the
+    # client auto-sniffs the magic).
     wire_format: str = "v1"
 
     @property
@@ -204,7 +215,7 @@ class StreamConfig:
                 raise ValueError("tiled_payload requires the PALLAS backend")
             if self.payload_capacity is not None:
                 raise ValueError("tiled_payload is always worst-case capacity")
-        if self.wire_format not in ("v1", "v2", "v3"):
+        if self.wire_format not in ("v1", "v2", "v3", "v4"):
             raise ValueError(f"unknown wire_format {self.wire_format!r}")
         if self.fetch_mode not in ("auto", "tiles", "flat", "mask"):
             raise ValueError(f"unknown fetch_mode {self.fetch_mode!r}")
@@ -216,6 +227,8 @@ class StreamConfig:
             raise ValueError("fetch_mode 'mask' requires emit_bitmask")
         if self.emit_bitmask and not self.tiled_payload:
             raise ValueError("emit_bitmask requires tiled_payload")
+        if self.mask_payload and not self.emit_bitmask:
+            raise ValueError("mask_payload requires emit_bitmask")
         if self.subtile_rows < 0 or (
             self.subtile_rows & (self.subtile_rows - 1)
         ):

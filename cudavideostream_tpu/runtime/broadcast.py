@@ -184,6 +184,8 @@ class BroadcastServer:
                 head = wire.MAGIC_V2 + head
             elif self.cfg.wire_format == "v3":
                 head = wire.MAGIC_V3 + head
+            elif self.cfg.wire_format == "v4":
+                head = wire.MAGIC_V4 + head
             sender.offer(head)
             self._clients.append(sender)
             if self.verbose:
@@ -191,10 +193,12 @@ class BroadcastServer:
 
     def _pack(self, pos: int, xs, vals) -> bytes:
         """One frame's wire bytes, shared by every client's queue."""
-        if self.cfg.wire_format == "v3":
+        if self.cfg.wire_format in ("v3", "v4"):
             # encode() also applies the payload to the shared shadow
             # (aliased to the joiner state in serve()) — exactly once
             return self._v3enc.encode(pos, xs, vals)
+        if isinstance(xs, wire.MaskPayload):
+            xs, vals = xs.to_flat()  # mask_payload config under v1/v2
         tiled = isinstance(xs, wire.TiledPayload)
         if self.cfg.wire_format == "v2":
             fx, fv = xs.to_flat() if tiled else (xs, vals)
@@ -238,7 +242,9 @@ class BroadcastServer:
         # mode the encoder's client-state shadow IS that buffer (encode()
         # applies each payload once; serve() must not re-apply).
         self._v3enc = (
-            wire.V3Encoder(base) if self.cfg.wire_format == "v3" else None
+            wire.V4Encoder(base) if self.cfg.wire_format == "v4"
+            else wire.V3Encoder(base) if self.cfg.wire_format == "v3"
+            else None
         )
         state = self._v3enc.frame if self._v3enc is not None else base.copy()
         if wait_first_client:
@@ -289,8 +295,10 @@ class BroadcastServer:
                 continue
             pos, xs, vals, _ = result
             # track reconstruction for future joiners (in-place scatter);
-            # v3's encoder does this itself inside _pack
+            # v3/v4's encoder does this itself inside _pack
             if self._v3enc is None:
+                if isinstance(xs, wire.MaskPayload):
+                    xs, vals = xs.to_flat()  # mask_payload under v1/v2
                 if isinstance(xs, wire.TiledPayload):
                     fx, fv = xs.to_flat()
                     if fx.size:
@@ -321,6 +329,8 @@ class BroadcastServer:
         if tail is not None:
             pos, xs, vals, _ = tail
             if self._v3enc is None:
+                if isinstance(xs, wire.MaskPayload):
+                    xs, vals = xs.to_flat()  # mask_payload under v1/v2
                 if isinstance(xs, wire.TiledPayload):
                     fx, fv = xs.to_flat()
                     if fx.size:
@@ -366,7 +376,8 @@ def main(argv=None) -> int:
     p.add_argument("--height", type=int, default=1080)
     p.add_argument("--width", type=int, default=1920)
     p.add_argument("--frames", type=int, default=None)
-    p.add_argument("--wire", default="v1", choices=["v1", "v2", "v3"])
+    p.add_argument("--wire", default="v1",
+                   choices=["v1", "v2", "v3", "v4"])
     p.add_argument("--tiled", action="store_true",
                    help="per-tile payload blocks + scatter-gather send "
                         "(skips the device merge epilogue)")

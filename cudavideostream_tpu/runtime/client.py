@@ -44,8 +44,9 @@ class DeltaStreamClient:
 
     def connect(self) -> None:
         self.sock = socket.create_connection((self.host, self.port))
-        if self.wire_format in ("v2", "v3"):
-            magic = {"v2": wire.MAGIC_V2, "v3": wire.MAGIC_V3}[self.wire_format]
+        if self.wire_format in ("v2", "v3", "v4"):
+            magic = {"v2": wire.MAGIC_V2, "v3": wire.MAGIC_V3,
+                     "v4": wire.MAGIC_V4}[self.wire_format]
             got = self._read_exact(len(magic))
             if got != magic:
                 raise ValueError(
@@ -58,6 +59,9 @@ class DeltaStreamClient:
                 head = b""
             elif head == wire.MAGIC_V3:
                 self.wire_format = "v3"
+                head = b""
+            elif head == wire.MAGIC_V4:
+                self.wire_format = "v4"
                 head = b""
             else:
                 self.wire_format = "v1"
@@ -72,7 +76,10 @@ class DeltaStreamClient:
         """Read and apply one delta; returns (pos, reconstructed frame)."""
         # frame parsing lives in wire.py (one place per layout); the
         # _read_exact callable keeps the --record tee in the loop
-        if self.wire_format == "v3":
+        if self.wire_format in ("v3", "v4"):
+            # one reader for both: mode 3 (winmask) only ever appears in
+            # v4 streams, and read_frame_v3 rebuilds its window bits
+            # into global xs
             pos, xs, vals, raw = wire.read_frame_v3(
                 self._read_exact, self.n_bytes
             )
@@ -198,8 +205,9 @@ def main(argv=None) -> int:
     p.add_argument("--record", help="tee the raw wire stream to this file "
                                     "(replay with runtime.replay)")
     p.add_argument("--wire", default="auto",
-                   choices=["auto", "v1", "v2", "v3"],
-                   help="auto sniffs the v2/v3 magic; v1 = reference wire")
+                   choices=["auto", "v1", "v2", "v3", "v4"],
+                   help="auto sniffs the v2/v3/v4 magic; v1 = reference "
+                        "wire")
     p.add_argument("--http", type=int, default=None, metavar="PORT",
                    help="instead of decoding here, serve a LIVE browser "
                         "viewer on this port: / renders the canvas page, "

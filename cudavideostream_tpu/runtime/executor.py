@@ -186,7 +186,8 @@ class TiledLander:
     #: smallest merged-prefix slice (entries); ladder grows ~1.25x
     FLAT_MIN = 8192
 
-    def __init__(self, mode: str = "auto", link: Optional[LinkStats] = None):
+    def __init__(self, mode: str = "auto", link: Optional[LinkStats] = None,
+                 return_mask: bool = False):
         # modes: "auto" / "tiles" / "flat" (see class docstring) and
         # "shards" — per-tile COUNT-PREFIX fetches for layouts whose
         # tiles are huge and few (the sharded payload layout: tile_cap =
@@ -197,6 +198,13 @@ class TiledLander:
         # every slice before one blocking get, and re-pads host-side
         # (host zeros are lazy pages; only payload bytes are written).
         self.mode = mode
+        # return_mask: hand "mask"-flavor landings back as the raw bits
+        # window (wire.MaskPayload) instead of rebuilding flat indices —
+        # the zero-index path for wire v4 (config.mask_payload). The
+        # popcount-vs-pos invariant the rebuild enforced moves to the v4
+        # encoder (V4Encoder._encode_mask), which scans the window bytes
+        # anyway to trim margins and size the encoding.
+        self.return_mask = return_mask
         self.link = link or LinkStats()
         self._fetch_xs = None     # lazily sized from the first landing
         self._fetch_vals = None
@@ -537,6 +545,22 @@ class TiledLander:
         units = np.arange(t_lo, t_lo + c.size, dtype=np.int64)
         base = np.repeat(units * tile_cap, c).astype(np.int32)
         return base + lo[:pos].astype(np.int32)
+
+    def _mask_result(self, bits_w, pos: int, start_unit: int,
+                     tile_cap: int, vals_prefix):
+        """One landed mask-flavor payload: the zero-index
+        :class:`~cudavideostream_tpu.runtime.wire.MaskPayload` under
+        ``return_mask`` (wire v4 forwards the bits untranslated), else
+        flat ``(xs, vals)`` via the LUT rebuild."""
+        if self.return_mask:
+            return wire.MaskPayload(
+                pos, start_unit * tile_cap,
+                np.asarray(bits_w), np.asarray(vals_prefix),
+            )
+        return (
+            self._rebuild_mask_xs(bits_w, pos, start_unit, tile_cap),
+            np.asarray(vals_prefix[:pos]),
+        )
 
     @staticmethod
     def _rebuild_mask_xs(bits_w, pos: int, start_unit: int, tile_cap: int):
@@ -897,11 +921,8 @@ class TiledLander:
                     if want == "mask" and covered and pos <= P0:
                         self.spec_counts["hit"] += 1
                         self.fetch_counts["mask"] += 1
-                        results[i] = (pos, (
-                            self._rebuild_mask_xs(
-                                h[3], pos, start0, tile_cap),
-                            np.asarray(h[4][:pos]),
-                        ))
+                        results[i] = (pos, self._mask_result(
+                            h[3], pos, start0, tile_cap, h[4]))
                     else:
                         self.spec_counts["miss"] += 1
                         misses.append(i)
@@ -972,10 +993,8 @@ class TiledLander:
                 if meta[0] == "mask2":
                     bw, vw = host
                     self.fetch_counts["mask"] += 1
-                    results[i] = (pos, (
-                        self._rebuild_mask_xs(bw, pos, startc, tile_cap),
-                        np.asarray(vw[:pos]),
-                    ))
+                    results[i] = (pos, self._mask_result(
+                        bw, pos, startc, tile_cap, vw))
                     continue
                 cw, xw, vw = host
                 span = cw[t_lo - startc: t_hi - startc]
@@ -1117,7 +1136,8 @@ class StreamExecutor:
         self.link = LinkStats(merge_s_init=merge_init)
         self._fetch_xs = TieredFetcher(config.capacity, stats=self.link)
         self._fetch_vals = TieredFetcher(config.capacity, stats=self.link)
-        self._lander = TiledLander(config.fetch_mode, self.link)
+        self._lander = TiledLander(config.fetch_mode, self.link,
+                                   return_mask=config.mask_payload)
         self.metrics = ExecMetrics()
 
     @property
@@ -1198,7 +1218,7 @@ class StreamExecutor:
             )
             aux = np.asarray(aux_d) if aux_d is not None else None
             self.metrics.record(time.perf_counter() - t0, pos)
-            if isinstance(res, wire.TiledPayload):
+            if isinstance(res, (wire.TiledPayload, wire.MaskPayload)):
                 return pos, res, None, aux
             xs, vals = res
             return pos, xs, vals, aux
@@ -1349,7 +1369,7 @@ class BatchedLandExecutor(StreamExecutor):
             aux_d = rest[-1]
             aux = np.asarray(aux_d) if aux_d is not None else None
             self.metrics.record(time.perf_counter() - t0, pos)
-            if isinstance(res, wire.TiledPayload):
+            if isinstance(res, (wire.TiledPayload, wire.MaskPayload)):
                 out.append((pos, res, None, aux))
             else:
                 xs, vals = res

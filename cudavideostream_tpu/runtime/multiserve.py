@@ -149,6 +149,8 @@ class MultiStreamServer:
                     conn.sendall(wire.MAGIC_V2)
                 elif self.cfg.wire_format == "v3":
                     conn.sendall(wire.MAGIC_V3)
+                elif self.cfg.wire_format == "v4":
+                    conn.sendall(wire.MAGIC_V4)
                 conn.sendall(recon.tobytes())
                 self._clients[b] = conn
                 if self.verbose:
@@ -255,7 +257,7 @@ class MultiStreamServer:
                             xs = self._fetch_xs.fetch(xs_d[b], p)
                             vals = self._fetch_vals.fetch(vals_d[b], p)
                         except PayloadOverflowError:
-                            if self.cfg.wire_format != "v3":
+                            if self.cfg.wire_format not in ("v3", "v4"):
                                 raise  # no way to resync a v1/v2 client
                             # per-stream wire-v3 raw recovery: replace
                             # stream b's client state with its post-step
@@ -281,10 +283,13 @@ class MultiStreamServer:
                     if conn is None:
                         continue
                     try:
-                        if self.cfg.wire_format == "v3":
+                        if self.cfg.wire_format in ("v3", "v4"):
                             # recon[b] was updated above = post-apply
                             # client state, so raw mode is exact
-                            buf = wire.encode_frame_v3(p, xs, vals, recon[b])
+                            enc = (wire.encode_frame_v4
+                                   if self.cfg.wire_format == "v4"
+                                   else wire.encode_frame_v3)
+                            buf = enc(p, xs, vals, recon[b])
                             wire_total += len(buf)
                             conn.sendall(buf)
                         elif self.cfg.wire_format == "v2":
@@ -373,7 +378,8 @@ def main(argv=None) -> int:
                    help="stream b listens on port+b")
     p.add_argument("--height", type=int, default=1080)
     p.add_argument("--width", type=int, default=1920)
-    p.add_argument("--wire", default="v1", choices=["v1", "v2", "v3"])
+    p.add_argument("--wire", default="v1",
+                   choices=["v1", "v2", "v3", "v4"])
     p.add_argument("--visualizer", type=int, default=0,
                    help="0 none, 1 heatmap, 2 red-black, 3 red-overlap, "
                         "4 grayscale, 5 binarize (per stream; rides the "

@@ -62,10 +62,14 @@ class ReplayServer:
                 self.data = b""
         from cudavideostream_tpu.runtime import wire
 
-        # v2/v3 sessions start with their wire magic; frame framing
-        # differs, but replay just forwards the captured bytes either way
+        # v2/v3/v4 sessions start with their wire magic; frame framing
+        # differs, but replay just forwards the captured bytes either
+        # way. v4 shares v3's [mode][body] framing (one extra mode that
+        # wire.v3_frame_extent measures), so it rides the v3 flag here.
         self.v2 = bytes(self.data[:len(wire.MAGIC_V2)]) == wire.MAGIC_V2
-        self.v3 = bytes(self.data[:len(wire.MAGIC_V3)]) == wire.MAGIC_V3
+        self.v3 = bytes(self.data[:len(wire.MAGIC_V3)]) in (
+            wire.MAGIC_V3, wire.MAGIC_V4,
+        )
         hdr = len(wire.MAGIC_V2) if (self.v2 or self.v3) else 0
         if len(self.data) < hdr + frame_bytes:
             raise ValueError(f"{path}: shorter than one base frame")
@@ -174,7 +178,8 @@ class ReplayServer:
         dens = 100.0 * pos / self.frame_bytes
         by_mode = {}
         for _, m, b in rows:
-            name = {0: "delta16", 1: "bitmask", 2: "raw"}.get(m, str(m))
+            name = {0: "delta16", 1: "bitmask", 2: "raw",
+                    3: "winmask"}.get(m, str(m))
             cnt, tot = by_mode.get(name, (0, 0))
             by_mode[name] = (cnt + 1, tot + b)
         lines = [

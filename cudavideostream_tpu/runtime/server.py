@@ -112,6 +112,9 @@ class DeltaStreamServer:
         elif self.cfg.wire_format == "v3":
             conn.sendall(wire.MAGIC_V3)
             v3enc = wire.V3Encoder(base)
+        elif self.cfg.wire_format == "v4":
+            conn.sendall(wire.MAGIC_V4)
+            v3enc = wire.V4Encoder(base)
         conn.sendall(base.tobytes())
         text = ""
         n = 0
@@ -192,13 +195,18 @@ class DeltaStreamServer:
     def _send_payload(conn: socket.socket, result, wire_format: str = "v1",
                       v3enc: "wire.V3Encoder | None" = None) -> None:
         pos, xs, vals, aux = result
-        if wire_format == "v3":
-            # adaptive: per-frame cheapest of delta16/bitmask/raw — the
-            # encoder keeps the client-state shadow, so this composes
-            # with every executor (incl. pipelined one-frame lag)
+        if wire_format in ("v3", "v4"):
+            # adaptive: per-frame cheapest mode — the encoder keeps the
+            # client-state shadow, so this composes with every executor
+            # (incl. pipelined one-frame lag). v4 (a V4Encoder) adds the
+            # winmask mode and forwards MaskPayload bits untranslated.
             buf = v3enc.encode(pos, xs, vals)
             conn.sendall(buf)
             return len(buf)
+        if isinstance(xs, wire.MaskPayload):
+            # a mask_payload config under a v1/v2 wire: rebuild indices
+            # (correct, just not the zero-index path v4 exists for)
+            xs, vals = xs.to_flat()
         if wire_format == "v2":
             # delta16: host-side encode (one tiny numpy pass over the
             # payload); the scatter-gather zero-copy path is a v1-only
@@ -249,12 +257,16 @@ def main(argv=None) -> int:
     p.add_argument("--conv-k", type=int, default=3)
     p.add_argument("--compaction", default="pallas",
                    choices=[b.value for b in CompactionBackend])
-    p.add_argument("--wire", default="v1", choices=["v1", "v2", "v3"],
+    p.add_argument("--wire", default="v1",
+                   choices=["v1", "v2", "v3", "v4"],
                    help="v1 = reference-compatible wire (default); "
                         "v2 = delta16 index compression (~40%% fewer "
                         "bytes); v3 = adaptive delta16/bitmask/raw — "
-                        "worst-case wire bytes capped at ~one raw frame "
-                        "(client must also use --wire v2/v3/auto)")
+                        "worst-case wire bytes capped at ~one raw frame; "
+                        "v4 = v3 + winmask (window change-bitmask; with "
+                        "--fetch mask the device's packed bits reach the "
+                        "client with zero server-side index rebuild) "
+                        "(client must also use --wire v2/v3/v4/auto)")
     p.add_argument("--tiled", action="store_true",
                    help="ship per-tile payload blocks straight from the "
                         "kernel through the scatter-gather sender "
@@ -372,6 +384,12 @@ def main(argv=None) -> int:
         tiled_payload=args.tiled,
         fetch_mode=args.fetch,
         emit_bitmask=args.bitmask or args.fetch == "mask",
+        # the zero-index path: v4 + mask-capable landing -> the bits
+        # window is forwarded untranslated (wire.MaskPayload)
+        mask_payload=(
+            args.wire == "v4"
+            and (args.bitmask or args.fetch == "mask")
+        ),
         wire_format=args.wire,
         host=args.host,
         port=args.port,

@@ -44,9 +44,29 @@ The server maintains a client-state shadow via the same wrap-add the
 client runs (:class:`V3Encoder`), which keeps raw mode correct under
 any executor, including pipelined ones whose payloads lag a frame.
 
-Both ends must opt in (``--wire v2``/``v3``); the reference client
-speaks v1 only, which stays the default. The recorded-session tooling
-and the HTML viewer understand all three (the magic prefix
+**v4 "window bitmask" (opt-in, beyond the reference).** v3's three
+modes plus one:
+
+* mode 3 "winmask": ``[u32 pos][u32 byte_start][u32 win_bytes]
+  [u8 bits[win_bytes/8]][u8 vals[pos]]`` — the change-bits for frame
+  bytes ``[byte_start, byte_start + win_bytes)`` only (LSB-first;
+  ``byte_start`` and ``win_bytes`` are multiples of 8 so the window is
+  whole packed bytes), plus the wrap-delta values in ascending order.
+  Wins on *locally dense* scenes (a moving subject): ~``pos/8`` index
+  bytes where delta16 pays ``2*pos`` and the full bitmask pays ``n/8``.
+
+v4 exists for the end-to-end zero-index path: the device kernel already
+emits this exact packed-bits layout (``config.emit_bitmask``), the
+"mask" payload landing fetches it as-is over the host<->device link,
+and mode 3 forwards it to the client UNTRANSLATED — no index stream is
+ever materialized on the server (the 2-7 ms/frame host rebuild measured
+in benchmarks/loopback_tpu_tunnel r4). Selection is exact and v4 falls
+back to the v3 modes whenever one is smaller, so v4 wire bytes are
+``min(v3 modes, winmask)``.
+
+Both ends must opt in (``--wire v2``/``v3``/``v4``); the reference
+client speaks v1 only, which stays the default. The recorded-session
+tooling and the HTML viewer understand all four (the magic prefix
 disambiguates files).
 """
 
@@ -61,18 +81,34 @@ import numpy as np
 
 _U32 = struct.Struct("<I")
 _2U32 = struct.Struct("<II")
+_3U32 = struct.Struct("<III")
 
 # v2 stream prefix: 16 bytes, impossible to confuse with a v1 stream on
 # an opted-in client (v1 clients never see it — the server only emits it
 # in v2 mode)
 MAGIC_V2 = b"CVSTPU-WIRE-V2\x00\x01"
 MAGIC_V3 = b"CVSTPU-WIRE-V3\x00\x01"
+MAGIC_V4 = b"CVSTPU-WIRE-V4\x00\x01"
 _GAP_ESC = 0xFFFF
 
-# v3 per-frame mode prefix (one byte)
+# v3 per-frame mode prefix (one byte); WINMASK appears in v4 streams only
 MODE_DELTA16 = 0
 MODE_BITMASK = 1
 MODE_RAW = 2
+MODE_WINMASK = 3
+
+# per-byte-value LUTs for mask-payload encoding (LSB-first bit layout):
+# set-bit count, lowest set bit, highest set bit (0-entries unused —
+# consumers index with nonzero byte values only)
+_POPCNT8 = np.unpackbits(
+    np.arange(256, dtype=np.uint8)[:, None], axis=1
+).sum(axis=1).astype(np.int64)
+_LOWBIT8 = np.array(
+    [(v & -v).bit_length() - 1 if v else 0 for v in range(256)], np.int64
+)
+_HIGHBIT8 = np.array(
+    [v.bit_length() - 1 if v else 0 for v in range(256)], np.int64
+)
 
 
 def pack_payload_v2(pos: int, xs: np.ndarray, vals: np.ndarray) -> bytes:
@@ -259,11 +295,188 @@ def encode_frame_v3_numpy(pos: int, xs: np.ndarray, vals: np.ndarray,
     ).tobytes()
 
 
+def winmask_window(xs: np.ndarray) -> Tuple[int, int]:
+    """The minimal 8-aligned ``(byte_start, win_bytes)`` window covering
+    ascending indices ``xs`` (``(0, 0)`` when empty). Both values are
+    multiples of 8 so the window is whole packed-bitmask bytes."""
+    if len(xs) == 0:
+        return 0, 0
+    start = (int(xs[0]) // 8) * 8
+    end = (int(xs[-1]) // 8 + 1) * 8
+    return start, end - start
+
+
+def winmask_size(pos: int, win_bytes: int) -> int:
+    """Exact mode-3 wire bytes: mode + 3xu32 header + bits + vals."""
+    return 13 + win_bytes // 8 + pos
+
+
+def encode_frame_v4_numpy(pos: int, xs: np.ndarray, vals: np.ndarray,
+                          frame_after: np.ndarray) -> bytes:
+    """The pure-numpy v4 encode — the byte-layout SPEC.
+
+    Per-frame cheapest of the three v3 modes plus mode 3 "winmask"; exact
+    sizes, deterministic tie order delta16 > winmask > bitmask > raw
+    (first listed wins ties). The zero-index fast path
+    (:meth:`V4Encoder.encode` on a :class:`MaskPayload`) must produce
+    byte-identical output: its trimmed window equals this function's
+    minimal 8-aligned window by construction."""
+    n = frame_after.size
+    xs = np.asarray(xs, dtype=np.int64)[:pos]
+    vals = np.asarray(vals, dtype=np.uint8)[:pos]
+    n_exc = int(np.count_nonzero(np.diff(xs, prepend=-1) >= _GAP_ESC))
+    start, wb = winmask_window(xs)
+    size_d, size_b, size_r = v3_sizes(pos, n_exc, n)
+    size_w = winmask_size(pos, wb)
+    if size_d <= size_w and size_d <= size_b and size_d <= size_r:
+        return bytes([MODE_DELTA16]) + pack_payload_v2(pos, xs, vals)
+    if size_w <= size_b and size_w <= size_r:
+        window = np.zeros(wb, dtype=np.uint8)
+        window[xs - start] = 1
+        bits = np.packbits(window, bitorder="little")
+        return (
+            bytes([MODE_WINMASK])
+            + _3U32.pack(pos, start, wb)
+            + bits.tobytes()
+            + vals.tobytes()
+        )
+    if size_b <= size_r:
+        mask = pack_bitmask_from_xs(xs, n)
+        return (
+            bytes([MODE_BITMASK])
+            + _U32.pack(pos)
+            + mask.tobytes()
+            + vals.tobytes()
+        )
+    return bytes([MODE_RAW]) + np.ascontiguousarray(
+        frame_after, dtype=np.uint8
+    ).tobytes()
+
+
+# stateless v4 encode, peer of encode_frame_v3 (no native fast path: the
+# performance-sensitive v4 path is the zero-index MaskPayload forward in
+# V4Encoder, which never touches an index stream at all)
+encode_frame_v4 = encode_frame_v4_numpy
+
+
+@dataclasses.dataclass
+class MaskPayload:
+    """One frame delta as the device's packed change-bits window plus
+    the merged ascending values — the zero-index landing result
+    (``TiledLander`` with ``return_mask``; ``config.mask_payload``).
+
+    ``bits`` is LSB-first (the :func:`~cudavideostream_tpu.ops.diff.
+    pack_bitmask` layout): bit ``k`` of ``bits[j]`` covers frame byte
+    ``start_byte + 8*j + k``. ``start_byte`` is a multiple of 8. The
+    window may carry zero margin bytes on either side (the landing's
+    speculative window); encoders trim it. ``vals`` holds at least
+    ``pos`` entries; only ``vals[:pos]`` are payload.
+    """
+
+    pos: int
+    start_byte: int
+    bits: np.ndarray  # (win_bytes/8,) uint8
+    vals: np.ndarray  # (>= pos,) uint8
+
+    def to_flat(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Rebuild flat ``(xs, vals)`` host arrays (the slow path v4
+        exists to skip — v1/v2/v3 senders and library users only)."""
+        xs = decode_bitmask(
+            np.asarray(self.bits, np.uint8), 8 * len(self.bits)
+        ) + np.int32(self.start_byte)
+        if xs.size != self.pos:
+            raise ValueError(
+                f"mask payload popcount {xs.size} != pos {self.pos}"
+            )
+        return xs, np.asarray(self.vals, np.uint8)[: self.pos]
+
+
+class V4Encoder(V3Encoder):
+    """Per-connection adaptive encoder for the v4 wire.
+
+    v3's shadow machinery plus mode 3, with the zero-index fast path:
+    a :class:`MaskPayload` whose winmask encoding wins is trimmed and
+    forwarded UNTRANSLATED — no index stream is ever materialized, and
+    the shadow applies through the bits directly (boolean-mask wrap-add
+    over the window slice, ascending order by construction)."""
+
+    def encode(self, pos: int, xs, vals) -> bytes:
+        if isinstance(xs, MaskPayload):
+            return self._encode_mask(xs)
+        if isinstance(xs, TiledPayload):
+            xs, vals = xs.to_flat()
+        xs = np.asarray(xs, dtype=np.int64)[:pos]
+        vals = np.asarray(vals, dtype=np.uint8)[:pos]
+        if pos:
+            self.frame[xs] = self.frame[xs] + vals  # uint8 wrap-add
+        buf = encode_frame_v4_numpy(pos, xs, vals, self.frame)
+        self.last_mode = buf[0]
+        return buf
+
+    def _encode_mask(self, mp: MaskPayload) -> bytes:
+        bits = np.asarray(mp.bits, np.uint8)
+        nzb = np.flatnonzero(bits)
+        if nzb.size == 0:
+            if mp.pos:
+                raise RuntimeError(
+                    f"mask payload window is empty but pos={mp.pos} "
+                    "(the landing window missed changed units)"
+                )
+            buf = bytes([MODE_DELTA16]) + pack_payload_v2(
+                0, np.empty(0, np.int64), np.empty(0, np.uint8)
+            )
+            self.last_mode = MODE_DELTA16
+            return buf
+        pos = mp.pos
+        nzv = bits[nzb]
+        total = int(_POPCNT8[nzv].sum())
+        if total != pos:
+            raise RuntimeError(
+                f"mask payload popcount {total} != device pos {pos} "
+                "(invariant violation, never truncate)"
+            )
+        vals = np.asarray(mp.vals, np.uint8)[:pos]
+        b0, b1 = int(nzb[0]), int(nzb[-1]) + 1
+        start = mp.start_byte + 8 * b0
+        wb = 8 * (b1 - b0)
+        n = self.frame.size
+        # exact delta16 size without materializing xs: escape gaps can
+        # only occur across byte-level zero runs (within one byte a gap
+        # is <= 7), so the per-byte extreme-bit LUTs give every
+        # candidate gap exactly
+        glo = mp.start_byte + 8 * nzb + _LOWBIT8[nzv]
+        ghi = mp.start_byte + 8 * nzb + _HIGHBIT8[nzv]
+        n_exc = int(glo[0] + 1 >= _GAP_ESC) + int(
+            np.count_nonzero(glo[1:] - ghi[:-1] >= _GAP_ESC)
+        )
+        size_d, size_b, size_r = v3_sizes(pos, n_exc, n)
+        size_w = winmask_size(pos, wb)
+        if size_w < size_d and size_w <= size_b and size_w <= size_r:
+            bw = bits[b0:b1]
+            seg = self.frame[start: start + wb]
+            m = np.unpackbits(bw, bitorder="little")[: seg.size].view(bool)
+            seg[m] = seg[m] + vals  # uint8 wrap-add, ascending order
+            self.last_mode = MODE_WINMASK
+            return (
+                bytes([MODE_WINMASK])
+                + _3U32.pack(pos, start, wb)
+                + bw.tobytes()
+                + vals.tobytes()
+            )
+        # a v3 mode is at least as small (or delta16 ties): rebuild the
+        # indices once and take the generic path — same sizes, same tie
+        # order, so the output equals the SPEC's
+        xs, vals = mp.to_flat()
+        return self.encode(pos, xs, vals)
+
+
 def unpack_frame_v3(buf: bytes, offset: int, n_bytes: int):
-    """Parse one v3 frame from a buffer.
+    """Parse one v3/v4 frame from a buffer.
 
     Returns ``(pos, xs, vals, raw, consumed)`` — ``raw`` is the full
     replacement frame for mode 2 (``xs``/``vals`` empty), else None.
+    Mode 3 (winmask) appears in v4 streams only; its window bits are
+    rebuilt into global ``xs`` here.
     """
     if len(buf) - offset < 1:
         raise ValueError("short buffer: v3 mode byte")
@@ -293,6 +506,22 @@ def unpack_frame_v3(buf: bytes, offset: int, n_bytes: int):
             raise ValueError("short buffer: v3 raw body")
         raw = np.frombuffer(buf, dtype=np.uint8, count=n_bytes, offset=o).copy()
         return n_bytes, None, None, raw, 1 + n_bytes
+    if mode == MODE_WINMASK:
+        if len(buf) - o < 12:
+            raise ValueError("short buffer: v4 winmask header")
+        pos, start, wb = _3U32.unpack_from(buf, o)
+        mb = wb // 8
+        need = 12 + mb + pos
+        if len(buf) - o < need:
+            raise ValueError("short buffer: v4 winmask body")
+        bits = np.frombuffer(buf, dtype=np.uint8, count=mb, offset=o + 12)
+        vals = np.frombuffer(
+            buf, dtype=np.uint8, count=pos, offset=o + 12 + mb
+        ).copy()
+        xs = decode_bitmask(bits, wb) + np.int32(start)
+        if xs.size != pos:
+            raise ValueError(f"v4 winmask popcount {xs.size} != pos {pos}")
+        return pos, xs, vals, None, 1 + need
     raise ValueError(f"unknown v3 mode {mode}")
 
 
@@ -329,6 +558,14 @@ def read_frame_v3(src, n_bytes: int):
     if mode == MODE_RAW:
         raw = np.frombuffer(rd(n_bytes), dtype=np.uint8).copy()
         return n_bytes, None, None, raw
+    if mode == MODE_WINMASK:
+        pos, start, wb = _3U32.unpack(rd(12))
+        bits = np.frombuffer(rd(wb // 8), dtype=np.uint8)
+        vals = np.frombuffer(rd(pos), dtype=np.uint8).copy()
+        xs = decode_bitmask(bits, wb) + np.int32(start)
+        if xs.size != pos:
+            raise ValueError(f"v4 winmask popcount {xs.size} != pos {pos}")
+        return pos, xs, vals, None
     raise ValueError(f"unknown v3 mode {mode}")
 
 
@@ -354,6 +591,11 @@ def v3_frame_extent(data, off: int, n_bytes: int) -> int:
             raise ValueError("truncated v3 frame: delta16 header")
         pos, n_exc = _2U32.unpack_from(data, off + 1)
         end = off + 1 + 8 + 3 * pos + 4 * n_exc
+    elif mode == MODE_WINMASK:
+        if off + 13 > len(data):
+            raise ValueError("truncated v4 frame: winmask header")
+        pos, _start, wb = _3U32.unpack_from(data, off + 1)
+        end = off + 13 + wb // 8 + pos
     else:
         raise ValueError(f"unknown v3 mode {mode} at offset {off}")
     if end > len(data):

@@ -517,3 +517,98 @@ class TestServerLandBatch:
             main(["--fetch", "mask"])    # no --tiled
         with pytest.raises(SystemExit):
             main(["--bitmask"])          # no --tiled
+
+
+class TestWireV4Serving:
+    """wire v4 + config.mask_payload: the ZERO-INDEX path. The landing
+    returns the raw bits window (wire.MaskPayload), the v4 encoder trims
+    and forwards it untranslated — no index stream is materialized
+    anywhere on the server."""
+
+    def test_lander_returns_mask_payload(self, rng):
+        cfg = _cfg(fetch_mode="mask", emit_bitmask=True, mask_payload=True)
+        ex = StreamExecutor(cfg)
+        base = rng.integers(0, 255, cfg.frame_bytes, endpoint=True,
+                            dtype=np.uint8)
+        ex.start(base)
+        prev = base.copy()
+        saw_mask = 0
+        for k in range(5):
+            f = _band_frame(base, 900 * k, 2600, 30 + k)
+            pos, xs, vals, _ = ex.process(f)
+            pr, xr, vr, prev = ref.diff_encode(f, prev)
+            assert pos == pr
+            if isinstance(xs, wire.MaskPayload):
+                saw_mask += 1
+                assert vals is None
+                assert xs.start_byte % 8 == 0
+                fx, fv = xs.to_flat()
+            elif isinstance(xs, wire.TiledPayload):
+                fx, fv = xs.to_flat()
+            else:
+                fx, fv = xs, vals
+            np.testing.assert_array_equal(fx, xr)
+            np.testing.assert_array_equal(fv, vr)
+        assert saw_mask >= 4  # pinned mask mode: every non-cold landing
+
+    def test_loopback_v4_zero_index_byte_exact(self, tmp_path):
+        """server --tiled --fetch mask --land-batch 3 --wire v4 over a
+        real socket: the client (auto-sniffing v4) reconstructs
+        byte-exactly, the recorded capture replays with winmask frames
+        in its stats, and the replayer re-serves it byte-identically."""
+        from cudavideostream_tpu.runtime.replay import ReplayServer
+
+        cfg = _cfg(port=0, wire_format="v4", fetch_mode="mask",
+                   emit_bitmask=True, mask_payload=True)
+        n_frames = 7
+        server = DeltaStreamServer(
+            cfg, SyntheticSource(cfg, seed=5),
+            executor=BatchedLandExecutor(cfg, depth=3),
+            verbose=False, overlay_status=False,
+        )
+        server.listen()
+        t = threading.Thread(target=server.serve,
+                             kwargs={"max_frames": n_frames}, daemon=True)
+        t.start()
+        rec = str(tmp_path / "session.cvs")
+        cli = DeltaStreamClient("127.0.0.1", server.port, cfg.height,
+                                cfg.width, wire_format="auto", record=rec)
+        cli.connect()
+        assert cli.wire_format == "v4"
+        replay = SyntheticSource(cfg, seed=5)
+        prev = next(replay).copy()
+        np.testing.assert_array_equal(cli.frame, prev)
+        recons = []
+        for _ in range(n_frames):
+            frame = next(replay)
+            prev, _, _, _, _ = ref.step_oracle(prev, frame, cfg)
+            _, recon = cli.read_frame()
+            np.testing.assert_array_equal(recon, prev)
+            recons.append(recon.copy())
+        cli.close()
+        t.join(timeout=60)
+        # the capture replays: framing scan finds every frame, stats
+        # name the winmask mode, and a second client decodes identically
+        rep = ReplayServer(rec, cfg.frame_bytes, port=0, verbose=False)
+        assert len(rep.marks) == n_frames
+        stats = rep.stats()
+        assert any(m == wire.MODE_WINMASK for _, m, _ in stats), stats
+        rep.listen()
+        t2 = threading.Thread(target=rep.serve, daemon=True)
+        t2.start()
+        cli2 = DeltaStreamClient("127.0.0.1", rep.port, cfg.height,
+                                 cfg.width, wire_format="auto")
+        cli2.connect()
+        assert cli2.wire_format == "v4"
+        for want in recons:
+            _, recon = cli2.read_frame()
+            np.testing.assert_array_equal(recon, want)
+        cli2.close()
+        t2.join(timeout=60)
+        rep.close()
+
+    def test_config_validation(self):
+        with pytest.raises(ValueError, match="mask_payload"):
+            StreamConfig(mask_payload=True)
+        with pytest.raises(ValueError, match="mask_payload"):
+            StreamConfig(tiled_payload=True, mask_payload=True)

@@ -235,6 +235,208 @@ class TestWireV3:
             assert len(buf) == min(sizes), (frac, len(buf), sizes)
 
 
+class TestWireV4:
+    """v4 = v3's adaptive modes + mode 3 "winmask" (window change-bits),
+    plus the zero-index fast path: a landing's MaskPayload is trimmed
+    and forwarded UNTRANSLATED when winmask wins — no index stream is
+    ever materialized on the server."""
+
+    @staticmethod
+    def _sizes4(pos, xs, n):
+        n_exc = int(np.count_nonzero(np.diff(xs, prepend=-1) >= 0xFFFF))
+        _, wb = wire.winmask_window(xs)
+        return wire.v3_sizes(pos, n_exc, n) + (wire.winmask_size(pos, wb),)
+
+    @staticmethod
+    def _mask_payload(pos, xs, vals, n, margin=64):
+        """Build the lander-shaped bits window (with zero margins the
+        encoder must trim) for ascending xs."""
+        if pos == 0:
+            return wire.MaskPayload(0, 0, np.zeros(8, np.uint8),
+                                    np.empty(0, np.uint8))
+        start = max(0, (int(xs[0]) // 8) * 8 - margin)
+        end = min((n + 7) // 8 * 8, (int(xs[-1]) // 8 + 1) * 8 + margin)
+        window = np.zeros(end - start, np.uint8)
+        window[np.asarray(xs, np.int64) - start] = 1
+        return wire.MaskPayload(
+            pos, start, np.packbits(window, bitorder="little"), vals
+        )
+
+    def _apply(self, buf, n, client):
+        pos, xs, vals, raw, used = wire.unpack_frame_v3(buf, 0, n)
+        assert used == len(buf)
+        if raw is not None:
+            return raw.copy()
+        if pos:
+            client = client.copy()
+            client[xs] = client[xs] + vals
+        return client
+
+    def test_mode_selection_and_reconstruction(self, rng):
+        """A density/locality sweep drives all FOUR modes; every emitted
+        frame is the exact min of the four sizes and reconstructs."""
+        n = 9216
+        base = rng.integers(0, 255, n, endpoint=True, dtype=np.uint8)
+        enc = wire.V4Encoder(base)
+        client = base.copy()
+        # (index builder, expected mode)
+        plans = [
+            (np.arange(4000, 4600), wire.MODE_WINMASK),  # dense cluster
+            (np.sort(rng.choice(n, 90, replace=False)), wire.MODE_DELTA16),
+            (np.sort(rng.choice(n, n // 4, replace=False)),
+             wire.MODE_BITMASK),
+            (np.arange(n), wire.MODE_RAW),
+            (np.empty(0, np.int64), wire.MODE_DELTA16),  # static frame
+        ]
+        for xs, want_mode in plans:
+            k = xs.size
+            vals = rng.integers(1, 255, k, endpoint=True, dtype=np.uint8)
+            expect = enc.frame.copy()
+            if k:
+                expect[xs] = expect[xs] + vals
+            buf = enc.encode(k, xs, vals)
+            assert buf[0] == want_mode == enc.last_mode
+            assert len(buf) == min(self._sizes4(k, xs, n))
+            client = self._apply(buf, n, client)
+            np.testing.assert_array_equal(client, expect)
+            np.testing.assert_array_equal(enc.frame, expect)
+
+    def test_winmask_wins_on_local_clusters(self):
+        """The mode v4 exists for: a moving subject (locally dense span
+        in a big frame) costs ~pos/8 index bytes where delta16 pays
+        2*pos and the full bitmask pays n/8."""
+        n = 1 << 20
+        xs = np.arange(300_000, 330_000)  # 30k contiguous changed bytes
+        vals = np.full(xs.size, 5, np.uint8)
+        enc = wire.V4Encoder(np.zeros(n, np.uint8))
+        buf = enc.encode(xs.size, xs, vals)
+        assert buf[0] == wire.MODE_WINMASK
+        assert len(buf) < xs.size + xs.size // 8 + 64  # ~1.125 B/byte
+        # v3 on the same frame pays the delta16 index stream (3 B/byte)
+        v3 = wire.V3Encoder(np.zeros(n, np.uint8)).encode(
+            xs.size, xs, vals)
+        assert len(v3) >= 3 * xs.size
+        assert len(buf) < 0.4 * len(v3)
+
+    def test_mask_payload_forward_is_byte_identical(self, rng):
+        """The zero-index path (MaskPayload in, margins trimmed, bits
+        forwarded) emits exactly the SPEC encoder's bytes and maintains
+        the shadow exactly — across all four winning modes."""
+        n = 200_000
+        base = rng.integers(0, 255, n, endpoint=True, dtype=np.uint8)
+        cases = [
+            np.arange(1000, 3000, 2),                      # winmask
+            np.sort(rng.choice(n, 200, replace=False)),    # delta16
+            np.sort(rng.choice(n, n // 4, replace=False)), # bitmask
+            np.arange(0, n - 5),                           # raw
+            np.empty(0, np.int64),                         # empty
+        ]
+        for xs in cases:
+            xs = np.asarray(xs, np.int64)
+            vals = rng.integers(1, 255, xs.size,
+                                endpoint=True, dtype=np.uint8)
+            e_ref = wire.V4Encoder(base.copy())
+            e_mask = wire.V4Encoder(base.copy())
+            ref_buf = e_ref.encode(xs.size, xs, vals)
+            got = e_mask.encode(
+                xs.size, self._mask_payload(xs.size, xs, vals, n), None
+            )
+            assert got == ref_buf
+            np.testing.assert_array_equal(e_mask.frame, e_ref.frame)
+
+    def test_mask_payload_escape_exactness(self, rng):
+        """The mask path sizes delta16 WITHOUT materializing xs; its
+        byte-LUT escape count must be exact at the 65535 gap boundary
+        and for the first-index escape — asserted via byte identity
+        with the from-xs SPEC path."""
+        n = 400_000
+        base = rng.integers(0, 255, n, endpoint=True, dtype=np.uint8)
+        for g in (65533, 65534, 65535, 65536, 131070):
+            for first in (3, 65533, 65534, 65535, 65536):
+                xs = np.array([first, first + g, first + g + 7], np.int64)
+                vals = np.array([1, 2, 3], np.uint8)
+                e_ref = wire.V4Encoder(base.copy())
+                e_mask = wire.V4Encoder(base.copy())
+                ref_buf = e_ref.encode(3, xs, vals)
+                got = e_mask.encode(
+                    3, self._mask_payload(3, xs, vals, n), None)
+                assert got == ref_buf, (g, first)
+
+    def test_mask_payload_popcount_mismatch_raises(self):
+        """The rebuild's window-missed-units invariant moved into the
+        encoder: a bits window whose popcount disagrees with the device
+        pos must fail loudly, never truncate."""
+        bits = np.zeros(16, np.uint8)
+        bits[3] = 0b101
+        enc = wire.V4Encoder(np.zeros(4096, np.uint8))
+        with pytest.raises(RuntimeError, match="popcount"):
+            enc.encode(3, wire.MaskPayload(
+                3, 0, bits, np.array([1, 2, 3], np.uint8)), None)
+        with pytest.raises(RuntimeError, match="missed"):
+            enc.encode(2, wire.MaskPayload(
+                2, 0, np.zeros(8, np.uint8), np.array([1, 2], np.uint8)
+            ), None)
+
+    def test_tiled_payload_accepted(self, rng):
+        n = 4096
+        base = rng.integers(0, 255, n, endpoint=True, dtype=np.uint8)
+        xs = np.arange(800, 1100)
+        vals = rng.integers(1, 255, xs.size, endpoint=True, dtype=np.uint8)
+        counts = np.array([200, 100], np.int32)
+        xs_t = np.zeros((2, 200), np.int32)
+        vals_t = np.zeros((2, 200), np.uint8)
+        xs_t[0, :200], xs_t[1, :100] = xs[:200], xs[200:]
+        vals_t[0, :200], vals_t[1, :100] = vals[:200], vals[200:]
+        tp = wire.TiledPayload(xs.size, counts, xs_t, vals_t)
+        flat = wire.V4Encoder(base.copy()).encode(xs.size, xs, vals)
+        tiled = wire.V4Encoder(base.copy()).encode(xs.size, tp, None)
+        assert flat == tiled and flat[0] == wire.MODE_WINMASK
+
+    def test_stream_scan_and_read(self, rng):
+        """v3_frame_extent measures winmask frames (the replayer's
+        framing pre-scan) and read_frame_v3 decodes them from a stream."""
+        n = 8192
+        base = rng.integers(0, 255, n, endpoint=True, dtype=np.uint8)
+        enc = wire.V4Encoder(base.copy())
+        stream = b""
+        scripted = [np.arange(100, 1400), np.arange(4000, 4032),
+                    np.sort(rng.choice(n, 60, replace=False))]
+        for xs in scripted:
+            stream += enc.encode(
+                xs.size, xs, np.full(xs.size, 9, np.uint8))
+        # extent scan walks the exact frame boundaries
+        off, marks = 0, []
+        while off < len(stream):
+            end = wire.v3_frame_extent(stream, off, n)
+            marks.append((off, end))
+            off = end
+        assert len(marks) == len(scripted)
+        # streaming reader agrees, and the decode reconstructs
+        client = base.copy()
+        cursor = [0]
+
+        def rd(k):
+            b = stream[cursor[0]: cursor[0] + k]
+            cursor[0] += k
+            return b
+
+        for xs in scripted:
+            pos, dxs, dvals, raw = wire.read_frame_v3(rd, n)
+            assert pos == xs.size and raw is None
+            np.testing.assert_array_equal(dxs, xs)
+            client[dxs] = client[dxs] + dvals
+        np.testing.assert_array_equal(client, enc.frame)
+
+    def test_mask_payload_to_flat(self, rng):
+        n = 10000
+        xs = np.sort(rng.choice(n, 500, replace=False)).astype(np.int64)
+        vals = rng.integers(0, 255, 500, endpoint=True, dtype=np.uint8)
+        mp = self._mask_payload(500, xs, vals, n)
+        fx, fv = mp.to_flat()
+        np.testing.assert_array_equal(fx, xs)
+        np.testing.assert_array_equal(fv, vals)
+
+
 def test_pack_bitmask_matmul_path_equals_fallback(rng):
     """The (M,384) MXU packing (used at frame sizes) must equal the
     generic reshape path and the host packer bit-for-bit — asserted
