@@ -156,6 +156,9 @@ def run_row(cfg, source, executor, n_frames, warm=2, pipelined=False,
     elif cfg.wire_format == "v3":
         conn.sendall(wire.MAGIC_V3)
         v3enc = wire.V3Encoder(base)
+    elif cfg.wire_format == "v4":
+        conn.sendall(wire.MAGIC_V4)
+        v3enc = wire.V4Encoder(base)
     conn.sendall(base.tobytes())
 
     legs = {"capture": [], "dispatch": [], "land": [], "send": [],
@@ -280,6 +283,16 @@ def main():
          "device", 0.01, "mask", "v3", "pallas", 16),
         ("dev_d3_mask_v3_batch8", "device", 0.03, "mask", "v3", "pallas", 8),
         ("dev_d6_mask_v3_batch8", "device", 0.06, "mask", "v3", "pallas", 8),
+        # wire v4 ZERO-INDEX path (config.mask_payload): the landing
+        # returns the raw bits window and the v4 encoder trims+forwards
+        # it — no index stream, no LUT rebuild on the server
+        ("dev_d1_mask_v4_batch16",
+         "device", 0.01, "mask", "v4", "pallas", 16),
+        ("dev_d3_mask_v4_batch8", "device", 0.03, "mask", "v4", "pallas", 8),
+        ("dev_d6_mask_v4_batch8", "device", 0.06, "mask", "v4", "pallas", 8),
+        # v4 from the index stream (winmask vs delta16 min-of-four,
+        # no mask fetch): isolates the encoder gain from the fetch gain
+        ("dev_d3_flat_v4_batch8", "device", 0.03, "flat", "v4", "pallas", 8),
     ]
     if not args.quick:
         matrix += [
@@ -314,6 +327,7 @@ def main():
             cfg = dataclasses.replace(
                 base_cfg, fetch_mode=fetch, wire_format=wirefmt,
                 emit_bitmask=(fetch == "mask"),
+                mask_payload=(fetch == "mask" and wirefmt == "v4"),
             )
             if fetch == "mask":
                 if pipe_mask is None:

@@ -26,7 +26,7 @@ from cudavideostream_tpu.runtime import wire
 
 H, W = 1080, 1920
 N = H * W * 3
-MODES = {0: "delta16", 1: "bitmask", 2: "raw"}
+MODES = {0: "delta16", 1: "bitmask", 2: "raw", 3: "winmask"}
 
 
 def payload_random(rng, frac):
@@ -60,19 +60,25 @@ def run(out_path=None):
             v2 = len(wire.pack_payload_v2(pos, xs, vals))
             frame_after = np.zeros(N, np.uint8)
             v3buf = wire.encode_frame_v3(pos, xs, vals, frame_after)
+            v4buf = wire.encode_frame_v4(pos, xs, vals, frame_after)
             rows.append((pattern, frac, pos, v1, v2, len(v3buf),
-                         MODES[v3buf[0]]))
+                         MODES[v3buf[0]], len(v4buf), MODES[v4buf[0]]))
     with open(out_path, "w") as f:
         f.write("# pattern\tdensity\tpos\tv1_bytes\tv2_bytes\tv3_bytes\t"
-                "v3_mode  (1080p, n=%d; v1 worst case 5n; v3 cap n+1)\n" % N)
+                "v3_mode\tv4_bytes\tv4_mode"
+                "  (1080p, n=%d; v1 worst case 5n; v3/v4 cap n+1)\n" % N)
         for r in rows:
-            f.write("%s\t%.4f\t%d\t%d\t%d\t%d\t%s\n" % r)
+            f.write("%s\t%.4f\t%d\t%d\t%d\t%d\t%s\t%d\t%s\n" % r)
         f.write("# raw frame = %d B; v1 @100%% = %d B (5.00x frame); "
                 "v3 @100%% = %d B (1.00x)\n"
+                "# v4 adds mode 3 winmask ([pos][start][win][bits][vals]):"
+                " ~1.13 B/changed byte on clustered scenes vs delta16's 3"
+                " — wins whenever the changed span is locally dense"
+                " (> ~12.5%% of its bounding window)\n"
                 % (N, 4 + 5 * N, 1 + N))
     print(f"wrote {out_path}")
     for r in rows:
-        print("%-9s %.4f pos=%8d v1=%9d v2=%9d v3=%9d %s" % r)
+        print("%-9s %.4f pos=%8d v1=%9d v2=%9d v3=%9d %-7s v4=%9d %s" % r)
 
 
 if __name__ == "__main__":
