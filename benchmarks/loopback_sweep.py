@@ -228,6 +228,11 @@ def main():
     p.add_argument("--width", type=int, default=None)
     p.add_argument("--rows", default=None,
                    help="comma-separated row labels to run (subset)")
+    p.add_argument("--repeat", type=int, default=1,
+                   help="run each selected row N times (fresh executor per "
+                        "rep, shared pipeline compiles) — the tunnel's "
+                        "contention jitter is +/-2x across minutes, so "
+                        "single rows mislead; report the best rep")
     args = p.parse_args()
 
     import jax
@@ -316,6 +321,11 @@ def main():
     if args.rows:
         wanted = set(args.rows.split(","))
         matrix = [m for m in matrix if m[0] in wanted]
+    if args.repeat > 1:
+        # interleave reps (A0 B0 C0 A1 B1 C1 ...): contention drifts over
+        # minutes, so adjacent reps of one row would share its bias
+        matrix = [(f"{m[0]}_rep{r}", *m[1:])
+                  for r in range(args.repeat) for m in matrix]
     print("\n".join(lines))
     for label, capture, density, fetch, wirefmt, backend, pipelined in matrix:
         depth = pipelined if isinstance(pipelined, int) \

@@ -211,13 +211,16 @@ class TiledLander:
         self._fetch_tiles = None
         self._shard_tier = None   # tier math for the "shards" mode
         self._range_slicers = {}  # key -> jitted dynamic-slice fn
-        # land_fused speculation: ("tiles"|"flat", window_start,
-        # window_len_units, merged_prefix_len_entries)
+        # land_fused speculation: ("tiles"|"flat"|"mask", window_start,
+        # window_len_units, merged_prefix_len_entries, units_per_frame
+        # velocity)
         self._spec = None
         # drift-aware margins (see _update_spec): observed per-frame
-        # span motion / pos delta EMAs + the last batch's tail scalars
-        self._drift_pf = None
+        # pos delta EMA + the last batch's tail scalars;
+        # _vel_pf/_err_pf: signed window velocity + its prediction error
         self._dpos_pf = None
+        self._vel_pf = None
+        self._err_pf = None
         self._last_scalar = None
         self.fetch_counts = {"tiles": 0, "flat": 0, "mask": 0}
         self.spec_counts = {"hit": 0, "miss": 0}
@@ -884,28 +887,37 @@ class TiledLander:
             scalars = [tuple(int(x) for x in h) for h in host]
             misses = list(range(K))
         else:
-            smode, start0, L0, P0 = spec
+            smode, start0, L0, P0, vel = spec
+            # per-frame PREDICTED window start: the window rides the
+            # scene's observed velocity instead of widening by K*drift —
+            # at K=16 the static union window fetched ~7x the span's
+            # bits/blocks per frame (margin 4*K*drift); the predicted
+            # one pays only span + 4*K*err, err = |observed - predicted|
+            starts = [
+                max(0, min(start0 + i * vel, n_tiles - L0))
+                for i in range(K)
+            ]
             if smode == "flat":
                 for i, it in enumerate(items):
                     merged[i] = logcompact.merge_tiles(it[1], it[2], it[3])
                 sl = self._spec_slicer(L0, tile_cap, flat_P=P0)
                 dev = [
-                    sl(it[0], it[1], m[0], m[1], np.int32(start0))
-                    for it, m in zip(items, merged)
+                    sl(it[0], it[1], m[0], m[1], np.int32(s))
+                    for it, m, s in zip(items, merged, starts)
                 ]
             elif smode == "mask":
                 for i, it in enumerate(items):
                     merged[i] = logcompact.merge_tiles(it[1], it[2], it[3])
                 sl = self._mask_slicer(L0, tile_cap, P0)
                 dev = [
-                    sl(it[0], it[1], it[4], m[1], np.int32(start0))
-                    for it, m in zip(items, merged)
+                    sl(it[0], it[1], it[4], m[1], np.int32(s))
+                    for it, m, s in zip(items, merged, starts)
                 ]
             else:
                 sl = self._spec_slicer(L0, tile_cap)
                 dev = [
-                    sl(it[0], it[1], it[2], it[3], np.int32(start0))
-                    for it in items
+                    sl(it[0], it[1], it[2], it[3], np.int32(s))
+                    for it, s in zip(items, starts)
                 ]
             host = self._get_batched(dev)
             for i, h in enumerate(host):
@@ -915,20 +927,21 @@ class TiledLander:
                     results[i] = (pos, self._empty_result(
                         smode != "tiles", tile_cap))
                     continue
-                covered = start0 <= t_lo and t_hi <= start0 + L0
+                st = starts[i]
+                covered = st <= t_lo and t_hi <= st + L0
                 want = self._pick_kind(pos, t_lo, t_hi, tile_cap, has_bits)
                 if smode == "mask":
                     if want == "mask" and covered and pos <= P0:
                         self.spec_counts["hit"] += 1
                         self.fetch_counts["mask"] += 1
                         results[i] = (pos, self._mask_result(
-                            h[3], pos, start0, tile_cap, h[4]))
+                            h[3], pos, st, tile_cap, h[4]))
                     else:
                         self.spec_counts["miss"] += 1
                         misses.append(i)
                     continue
                 cw, xw, vw = h[3], h[4], h[5]
-                span = cw[t_lo - start0: t_hi - start0] if covered else None
+                span = cw[t_lo - st: t_hi - st] if covered else None
                 if smode == "flat" and want == "flat" and covered \
                         and pos <= P0:
                     self.spec_counts["hit"] += 1
@@ -940,11 +953,11 @@ class TiledLander:
                 elif smode == "tiles" and want == "tiles" and covered:
                     self.spec_counts["hit"] += 1
                     self.fetch_counts["tiles"] += 1
-                    a = t_lo - start0
+                    a = t_lo - st
                     results[i] = (pos, wire.TiledPayload(
                         pos, span,
                         self._rebuild_xs(
-                            xw, span, start0, t_lo, t_hi, tile_cap),
+                            xw, span, st, t_lo, t_hi, tile_cap),
                         vw[a: a + (t_hi - t_lo)],
                     ))
                 else:
@@ -1033,47 +1046,65 @@ class TiledLander:
         """Re-center the speculative window for the NEXT batch from the
         batch's LAST frame.
 
-        The spatial margin is DRIFT-AWARE: the batch's scalars expose
-        the scene's actual per-frame motion (consecutive ``t_lo``/
-        ``t_hi`` deltas within the batch, plus the jump since the last
-        batch), so the window absorbs ``4x`` the observed drift over the
-        next K frames instead of the blind ``span//4 * K`` prior — which
-        over-fetched the bits/blocks window ~5x the span on slow-moving
-        scenes (measured: mask@3% clustered moved 166 KB/frame of bits
-        for a 24 KB span, benchmarks/loopback_tpu_tunnel r4 drift rows).
-        The prior is kept as a CAP (never fetch more than the old
-        heuristic) and as the cold-start fallback; a miss is never
-        wrong, just one extra round trip, and it feeds the next
-        estimate. Empty frames keep the previous window (a blank frame
-        says nothing about where the scene will resume)."""
+        The spatial window is VELOCITY-PREDICTED: the batch's scalars
+        expose the scene's signed per-frame motion (consecutive
+        ``t_lo``/``t_hi`` deltas within the batch, plus the jump since
+        the last batch), so the next batch's frame *i* slices its window
+        at ``start + i*vel`` (the slicers take ``start`` dynamically —
+        same jit) and the margin only absorbs the PREDICTION ERROR
+        ``4*K*err``, not the full ``4*K*drift`` union. The difference is
+        the whole fetch at depth: at K=16 the old union window moved
+        ~7x the span's bits per frame (mask@1% clustered: 73 KB fetched
+        for a 7.8 KB span — why mask@K=16 measured no faster than the
+        2x-bigger flat prefix, benchmarks/loopback_tpu_tunnel r4 rows);
+        a linear drift predicts with err ~0 and the window collapses to
+        span + 128 units. The blind ``span//4 * K`` prior is kept as a
+        CAP and as the cold-start fallback; a miss is never wrong, just
+        one extra round trip, and it feeds the next estimate. Empty
+        frames keep the previous window (a blank frame says nothing
+        about where the scene will resume)."""
         pos, t_lo, t_hi = scalars[-1]
         if t_hi == 0:
             return
         want = self._pick_kind(pos, t_lo, t_hi, tile_cap, has_bits)
         span = t_hi - t_lo
-        # observed per-frame motion: max consecutive delta in this batch
+        # observed per-frame motion: signed velocity samples (window
+        # endpoint deltas) within this batch, plus the cross-batch jump
         live = [s for s in scalars if s[2] > 0]
-        drift = d_pos = 0
+        vels: list = []
+        d_pos = 0
         for (p0, a0, b0), (p1, a1, b1) in zip(live, live[1:]):
-            drift = max(drift, abs(a1 - a0), abs(b1 - b0))
+            vels.append(0.5 * ((a1 - a0) + (b1 - b0)))
             d_pos = max(d_pos, abs(p1 - p0))
         if self._last_scalar is not None:
             lp, la, lb = self._last_scalar
-            drift = max(drift, (max(abs(t_lo - la), abs(t_hi - lb))
-                                + K - 1) // K)
+            vels.append(0.5 * ((t_lo - la) + (t_hi - lb)) / K)
             d_pos = max(d_pos, (abs(pos - lp) + K - 1) // K)
         self._last_scalar = (pos, t_lo, t_hi)
         blind = max(64, span // 4) * K
-        if len(live) < 2 and self._drift_pf is None:
+        if not vels and self._vel_pf is None:
             margin = blind           # cold start: no motion observed yet
+            vel = 0
         else:
-            if self._drift_pf is None:
-                self._drift_pf = float(drift)
+            v_obs = sum(vels) / len(vels) if vels else self._vel_pf
+            if self._vel_pf is None:
+                self._vel_pf = float(v_obs)
             else:                    # fast EMA: misses re-learn quickly
-                self._drift_pf = 0.5 * self._drift_pf + 0.5 * drift
-            margin = min(blind, max(64, int(4 * K * self._drift_pf)))
+                self._vel_pf = 0.5 * self._vel_pf + 0.5 * v_obs
+            vel = int(round(self._vel_pf))
+            # prediction error: worst endpoint deviation from the
+            # velocity model across this batch's consecutive pairs
+            err = 0.0
+            for (p0, a0, b0), (p1, a1, b1) in zip(live, live[1:]):
+                err = max(err, abs((a1 - a0) - self._vel_pf),
+                          abs((b1 - b0) - self._vel_pf))
+            if self._err_pf is None:
+                self._err_pf = err
+            else:
+                self._err_pf = 0.5 * self._err_pf + 0.5 * err
+            margin = min(blind, max(64, int(4 * K * self._err_pf)))
         L = self._range_len(span + 2 * margin, n_tiles)
-        start = max(0, min(t_lo - margin, n_tiles - L))
+        start = max(0, min(t_lo + vel - margin, n_tiles - L))
         if want in ("flat", "mask"):
             # P covers pos GROWTH over the next K frames, not spatial
             # drift: the merged prefix's first pos entries ARE the
@@ -1088,9 +1119,9 @@ class TiledLander:
             grow = min(max(pos // 4, 2048 * K),
                        max(1024 * K, int(6 * K * self._dpos_pf)))
             P = self._flat_len(pos + grow, self._fetch_xs.capacity)
-            self._spec = (want, start, L, P)
+            self._spec = (want, start, L, P, vel)
         else:
-            self._spec = ("tiles", start, L, 0)
+            self._spec = ("tiles", start, L, 0, vel)
 
     def _land_generic_many(self, items):
         """Fallback for mesh-sharded / host payload blocks and the

@@ -407,8 +407,11 @@ class TestDriftAwareSpec:
                                     n_tiles)
         # the first spec is blind (cold), later ones tighten below it
         assert specs[-1][2] < blind_L
-        # drift EMA learned ~1 unit/frame: margin floor (64) dominates
-        assert lander._drift_pf is not None and lander._drift_pf <= 4
+        # velocity EMA learned ~1 unit/frame (signed), and the linear
+        # motion predicts with near-zero error: margin floor dominates
+        assert lander._vel_pf is not None and abs(lander._vel_pf - 1) <= 1
+        assert lander._err_pf is not None and lander._err_pf <= 4
+        assert specs[-1][4] in (0, 1, 2)   # per-frame predicted step
         # tightening must not cost the hit rate (batch 1 is the probe)
         assert lander.spec_counts["hit"] >= 2 * K
         assert lander.spec_counts["miss"] <= K
