@@ -416,6 +416,48 @@ class TestDriftAwareSpec:
         assert lander.spec_counts["hit"] >= 2 * K
         assert lander.spec_counts["miss"] <= K
 
+    def test_velocity_prediction_converges_zero_miss(self, rng):
+        """Linear drift at depth 16: the velocity EMA learns the signed
+        per-frame motion exactly, per-frame predicted starts track the
+        band, the window collapses to span + margin-floor (NOT the
+        4*K*drift union — at K=16 that fetched ~7x the span per frame),
+        and — after the cold probe batch — every landing speculative-
+        hits. Byte-exact throughout (mask flavor: bits window + vals)."""
+        cfg = StreamConfig(height=384, width=512, overlay_scale=4,
+                           tiled_payload=True, fetch_mode="mask",
+                           emit_bitmask=True)
+        K = 16
+        ex = BatchedLandExecutor(cfg, depth=K)
+        n = cfg.frame_bytes
+        base = rng.integers(0, 255, n, endpoint=True, dtype=np.uint8)
+        ex.start(base)
+        prev = base.copy()
+        band, step = int(0.01 * n), 4096   # ~46 units span, 32 units/frame
+        pending = []
+        for t in range(8 * K):
+            f = _band_frame(base, (t * step) % (n - band), band,
+                            77 if t % 2 == 0 else 154)
+            out = ex.process(f)
+            pending.append(f)
+            if out is not None:
+                prev = _check(out, pending[:K], prev)
+                pending = pending[K:]
+        tail = ex.flush()
+        if tail:
+            prev = _check(tail, pending, prev)
+        np.testing.assert_array_equal(ex.resync(), prev)
+        lander = ex._lander
+        # velocity learned exactly (32 units/frame, signed forward)
+        assert abs(lander._vel_pf - step / 128) <= 1
+        # zero misses after the cold probe: prediction, not re-fetching
+        assert lander.spec_counts["miss"] == 0
+        assert lander.spec_counts["hit"] >= 7 * K
+        # window collapsed to span + margin floor, far below the union:
+        # blind margin = max(64, span//4)*K; converged L <= span + 2*256
+        span_units = band // 128 + 2
+        assert lander._spec[2] <= span_units + 512
+        assert lander._spec[4] == step // 128
+
     def test_cut_rewide_then_retighten(self, rng):
         """A scene cut spikes the observed drift (window re-widens, the
         cut frame itself is a miss that re-fetches exactly), then the
