@@ -233,6 +233,10 @@ def main():
                         "rep, shared pipeline compiles) — the tunnel's "
                         "contention jitter is +/-2x across minutes, so "
                         "single rows mislead; report the best rep")
+    p.add_argument("--rep-sleep", type=float, default=0.0,
+                   help="seconds to sleep between rep groups: contended "
+                        "tunnel windows last minutes, so spacing the reps "
+                        "samples distinct windows")
     args = p.parse_args()
 
     import jax
@@ -321,13 +325,17 @@ def main():
     if args.rows:
         wanted = set(args.rows.split(","))
         matrix = [m for m in matrix if m[0] in wanted]
+    group_size = len(matrix)
     if args.repeat > 1:
         # interleave reps (A0 B0 C0 A1 B1 C1 ...): contention drifts over
         # minutes, so adjacent reps of one row would share its bias
         matrix = [(f"{m[0]}_rep{r}", *m[1:])
                   for r in range(args.repeat) for m in matrix]
     print("\n".join(lines))
-    for label, capture, density, fetch, wirefmt, backend, pipelined in matrix:
+    for row_i, (label, capture, density, fetch, wirefmt, backend,
+                pipelined) in enumerate(matrix):
+        if args.rep_sleep and row_i and row_i % group_size == 0:
+            time.sleep(args.rep_sleep)
         depth = pipelined if isinstance(pipelined, int) \
             and not isinstance(pipelined, bool) else 0
         if backend == "host":
