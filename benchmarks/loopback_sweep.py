@@ -165,8 +165,12 @@ def run_row(cfg, source, executor, n_frames, warm=2, pipelined=False,
             "total": []}
     poss = []
     sent = 0
+    lander = getattr(executor, "_lander", None)
+    fetched0 = 0
     for k in range(total):
         timed = k >= warm
+        if k == warm and lander is not None:
+            fetched0 = lander.fetched_bytes
         t0 = time.perf_counter()
         frame = next(source)
         t1 = time.perf_counter()
@@ -208,13 +212,19 @@ def run_row(cfg, source, executor, n_frames, warm=2, pipelined=False,
     conn.close()
     srv.close()
 
+    # fused-landing fetch bytes per timed frame (deterministic per
+    # config — the contention-immune half of the land leg; '-' for
+    # rows whose landing bypasses the fused path)
+    kb_pf = None
+    if lander is not None and lander.fetched_bytes > fetched0:
+        kb_pf = (lander.fetched_bytes - fetched0) / n_frames / 1024.0
     agg = np.mean if batched else np.median
     med = {k: float(agg(v)) for k, v in legs.items()}
     fps = 1e3 / med["total"]
     ok = "frame" in result and np.array_equal(
         result["frame"], executor.resync()
     )
-    return med, fps, float(np.mean(poss)), ok
+    return med, fps, float(np.mean(poss)), ok, kb_pf
 
 
 def main():
@@ -320,7 +330,8 @@ def main():
         "payload fetch over the ~16 MB/s tunnel. All rows byte-exact "
         "(client reconstruction == device prev state).",
         "# row  capture_ms dispatch_ms land_ms send_ms total_ms fps "
-        "pos_mean exact",
+        "pos_mean exact [land_KBpf = fused-landing fetch KB/frame, "
+        "deterministic per config]",
     ]
     if args.rows:
         wanted = set(args.rows.split(","))
@@ -373,7 +384,7 @@ def main():
                 # 256-frame reads 1.6 — the difference is all compiles)
                 warm = 3 * depth
                 n = max(6 * depth, (n + depth - 1) // depth * depth)
-            med, fps, pos_mean, ok = run_row(
+            med, fps, pos_mean, ok, kb_pf = run_row(
                 cfg, src, executor, n, warm=warm,
                 pipelined=bool(pipelined) and not depth, batched=bool(depth)
             )
@@ -386,6 +397,7 @@ def main():
             f"{label:28s} {med['capture']:8.2f} {med['dispatch']:8.2f} "
             f"{med['land']:8.2f} {med['send']:8.2f} {med['total']:9.2f} "
             f"{fps:6.1f} {pos_mean:9.0f} {'OK' if ok else 'MISMATCH'}"
+            f"{'' if kb_pf is None else f'  land_KBpf={kb_pf:8.1f}'}"
         )
         print(line, flush=True)
         lines.append(line)

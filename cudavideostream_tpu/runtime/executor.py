@@ -224,6 +224,10 @@ class TiledLander:
         self._last_scalar = None
         self.fetch_counts = {"tiles": 0, "flat": 0, "mask": 0}
         self.spec_counts = {"hit": 0, "miss": 0}
+        # cumulative host<->device payload bytes actually fetched —
+        # the contention-immune half of the landing cost (time jitters
+        # with the shared link; bytes are deterministic per config)
+        self.fetched_bytes = 0
 
     def use_flat(self, pos: int, t_hi: int, tile_cap: int,
                  t_lo: int = 0) -> bool:
@@ -778,6 +782,7 @@ class TiledLander:
         host = jax.device_get(dev)
         dt = time.perf_counter() - t0
         nbytes = sum(a.nbytes for tup in host for a in tup)
+        self.fetched_bytes += nbytes
         if nbytes:
             self.link.record_fetch(nbytes, dt)
         it = iter(host)
