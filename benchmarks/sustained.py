@@ -26,19 +26,43 @@ def main():
     p.add_argument("--height", type=int, default=1080)
     p.add_argument("--width", type=int, default=1920)
     p.add_argument("--frames", type=int, default=200)
-    p.add_argument("--fetch", default="auto", choices=["auto", "tiles", "flat"])
+    p.add_argument("--fetch", default="auto",
+                   choices=["auto", "tiles", "flat", "mask"])
+    p.add_argument("--wire", default="v1", choices=["v1", "v2", "v3", "v4"])
+    p.add_argument("--land-batch", type=int, default=0,
+                   help="depth-K batched landing (as server --land-batch)")
+    p.add_argument("--capture", default="host", choices=["host", "device"],
+                   help="device: clustered scene generated in HBM (skips "
+                        "the 6.2 MB/frame host->device upload, which "
+                        "dominates the tunnel); host: the product "
+                        "SyntheticSource")
+    p.add_argument("--density", type=float, default=0.01,
+                   help="clustered changed fraction for --capture device")
     p.add_argument("--out", default=None)
     args = p.parse_args()
 
     from cudavideostream_tpu.config import StreamConfig
     from cudavideostream_tpu.runtime.client import DeltaStreamClient
+    from cudavideostream_tpu.runtime.executor import BatchedLandExecutor
     from cudavideostream_tpu.runtime.server import DeltaStreamServer
     from cudavideostream_tpu.runtime.sources import SyntheticSource
 
     cfg = StreamConfig(height=args.height, width=args.width, port=0,
-                       tiled_payload=True, fetch_mode=args.fetch)
+                       tiled_payload=True, fetch_mode=args.fetch,
+                       wire_format=args.wire,
+                       emit_bitmask=(args.fetch == "mask"),
+                       mask_payload=(args.fetch == "mask"
+                                     and args.wire == "v4"))
+    if args.capture == "device":
+        from benchmarks.loopback_sweep import DeviceClusteredSource
+
+        source = DeviceClusteredSource(cfg, args.density)
+    else:
+        source = SyntheticSource(cfg, seed=0)
+    executor = (BatchedLandExecutor(cfg, depth=args.land_batch)
+                if args.land_batch else None)
     server = DeltaStreamServer(
-        cfg, SyntheticSource(cfg, seed=0), verbose=False, overlay_status=True
+        cfg, source, executor=executor, verbose=False, overlay_status=True
     )
     server.listen()
     t = threading.Thread(
@@ -69,24 +93,31 @@ def main():
         f"last_{k}_ms_avg  \t{ts[-k:].mean():.1f}",
         f"median_ms       \t{np.median(ts):.1f}",
         f"p95_ms          \t{np.percentile(ts, 95):.1f}",
+        f"fps_overall     \t{1e3 * len(ts) / ts.sum():.1f}",
         f"landings_tiles  \t{lander.fetch_counts['tiles']}",
         f"landings_flat   \t{lander.fetch_counts['flat']}",
+        f"landings_mask   \t{lander.fetch_counts['mask']}",
+        f"spec_hits       \t{lander.spec_counts['hit']}",
+        f"spec_misses     \t{lander.spec_counts['miss']}",
+        f"fetched_KBpf    \t{lander.fetched_bytes / max(1, len(ts)) / 1024:.1f}",
         f"link_bps_est    \t{0 if bps is None else int(bps)}",
         f"merge_s_est     \t{lander.link.merge_s:.4f}",
     ]
     for ln in lines:
         print(ln)
     if args.out:
-        with open(args.out, "w") as f:
+        with open(args.out, "a") as f:
             f.write(
                 f"# Sustained {args.height}x{args.width} tiled serving, "
-                f"fetch={args.fetch}, real TCP loopback, byte-exact every "
-                f"frame (client-side scatter-add). Transport-bound over "
-                f"the ~16 MB/s tunnel; the signal is stability (first vs "
-                f"last decile) and the lander's convergence.\n"
+                f"fetch={args.fetch} wire={args.wire} "
+                f"land_batch={args.land_batch} capture={args.capture} "
+                f"density={args.density}, real TCP loopback, byte-exact "
+                f"every frame (client-side scatter-add). Transport-bound "
+                f"over the ~16 MB/s tunnel; the signal is stability "
+                f"(first vs last decile) and the lander's convergence.\n"
             )
             f.write("\n".join(lines) + "\n")
-        print(f"wrote {args.out}", file=sys.stderr)
+        print(f"appended to {args.out}", file=sys.stderr)
 
 
 if __name__ == "__main__":
