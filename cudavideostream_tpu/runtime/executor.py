@@ -221,7 +221,8 @@ class TiledLander:
         self._dpos_pf = None
         self._vel_pf = None
         self._err_pf = None
-        self._last_scalar = None
+        self._last_scalar = None  # (frame_no, pos, t_lo, t_hi)
+        self._frame_no = 0        # frames landed (cross-batch velocity)
         self.fetch_counts = {"tiles": 0, "flat": 0, "mask": 0}
         self.spec_counts = {"hit": 0, "miss": 0}
         # cumulative host<->device payload bytes actually fetched —
@@ -829,14 +830,16 @@ class TiledLander:
             vals_h[a: a + (t_hi - t_lo)],
         )
 
-    def land_fused(self, pos_d, counts_d, xs_t_d, vals_t_d, bits_d=None):
+    def land_fused(self, pos_d, counts_d, xs_t_d, vals_t_d, bits_d=None,
+                   volatile: bool = False):
         """Solo landing with SPECULATIVE single-round-trip fetch — the
         depth-1 case of :meth:`land_fused_many`."""
         return self.land_fused_many(
-            [(pos_d, counts_d, xs_t_d, vals_t_d, bits_d)]
+            [(pos_d, counts_d, xs_t_d, vals_t_d, bits_d)],
+            volatile=[volatile],
         )[0]
 
-    def land_fused_many(self, items):
+    def land_fused_many(self, items, volatile=None):
         """Land a DEPTH-K batch of frames' tiled payloads.
 
         The generic landing costs two link round trips PER FRAME
@@ -1032,7 +1035,8 @@ class TiledLander:
                         vw[a: a + (t_hi - t_lo)],
                     ))
 
-        self._update_spec(scalars, K, n_tiles, tile_cap, has_bits)
+        self._update_spec(scalars, K, n_tiles, tile_cap, has_bits,
+                          volatile=volatile)
         return results
 
     def _empty_result(self, flat: bool, tile_cap: int):
@@ -1047,9 +1051,21 @@ class TiledLander:
         )
 
     def _update_spec(self, scalars, K: int, n_tiles: int,
-                     tile_cap: int, has_bits: bool = False) -> None:
+                     tile_cap: int, has_bits: bool = False,
+                     volatile=None) -> None:
         """Re-center the speculative window for the NEXT batch from the
-        batch's LAST frame.
+        batch's last CLEAN frame.
+
+        ``volatile`` marks frames whose span the host KNOWS is polluted
+        by a one-off far-away write — the status overlay re-ships its
+        glyph bytes whenever the text changes (1 Hz), and on those
+        frames the device span covers overlay+scene as one wide window.
+        Those frames are excluded from velocity/error learning and from
+        re-centering (they land through the miss path, which is exact);
+        without the exclusion every ~30th frame injected a huge
+        fake-velocity sample and the error EMA kept the window wide
+        (measured: 218 KB/frame fetched vs ~95 expected,
+        benchmarks/sustained_tpu_tunnel r4 block).
 
         The spatial window is VELOCITY-PREDICTED: the batch's scalars
         expose the scene's signed per-frame motion (consecutive
@@ -1068,24 +1084,42 @@ class TiledLander:
         one extra round trip, and it feeds the next estimate. Empty
         frames keep the previous window (a blank frame says nothing
         about where the scene will resume)."""
-        pos, t_lo, t_hi = scalars[-1]
-        if t_hi == 0:
+        base_no = self._frame_no
+        self._frame_no += K
+        flags = volatile if volatile is not None else [False] * K
+        # frames eligible for LEARNING: non-empty and not volatile
+        idxs = [i for i in range(K)
+                if scalars[i] is not None and scalars[i][2] > 0
+                and not flags[i]]
+        # anchor for window centering: the last clean frame; fall back
+        # to the last live frame (a batch that is all overlay updates
+        # still needs a window somewhere) without touching the EMAs
+        anchor = idxs[-1] if idxs else next(
+            (i for i in range(K - 1, -1, -1)
+             if scalars[i] is not None and scalars[i][2] > 0), None)
+        if anchor is None:
             return
+        pos, t_lo, t_hi = scalars[anchor]
         want = self._pick_kind(pos, t_lo, t_hi, tile_cap, has_bits)
         span = t_hi - t_lo
-        # observed per-frame motion: signed velocity samples (window
-        # endpoint deltas) within this batch, plus the cross-batch jump
-        live = [s for s in scalars if s[2] > 0]
+        # observed per-frame motion: signed velocity samples from
+        # originally-ADJACENT clean pairs, plus the cross-batch jump
+        # (frame-number-normalized — batches may land anchors anywhere)
         vels: list = []
         d_pos = 0
-        for (p0, a0, b0), (p1, a1, b1) in zip(live, live[1:]):
+        pairs = [(scalars[a], scalars[b])
+                 for a, b in zip(idxs, idxs[1:]) if b == a + 1]
+        for (p0, a0, b0), (p1, a1, b1) in pairs:
             vels.append(0.5 * ((a1 - a0) + (b1 - b0)))
             d_pos = max(d_pos, abs(p1 - p0))
-        if self._last_scalar is not None:
-            lp, la, lb = self._last_scalar
-            vels.append(0.5 * ((t_lo - la) + (t_hi - lb)) / K)
-            d_pos = max(d_pos, (abs(pos - lp) + K - 1) // K)
-        self._last_scalar = (pos, t_lo, t_hi)
+        if self._last_scalar is not None and idxs:
+            ln, lp, la, lb = self._last_scalar
+            steps = base_no + anchor - ln
+            if steps > 0:
+                vels.append(0.5 * ((t_lo - la) + (t_hi - lb)) / steps)
+                d_pos = max(d_pos, (abs(pos - lp) + steps - 1) // steps)
+        if idxs:
+            self._last_scalar = (base_no + anchor, pos, t_lo, t_hi)
         blind = max(64, span // 4) * K
         if not vels and self._vel_pf is None:
             margin = blind           # cold start: no motion observed yet
@@ -1098,9 +1132,9 @@ class TiledLander:
                 self._vel_pf = 0.5 * self._vel_pf + 0.5 * v_obs
             vel = int(round(self._vel_pf))
             # prediction error: worst endpoint deviation from the
-            # velocity model across this batch's consecutive pairs
+            # velocity model across this batch's adjacent clean pairs
             err = 0.0
-            for (p0, a0, b0), (p1, a1, b1) in zip(live, live[1:]):
+            for (p0, a0, b0), (p1, a1, b1) in pairs:
                 err = max(err, abs((a1 - a0) - self._vel_pf),
                           abs((b1 - b0) - self._vel_pf))
             if self._err_pf is None:
@@ -1109,7 +1143,10 @@ class TiledLander:
                 self._err_pf = 0.5 * self._err_pf + 0.5 * err
             margin = min(blind, max(64, int(4 * K * self._err_pf)))
         L = self._range_len(span + 2 * margin, n_tiles)
-        start = max(0, min(t_lo + vel - margin, n_tiles - L))
+        # frame 0 of the next batch is (K - anchor) frames past the
+        # anchor: project the window center forward by that much
+        start = max(0, min(t_lo + (K - anchor) * vel - margin,
+                           n_tiles - L))
         if want in ("flat", "mask"):
             # P covers pos GROWTH over the next K frames, not spatial
             # drift: the merged prefix's first pos entries ARE the
@@ -1199,7 +1236,7 @@ class StreamExecutor:
         if self._state is None:
             raise RuntimeError("call start(base_frame) first")
         t0, rest = self._dispatch(frame, text)
-        return self._land(t0, rest)
+        return self._land(t0, rest, self._text_changed)
 
     def _dispatch(self, frame, text: str):
         """Run the pipeline step and advance device state.
@@ -1210,6 +1247,14 @@ class StreamExecutor:
         frame consistent with the pipeline's own shadows.
         """
         t0 = time.perf_counter()
+        # the overlay re-blits every frame but SHIPS bytes only when the
+        # text changes — and the host knows exactly when that is. The
+        # flag reaches the lander as the frame's "volatile" bit so the
+        # speculative window neither learns velocity from the overlay's
+        # span jump nor re-centers on it (the overlay frame itself just
+        # misses and re-fetches exactly — ~1/s, shared batched get).
+        self._text_changed = text != getattr(self, "_last_text", None)
+        self._last_text = text
         try:
             out = self.pipe.step(self._state, frame, text=text)
         except PayloadOverflowError as e:
@@ -1239,7 +1284,8 @@ class StreamExecutor:
         tests and introspection)."""
         return self._lander.use_flat(pos, t_hi, tile_cap)
 
-    def _land(self, t0: float, rest) -> Tuple[int, np.ndarray, np.ndarray, Optional[np.ndarray]]:
+    def _land(self, t0: float, rest, volatile: bool = False
+              ) -> Tuple[int, np.ndarray, np.ndarray, Optional[np.ndarray]]:
         if self.cfg.tiled_payload:
             # (pos, counts, xs_t, vals_t[, bits], aux) — bits rides when
             # the pipeline emits the packed change-bitmask
@@ -1250,7 +1296,8 @@ class StreamExecutor:
             # payload window in as few link round trips as possible —
             # see TiledLander.land_fused
             pos, res = self._lander.land_fused(
-                pos_d, counts_d, xs_t_d, vals_t_d, bits_d
+                pos_d, counts_d, xs_t_d, vals_t_d, bits_d,
+                volatile=volatile,
             )
             aux = np.asarray(aux_d) if aux_d is not None else None
             self.metrics.record(time.perf_counter() - t0, pos)
@@ -1338,7 +1385,7 @@ class PipelinedExecutor(StreamExecutor):
         if self._state is None:
             raise RuntimeError("call start(base_frame) first")
         t0, rest = self._dispatch(frame, text)
-        prev, self._pending = self._pending, (t0, rest)
+        prev, self._pending = self._pending, (t0, rest, self._text_changed)
         if prev is None:
             return None
         return self._land(*prev)
@@ -1389,19 +1436,22 @@ class BatchedLandExecutor(StreamExecutor):
         if self._state is None:
             raise RuntimeError("call start(base_frame) first")
         t0, rest = self._dispatch(frame, text)
-        self._queue.append((t0, rest))
+        self._queue.append((t0, rest, self._text_changed))
         if len(self._queue) < self.depth:
             return None
         return self._land_queue()
 
     def _land_queue(self):
         q, self._queue = self._queue, []
-        landed = self._lander.land_fused_many([
-            (r[0], r[1], r[2], r[3], r[4] if len(r) == 6 else None)
-            for _, r in q
-        ])
+        landed = self._lander.land_fused_many(
+            [
+                (r[0], r[1], r[2], r[3], r[4] if len(r) == 6 else None)
+                for _, r, _ch in q
+            ],
+            volatile=[ch for _, _, ch in q],
+        )
         out = []
-        for (t0, rest), (pos, res) in zip(q, landed):
+        for (t0, rest, _ch), (pos, res) in zip(q, landed):
             aux_d = rest[-1]
             aux = np.asarray(aux_d) if aux_d is not None else None
             self.metrics.record(time.perf_counter() - t0, pos)

@@ -458,6 +458,53 @@ class TestDriftAwareSpec:
         assert lander._spec[2] <= span_units + 512
         assert lander._spec[4] == step // 128
 
+    def test_volatile_overlay_frames_do_not_widen_window(self, rng):
+        """The 1 Hz status overlay ships glyph bytes when the text
+        changes; those frames' device spans cover overlay+scene as one
+        wide window. The host knows which frames those are (it composed
+        the text) and flags them volatile: they land via the exact miss
+        path while the speculative window keeps tracking the SCENE only
+        — measured on hardware, the unflagged learner held a 2.3x-wider
+        window (sustained_tpu_tunnel r4 block). Byte-exact throughout."""
+        cfg = StreamConfig(height=384, width=512, overlay_scale=4,
+                           tiled_payload=True, fetch_mode="mask",
+                           emit_bitmask=True)
+        K = 8
+        ex = BatchedLandExecutor(cfg, depth=K)
+        n = cfg.frame_bytes
+        base = rng.integers(0, 255, n, endpoint=True, dtype=np.uint8)
+        ex.start(base)
+        band, step = int(0.01 * n), 4096
+        # scene band drifts in the BOTTOM half; overlay glyphs land in
+        # the top rows — a change in both makes the naive span huge
+        lo = n // 2
+        recon = base.copy()                  # client-side reconstruction
+        for t in range(8 * K):
+            text = f"FPS {t // 20}"          # changes every 20 frames
+            f = _band_frame(base, lo + (t * step) % (n // 2 - band),
+                            band, 77 if t % 2 == 0 else 154)
+            out = ex.process(f, text=text)
+            for (pos, xs, vals, _aux) in (out or []):
+                if hasattr(xs, "to_flat"):
+                    xs, vals = xs.to_flat()
+                recon[np.asarray(xs)] += np.asarray(vals)  # uint8 wrap
+        for (pos, xs, vals, _aux) in (ex.flush() or []):
+            if hasattr(xs, "to_flat"):
+                xs, vals = xs.to_flat()
+            recon[np.asarray(xs)] += np.asarray(vals)
+        np.testing.assert_array_equal(recon, ex.resync())
+        lander = ex._lander
+        # the window tracked the scene band, not the overlay union:
+        # converged L stays near the band span (+ margin floors), far
+        # below the overlay->band distance (~n/2/128 units)
+        span_units = band // 128 + 2
+        assert lander._spec[2] <= span_units + 1024
+        assert lander._spec[2] < (n // 2) // 128
+        # misses bounded by the text-change frames (+ the cold probe)
+        n_changes = (8 * K - 1) // 20 + 1
+        assert lander.spec_counts["miss"] <= n_changes + K
+        assert lander.spec_counts["hit"] >= 5 * K
+
     def test_cut_rewide_then_retighten(self, rng):
         """A scene cut spikes the observed drift (window re-widens, the
         cut frame itself is a miss that re-fetches exactly), then the
