@@ -287,27 +287,29 @@ class BroadcastServer:
                 self.executor.metrics.record(time.perf_counter() - t0, 0)
                 self._record_wire_bytes(0)
                 continue
-            if result is None:
-                # pipelined lag: the frame was processed (counts toward
-                # max_frames like the solo server) but its payload ships
-                # next iteration / at the flush
-                n += 1
-                continue
-            pos, xs, vals, _ = result
-            # track reconstruction for future joiners (in-place scatter);
-            # v3/v4's encoder does this itself inside _pack
-            if self._v3enc is None:
-                if isinstance(xs, wire.MaskPayload):
-                    xs, vals = xs.to_flat()  # mask_payload under v1/v2
-                if isinstance(xs, wire.TiledPayload):
-                    fx, fv = xs.to_flat()
-                    if fx.size:
-                        native.client_apply_np(state, fx, fv)
-                elif np.asarray(xs).size:
-                    native.client_apply_np(state, xs, vals)
-            self._fanout(self._pack(pos, xs, vals))
             n += 1
-            self._record_wire_bytes(pos)
+            if result is None:
+                # pipelined/batched lag: the frame was processed (counts
+                # toward max_frames like the solo server) but its payload
+                # ships next iteration / at the batch boundary / flush
+                continue
+            # a batched executor lands a LIST of frames at once
+            for pos, xs, vals, _ in (
+                result if isinstance(result, list) else [result]
+            ):
+                # track reconstruction for future joiners (in-place
+                # scatter); v3/v4's encoder does this itself inside _pack
+                if self._v3enc is None:
+                    if isinstance(xs, wire.MaskPayload):
+                        xs, vals = xs.to_flat()  # mask_payload under v1/v2
+                    if isinstance(xs, wire.TiledPayload):
+                        fx, fv = xs.to_flat()
+                        if fx.size:
+                            native.client_apply_np(state, fx, fv)
+                    elif np.asarray(xs).size:
+                        native.client_apply_np(state, xs, vals)
+                self._fanout(self._pack(pos, xs, vals))
+                self._record_wire_bytes(pos)
             line = self.executor.metrics.status_line(time.perf_counter() - t0)
             if line:
                 if self.overlay_status:
@@ -326,8 +328,9 @@ class BroadcastServer:
                 raise
             tail = None
             self._fanout(self._v3enc.resync(self.executor.resync()))
-        if tail is not None:
-            pos, xs, vals, _ = tail
+        for pos, xs, vals, _ in (
+            [] if tail is None else tail if isinstance(tail, list) else [tail]
+        ):
             if self._v3enc is None:
                 if isinstance(xs, wire.MaskPayload):
                     xs, vals = xs.to_flat()  # mask_payload under v1/v2
@@ -381,8 +384,13 @@ def main(argv=None) -> int:
     p.add_argument("--tiled", action="store_true",
                    help="per-tile payload blocks + scatter-gather send "
                         "(skips the device merge epilogue)")
-    p.add_argument("--fetch", default="auto", choices=["auto", "tiles", "flat"],
+    p.add_argument("--fetch", default="auto",
+                   choices=["auto", "tiles", "flat", "mask"],
                    help="tiled-payload landing strategy (see server --help)")
+    p.add_argument("--land-batch", type=int, default=0, metavar="K",
+                   help="depth-K batched landing (see server --help): K "
+                        "frames share each host<->device round trip; all "
+                        "clients lag up to K frames")
     p.add_argument("--sndbuf", type=int, default=None,
                    help="per-client SO_SNDBUF bytes (bounds kernel-side "
                         "buffering; a stalled client hits the backlog "
@@ -393,16 +401,26 @@ def main(argv=None) -> int:
                         "resync frame to every client under --wire v3")
     args = p.parse_args(argv)
     if args.fetch != "auto" and not args.tiled:
-        p.error("--fetch tiles/flat applies to --tiled payloads")
+        p.error("--fetch tiles/flat/mask applies to --tiled payloads")
+    if args.land_batch and not args.tiled:
+        p.error("--land-batch requires --tiled payloads")
     if args.capacity is not None and args.tiled:
         p.error("--capacity applies to flat payloads only (tiled is "
                 "always worst-case)")
     cfg = StreamConfig(height=args.height, width=args.width,
                        host=args.host, port=args.port, wire_format=args.wire,
                        tiled_payload=args.tiled, fetch_mode=args.fetch,
+                       emit_bitmask=(args.fetch == "mask"),
+                       mask_payload=(args.wire == "v4"
+                                     and args.fetch == "mask"),
                        payload_capacity=args.capacity)
+    executor = None
+    if args.land_batch:
+        from cudavideostream_tpu.runtime.executor import BatchedLandExecutor
+
+        executor = BatchedLandExecutor(cfg, depth=args.land_batch)
     server = BroadcastServer(cfg, make_source(args.source, cfg, path=args.path),
-                             sndbuf=args.sndbuf)
+                             executor=executor, sndbuf=args.sndbuf)
     n = server.serve(max_frames=args.frames)
     print(f"served {n} frames", file=sys.stderr)
     return 0

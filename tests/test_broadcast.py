@@ -448,3 +448,47 @@ def test_pipelined_tail_flushed(small_config):
     for _ in range(n_frames):
         prev, *_ = ref.step_oracle(prev, next(replay), cfg)
     np.testing.assert_array_equal(last, prev)
+
+
+def test_land_batch_mask_v4_broadcast(small_config):
+    """Broadcast over a depth-K batched landing with the mask fetch and
+    the v4 zero-index wire: payloads fan out in K-frame bursts, the tail
+    flushes, and every client stays byte-exact vs the oracle replay."""
+    from cudavideostream_tpu.runtime.executor import BatchedLandExecutor
+
+    cfg = dataclasses.replace(
+        small_config, port=0, tiled_payload=True, fetch_mode="mask",
+        emit_bitmask=True, mask_payload=True, wire_format="v4",
+    )
+    K, n_frames = 4, 10          # non-multiple of K: exercises the flush
+    server = BroadcastServer(
+        cfg, SyntheticSource(cfg, seed=7), verbose=False,
+        overlay_status=False, executor=BatchedLandExecutor(cfg, depth=K),
+    )
+    server.listen()
+    t = threading.Thread(
+        target=server.serve, kwargs={"max_frames": n_frames}, daemon=True
+    )
+    t.start()
+    cli = DeltaStreamClient("127.0.0.1", server.port, cfg.height, cfg.width,
+                            wire_format="auto")
+    cli.connect()
+
+    replay = SyntheticSource(cfg, seed=7)
+    prev = next(replay).copy()
+    np.testing.assert_array_equal(cli.frame, prev)
+    count, last = 0, None
+    try:
+        while True:
+            _, recon = cli.read_frame()
+            last = recon.copy()
+            count += 1
+    except (ConnectionError, OSError):
+        pass
+    finally:
+        cli.close()
+    t.join(timeout=60)
+    assert count == n_frames
+    for _ in range(n_frames):
+        prev, *_ = ref.step_oracle(prev, next(replay), cfg)
+    np.testing.assert_array_equal(last, prev)
