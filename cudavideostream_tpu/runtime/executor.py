@@ -297,28 +297,32 @@ class TiledLander:
 
     # ---- range-fetch machinery ------------------------------------------
     def _range_len(self, span: int, n_tiles: int) -> int:
-        """Slice length for a ``span``-unit range: a ~1.5x geometric
-        ladder quantized to 256 units. Finer than the TieredFetcher's
-        power-of-two (over-fetch bounded ~1.5x, not 2x); each rung costs
-        one small dynamic-slice compile, lazily, and the ladder has ~14
-        rungs at 1080p sub_rows=1 (48600 units)."""
-        L = self.RANGE_MIN
-        while L < span:
-            L = max(L + 256, (L * 3 // 2 + 255) // 256 * 256)
+        """Slice length for a ``span``-unit range: ``span`` rounded up to
+        a multiple of ``max(256, 2^(bits(span)-5))`` — a 5-bit-mantissa
+        float. Over-fetch is bounded ~1/16 (the old 1.5x-geometric ladder
+        overshot 30%+ right at the committed 4K serving spans), at most
+        16 live rungs per octave, each rung one small lazily-compiled
+        dynamic-slice jit."""
+        span = max(int(span), 1)
+        step = max(256, 1 << max(span.bit_length() - 5, 0))
+        L = max(self.RANGE_MIN, -(-span // step) * step)
         return min(L, n_tiles)
 
     def _flat_len(self, want: int, cap: int) -> int:
-        """Slice length for a ``want``-entry merged prefix: a ~1.25x
-        geometric ladder quantized to FLAT_MIN entries. Finer than the
-        TieredFetcher's power-of-two because the flat prefix IS the
-        payload bytes — 2x over-fetch would double the link time the
-        flat landing exists to minimize. Small frames scale the quantum
-        down (cap/8, >=256): an 8192-entry floor would exceed a tiny
-        frame's whole capacity and lock ``auto`` out of the flat path."""
+        """Slice length for a ``want``-entry merged prefix: ``want``
+        rounded up to a multiple of ``max(q/8, 2^(bits(want)-5))`` (a
+        5-bit-mantissa float, over-fetch <= ~1/16). Finer than the
+        TieredFetcher's power-of-two — and than the old 1.25x-geometric
+        ladder, whose 25% worst-case overshoot was 23 KB/frame of pure
+        slack at the committed 102-fps record config (want=74439 rounded
+        to 98304; the flat prefix IS the payload bytes, so every slack
+        entry is link time). Small frames scale the floor quantum down
+        (cap/8, >=256): an 8192-entry floor would exceed a tiny frame's
+        whole capacity and lock ``auto`` out of the flat path."""
         q = min(self.FLAT_MIN, max(256, cap // 8))
-        L = q
-        while L < want:
-            L = max(L + q, (L * 5 // 4 + q - 1) // q * q)
+        want = max(int(want), 1)
+        step = max(q // 8, 1 << max(want.bit_length() - 5, 0))
+        L = max(q, -(-want // step) * step)
         return min(L, cap)
 
     @staticmethod
@@ -1151,15 +1155,20 @@ class TiledLander:
             # P covers pos GROWTH over the next K frames, not spatial
             # drift: the merged prefix's first pos entries ARE the
             # payload wherever the scene sits. Headroom = 6x the observed
-            # per-frame pos delta (floored at 1024/frame against scene
-            # cuts; capped at the blind 25% prior) — a too-tight P costs
-            # a 30 ms miss round trip, so the bet stays conservative.
+            # per-frame pos delta, floored at 1024/frame while the delta
+            # EMA is cold and 256/frame once it has samples (the 1024
+            # floor alone was 8 KB/frame of slack at the 102-fps record
+            # config, where the scene's pos is near-constant); capped at
+            # the blind 25% prior. A too-tight P costs a 30 ms miss
+            # round trip — but only for the one batch that jumps, and
+            # the miss feeds the next estimate.
+            floor = 1024 * K if self._dpos_pf is None else 256 * K
             if self._dpos_pf is None:
                 self._dpos_pf = float(d_pos)
             else:
                 self._dpos_pf = 0.5 * self._dpos_pf + 0.5 * d_pos
             grow = min(max(pos // 4, 2048 * K),
-                       max(1024 * K, int(6 * K * self._dpos_pf)))
+                       max(floor, int(6 * K * self._dpos_pf)))
             P = self._flat_len(pos + grow, self._fetch_xs.capacity)
             self._spec = (want, start, L, P, vel)
         else:

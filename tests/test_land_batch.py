@@ -198,13 +198,20 @@ class TestNarrowFlat:
         for want in range(1, 400000, 7919):
             L = lander._flat_len(want, cap)
             assert L >= min(want, cap)
-            # over-fetch bounded ~1.25x (+ quantum)
-            assert L <= max(lander.FLAT_MIN,
-                            (want * 5 // 4) + 2 * lander.FLAT_MIN)
-            assert L % lander.FLAT_MIN == 0 or L == cap
+            # 5-bit-mantissa rounding: over-fetch <= one step (~1/16,
+            # floored at q/8) — the flat prefix IS payload bytes, so
+            # the old 1.25x-geometric bound was 23 KB/frame of slack
+            # at the 102-fps record config
+            step = max(lander.FLAT_MIN // 8,
+                       1 << max(want.bit_length() - 5, 0))
+            assert L <= max(lander.FLAT_MIN, want + step)
+            assert L % (lander.FLAT_MIN // 8) == 0 or L == cap
             assert L >= prev or L == cap
             prev = max(prev, L) if L < cap else prev
         assert lander._flat_len(10 ** 9, cap) == cap
+        # the record-config regression: want=74439 must not round past
+        # 78 KB (the geometric ladder's 98304 cost 23 KB/frame of slack)
+        assert lander._flat_len(74439, cap) <= 77824
 
     def test_land_many_flat_narrow_byte_exact(self, rng):
         """The land_many flat path (multiserve's) now fetches the narrow
@@ -504,6 +511,45 @@ class TestDriftAwareSpec:
         n_changes = (8 * K - 1) // 20 + 1
         assert lander.spec_counts["miss"] <= n_changes + K
         assert lander.spec_counts["hit"] >= 5 * K
+
+    def test_converged_fetch_slack_bounded(self, rng):
+        """Fetch-byte discipline: on a stable drifting band the landed
+        vals prefix P converges to within ~1/8 of pos (the 5-bit-
+        mantissa ladder bounds rounding at ~1/16 and the learned growth
+        floor drops 1024/frame -> 256/frame once the pos-delta EMA has
+        samples). The geometric ladder + cold floor this replaces held
+        P at 1.48x pos — 31 KB/frame of slack at the 102-fps record
+        config (benchmarks/loopback_tpu_tunnel r4 record block:
+        land_KBpf=108.0 of which 64.7 payload)."""
+        cfg = StreamConfig(height=384, width=512, overlay_scale=4,
+                           tiled_payload=True, fetch_mode="mask",
+                           emit_bitmask=True)
+        K = 8
+        ex = BatchedLandExecutor(cfg, depth=K)
+        n = cfg.frame_bytes
+        base = rng.integers(0, 255, n, endpoint=True, dtype=np.uint8)
+        ex.start(base)
+        prev = base.copy()
+        band, step = int(0.10 * n), 4096    # pos ~= 59k entries
+        pending = []
+        for t in range(6 * K):
+            f = _band_frame(base, (t * step) % (n - band), band,
+                            77 if t % 2 == 0 else 154)
+            out = ex.process(f)
+            pending.append(f)
+            if out is not None:
+                prev = _check(out, pending[:K], prev)
+                pending = pending[K:]
+        tail = ex.flush()
+        if tail:
+            prev = _check(tail, pending, prev)
+        np.testing.assert_array_equal(ex.resync(), prev)
+        lander = ex._lander
+        pos = band + step                   # steady-state changed bytes
+        assert lander._spec[0] == "mask"
+        assert lander._spec[3] - pos <= pos // 8
+        # and the discipline costs no extra round trips
+        assert lander.spec_counts["miss"] == 0
 
     def test_cut_rewide_then_retighten(self, rng):
         """A scene cut spikes the observed drift (window re-widens, the

@@ -1602,9 +1602,10 @@ class TestLanderRangeFetch:
         for span in range(1, 20000, 37):
             L = lander._range_len(span, n)
             assert L >= min(span, n)
-            assert L <= max(
-                TiledLander.RANGE_MIN, ((span * 3 // 2 + 255) // 256) * 256
-            )
+            # 5-bit-mantissa rounding: over-fetch <= one step
+            step = max(256, 1 << max(span.bit_length() - 5, 0))
+            assert L <= max(TiledLander.RANGE_MIN, span + step)
+            assert L % 256 == 0 or L == n
             assert L >= prev_len or L == n
             prev_len = max(prev_len, L) if L < n else prev_len
         # clamps to the tile count
