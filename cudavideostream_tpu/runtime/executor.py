@@ -140,6 +140,178 @@ class TieredFetcher:
         return self._get(arr[: self.tier_checked(pos)])[:pos]
 
 
+class OverlayHint:
+    """Per-frame landing hint for a text-change ("volatile") frame:
+    carries the new overlay text plus an upper bound on the overlay's
+    payload entries (changed glyph cells x cell bytes). Truthy, so the
+    legacy ``volatile=True/False`` call sites keep working."""
+
+    __slots__ = ("text", "budget")
+
+    def __init__(self, text: str, budget: int):
+        self.text = text
+        self.budget = budget
+
+    def __bool__(self) -> bool:
+        return True
+
+
+class OverlayShadow:
+    """Host-authored overlay payload entries for text-change frames.
+
+    The status overlay re-ships its glyph bytes whenever the text
+    changes (~1 Hz); the device span on those frames covers
+    overlay + scene as one wide window, which used to force the
+    exact-miss landing: a full-union bits fetch plus one extra ~30 ms
+    link round trip per text change (``benchmarks/sustained_tpu_tunnel``
+    r4 block). But the server already HOLDS every input needed to author
+    the overlay's payload entries itself:
+
+    * the blit is OPAQUE over the written columns — ``overlay_blit``
+      copies full glyph cells, background included, exactly like the
+      reference (``kernels.cu:351-375``) — so the current strip bytes
+      there are a pure function of (atlas, text), both host-known;
+    * under negative feedback, the device's previous-frame bytes equal
+      ``base_frame + every payload entry ever shipped`` (the prev
+      updates ARE the payload entries, ``reference_cpu.diff_encode``);
+      this class maintains exactly that shadow over the strip rows,
+      wrap-adding each landed payload's strip-range entries (addition
+      commutes, so application order across frames is free);
+    * the diff rule is stateless per byte (``|cur - prev| > thr``), so
+      the overlay's exact ``(xs, vals)`` are computable host-side with
+      zero device fetch.
+
+    The landing then treats a text-change frame like a clean frame: the
+    speculative scene window lands the scene, :meth:`delta` supplies the
+    overlay entries, and a count + value-prefix gate proves exact
+    coverage (any mismatch falls back to the miss path, which is always
+    exact — see ``TiledLander._try_overlay_hit``). Enabled only for
+    negative-feedback device pipelines: with ``negative_feedback=False``
+    device prev = full cur, including scene bytes under unwritten
+    columns the host never sees.
+    """
+
+    def __init__(self, pipe, base_frame: np.ndarray):
+        cfg = pipe.config
+        atlas = pipe.atlas_np
+        self.cell_h = int(atlas.shape[1])
+        self.cell_w = int(atlas.shape[2])
+        self.cw3 = self.cell_w * 3
+        self.w3 = cfg.width * 3
+        self.strip_bytes = self.cell_h * self.w3
+        from cudavideostream_tpu.models.pipeline import MAX_OVERLAY_CHARS
+
+        self.max_chars = MAX_OVERLAY_CHARS
+        self.n_fit = min(self.max_chars, cfg.width // self.cell_w)
+        self._cells = atlas.reshape(atlas.shape[0], self.cell_h, self.cw3)
+        self.enabled = self.n_fit > 0 and self.cell_h <= cfg.height
+        # per-byte threshold over the strip (map slice or scalar)
+        tm = pipe.threshold_map_np
+        if tm is not None:
+            self.thr = tm[: self.strip_bytes].reshape(
+                self.cell_h, self.w3).astype(np.int32)
+        else:
+            self.thr = np.int32(cfg.threshold)
+        self.shadow = None
+        self.reinit(base_frame)
+
+    def reinit(self, frame_bytes: np.ndarray) -> None:
+        """(Re)sync the shadow from a full frame the client is known to
+        hold: ``start()``, ``load_state``, and wire-v3 raw ``resync()``
+        all replace the client state wholesale."""
+        f = np.asarray(frame_bytes, np.uint8).ravel()
+        self.shadow = f[: self.strip_bytes].reshape(
+            self.cell_h, self.w3).copy()
+
+    # -- host-side raster ---------------------------------------------
+    def _render(self, text: str):
+        """The blit's written region: ``(cell_h, nc*cw3)`` glyph-cell
+        bytes + the written cell count. Byte-identical to the device
+        ``overlay_blit`` by construction (both copy atlas cells)."""
+        from cudavideostream_tpu.utils import fonts
+
+        ids = fonts.encode_text(text, self.max_chars)
+        nc = min(len(text), self.max_chars, self.n_fit)
+        if nc == 0:
+            return np.zeros((self.cell_h, 0), np.uint8), 0
+        r = self._cells[np.asarray(ids[:nc], np.intp)]
+        return r.transpose(1, 0, 2).reshape(self.cell_h, nc * self.cw3), nc
+
+    def budget(self, old_text, new_text: str) -> int:
+        """Upper bound on this text change's payload entries: changed
+        glyph cells x cell bytes (an unchanged glyph produces identical
+        strip bytes, hence zero diff; sub-threshold residue from an
+        older change stays sub-threshold against the same raster)."""
+        if not self.enabled:
+            return 0
+        old = old_text if old_text is not None else ""
+        n_old = min(len(old), self.n_fit)
+        n_new = min(len(new_text), self.n_fit)
+        if old_text is None:
+            # first raster: every written cell diffs against scene bytes
+            ncells = n_new
+        else:
+            n = max(n_old, n_new)
+            ncells = sum(
+                1 for j in range(n)
+                if (old[j] if j < n_old else None)
+                != (new_text[j] if j < n_new else None)
+            )
+        return ncells * self.cell_h * self.cw3
+
+    def delta(self, text: str):
+        """Exact overlay payload entries for a frame carrying ``text``:
+        ascending global ``(xs int32, vals uint8)`` over the WRITTEN
+        columns (pure — the shadow advances only via
+        :meth:`apply`). Returns None when the overlay cannot be authored
+        (blit disabled, or the written region SHRANK — revealed columns
+        expose scene bytes the host never sees; the caller falls back to
+        the exact miss path)."""
+        if not self.enabled or self.shadow is None:
+            return None
+        r, nc = self._render(text)
+        w = nc * self.cw3
+        prev_w = self.shadow[:, :w].astype(np.int32)
+        df = r.astype(np.int32) - prev_w
+        thr = self.thr[:, :w] if isinstance(self.thr, np.ndarray) else self.thr
+        mask = np.abs(df) > thr
+        rows, cols = np.nonzero(mask)          # row-major = ascending
+        xs = (rows.astype(np.int64) * self.w3 + cols).astype(np.int32)
+        vals = df[mask].astype(np.uint8)       # mod-256 wrap
+        return xs, vals
+
+    # -- shadow upkeep --------------------------------------------------
+    def apply(self, xs: np.ndarray, vals: np.ndarray) -> None:
+        """Wrap-add the strip-range entries of one landed payload
+        (client_apply semantics; prev = where(mask, cur, prev) is the
+        same bytes). Entries at/above ``strip_bytes`` are ignored."""
+        if xs.size == 0:
+            return
+        k = int(np.searchsorted(xs, self.strip_bytes))
+        if k == 0:
+            return
+        flat = self.shadow.reshape(-1)
+        flat[xs[:k].astype(np.int64)] += vals[:k]
+
+    def apply_result(self, res) -> None:
+        """Extract + apply strip entries from any landed payload form."""
+        if isinstance(res, tuple):
+            self.apply(np.asarray(res[0]), np.asarray(res[1]))
+            return
+        if isinstance(res, wire.MaskPayload):
+            if res.start_byte >= self.strip_bytes or res.pos == 0:
+                return
+            self.apply(*res.to_flat())
+            return
+        if isinstance(res, wire.TiledPayload):
+            if res.pos == 0:
+                return
+            nz = np.flatnonzero(np.asarray(res.counts) > 0)
+            if nz.size == 0 or res.xs[nz[0], 0] >= self.strip_bytes:
+                return
+            self.apply(*res.to_flat())
+
+
 class TiledLander:
     """Landing strategy for per-tile payload blocks, shared by the solo
     executor, multiserve, and broadcast paths.
@@ -225,10 +397,32 @@ class TiledLander:
         self._frame_no = 0        # frames landed (cross-batch velocity)
         self.fetch_counts = {"tiles": 0, "flat": 0, "mask": 0}
         self.spec_counts = {"hit": 0, "miss": 0}
+        # host-authored overlay entries for text-change frames (solo
+        # executors set this; see OverlayShadow)
+        self._ov = None
         # cumulative host<->device payload bytes actually fetched —
         # the contention-immune half of the landing cost (time jitters
         # with the shared link; bytes are deterministic per config)
         self.fetched_bytes = 0
+
+    def set_overlay(self, ov: OverlayShadow) -> None:
+        """Enable host-authored overlay landings (see OverlayShadow)."""
+        self._ov = ov
+
+    def _ov_units(self, tile_cap: int):
+        """First unit index past the overlay strip, or None when the
+        host-authored path is unavailable."""
+        if self._ov is None or not self._ov.enabled:
+            return None
+        return -(-self._ov.strip_bytes // tile_cap)
+
+    def _ov_apply(self, res) -> None:
+        """Track every landed payload's strip-range entries into the
+        overlay shadow (the shadow IS 'base + all shipped entries';
+        skipping any landing would desync it — the value gate in
+        _try_overlay_hit would then miss-fallback forever)."""
+        if self._ov is not None and res is not None:
+            self._ov.apply_result(res)
 
     def use_flat(self, pos: int, t_hi: int, tile_cap: int,
                  t_lo: int = 0) -> bool:
@@ -557,6 +751,39 @@ class TiledLander:
         units = np.arange(t_lo, t_lo + c.size, dtype=np.int64)
         base = np.repeat(units * tile_cap, c).astype(np.int32)
         return base + lo[:pos].astype(np.int32)
+
+    def _try_overlay_hit(self, h, pos: int, st: int, tile_cap: int,
+                         P: int, hint: OverlayHint):
+        """Host-authored landing of a text-change frame: overlay entries
+        come from :meth:`OverlayShadow.delta` (zero device fetch) and
+        scene entries from the fetched bits window — the same
+        speculative round trip a clean frame pays, instead of the
+        full-union-span miss fetch plus an extra RTT.
+
+        Exact-coverage gate: the two index sets are disjoint (the scene
+        window is clamped past the strip at fetch time), so
+        ``len(overlay) + popcount(bits) == pos`` proves every changed
+        byte is covered exactly once; the overlay's host-computed values
+        must additionally equal the device vals-prefix head (device vals
+        are authoritative — any mismatch means the shadow lost sync, and
+        the frame falls back to the always-exact miss path). Returns
+        ascending flat ``(xs, vals)`` or None."""
+        ov = self._ov
+        if st * tile_cap < ov.strip_bytes or pos > P:
+            return None
+        o = ov.delta(hint.text)
+        if o is None:
+            return None
+        oxs, ovals = o
+        bw = np.asarray(h[3])
+        pop_b = int(_POPCOUNT[bw].sum())
+        if int(oxs.size) + pop_b != pos:
+            return None
+        vw = np.asarray(h[4])
+        if not np.array_equal(vw[: oxs.size], ovals):
+            return None
+        xs_b = self._rebuild_mask_xs(bw, pop_b, st, tile_cap)
+        return (np.concatenate([oxs, xs_b]), vw[:pos].copy())
 
     def _mask_result(self, bits_w, pos: int, start_unit: int,
                      tile_cap: int, vals_prefix):
@@ -891,6 +1118,18 @@ class TiledLander:
         merged: list = [None] * K
         spec = self._spec
         misses: list = []
+        flags_in = volatile if volatile is not None else [False] * K
+        hints = [f if isinstance(f, OverlayHint) else None
+                 for f in flags_in]
+        mask_P: list = [0] * K          # per-frame vals budget (mask)
+        # ordering guard for the overlay shadow: delta() for frame i
+        # must read the shadow AFTER frames j<i applied. Applications
+        # themselves commute (wrap-adds), so only the READS need care:
+        # once an earlier frame that may touch the strip goes to the
+        # miss list, later hint frames in this batch miss too.
+        strip_dirty = False
+        strip_end = (self._ov.strip_bytes
+                     if self._ov is not None and self._ov.enabled else 0)
         if spec is None:
             probe = self._probe_slicer()
             host = self._get_batched(
@@ -920,11 +1159,22 @@ class TiledLander:
             elif smode == "mask":
                 for i, it in enumerate(items):
                     merged[i] = logcompact.merge_tiles(it[1], it[2], it[3])
-                sl = self._mask_slicer(L0, tile_cap, P0)
-                dev = [
-                    sl(it[0], it[1], it[4], m[1], np.int32(s))
-                    for it, m, s in zip(items, merged, starts)
-                ]
+                # text-change frames ride the SAME speculative round
+                # trip: vals budget widened by the host-known overlay
+                # bound, scene window clamped past the strip (the
+                # coverage gate needs disjointness — _try_overlay_hit)
+                u_strip = self._ov_units(tile_cap)
+                cap = self._fetch_xs.capacity
+                dev = []
+                for i, (it, m) in enumerate(zip(items, merged)):
+                    P = P0
+                    if hints[i] is not None and u_strip is not None:
+                        P = self._flat_len(P0 + hints[i].budget, cap)
+                        starts[i] = max(
+                            starts[i], min(u_strip, n_tiles - L0))
+                    mask_P[i] = P
+                    dev.append(self._mask_slicer(L0, tile_cap, P)(
+                        it[0], it[1], it[4], m[1], np.int32(starts[i])))
             else:
                 sl = self._spec_slicer(L0, tile_cap)
                 dev = [
@@ -943,14 +1193,24 @@ class TiledLander:
                 covered = st <= t_lo and t_hi <= st + L0
                 want = self._pick_kind(pos, t_lo, t_hi, tile_cap, has_bits)
                 if smode == "mask":
-                    if want == "mask" and covered and pos <= P0:
+                    res = None
+                    if hints[i] is not None and self._ov is not None:
+                        if not strip_dirty:
+                            res = self._try_overlay_hit(
+                                h, pos, st, tile_cap, mask_P[i], hints[i])
+                    elif want == "mask" and covered and pos <= mask_P[i]:
+                        res = self._mask_result(
+                            h[3], pos, st, tile_cap, h[4])
+                    if res is not None:
                         self.spec_counts["hit"] += 1
                         self.fetch_counts["mask"] += 1
-                        results[i] = (pos, self._mask_result(
-                            h[3], pos, st, tile_cap, h[4]))
+                        results[i] = (pos, res)
+                        self._ov_apply(res)
                     else:
                         self.spec_counts["miss"] += 1
                         misses.append(i)
+                        if t_lo * tile_cap < strip_end:
+                            strip_dirty = True
                     continue
                 cw, xw, vw = h[3], h[4], h[5]
                 span = cw[t_lo - st: t_hi - st] if covered else None
@@ -962,6 +1222,7 @@ class TiledLander:
                         self._rebuild_flat_xs(xw, span, pos, t_lo, tile_cap),
                         np.asarray(vw[:pos]),
                     ))
+                    self._ov_apply(results[i][1])
                 elif smode == "tiles" and want == "tiles" and covered:
                     self.spec_counts["hit"] += 1
                     self.fetch_counts["tiles"] += 1
@@ -972,6 +1233,7 @@ class TiledLander:
                             xw, span, st, t_lo, t_hi, tile_cap),
                         vw[a: a + (t_hi - t_lo)],
                     ))
+                    self._ov_apply(results[i][1])
                 else:
                     self.spec_counts["miss"] += 1
                     misses.append(i)
@@ -1020,16 +1282,17 @@ class TiledLander:
                     self.fetch_counts["mask"] += 1
                     results[i] = (pos, self._mask_result(
                         bw, pos, startc, tile_cap, vw))
-                    continue
-                cw, xw, vw = host
-                span = cw[t_lo - startc: t_hi - startc]
-                if meta[0] == "flat2":
+                elif meta[0] == "flat2":
+                    cw, xw, vw = host
+                    span = cw[t_lo - startc: t_hi - startc]
                     self.fetch_counts["flat"] += 1
                     results[i] = (pos, (
                         self._rebuild_flat_xs(xw, span, pos, t_lo, tile_cap),
                         np.asarray(vw[:pos]),
                     ))
                 else:
+                    cw, xw, vw = host
+                    span = cw[t_lo - startc: t_hi - startc]
                     self.fetch_counts["tiles"] += 1
                     a = t_lo - startc
                     results[i] = (pos, wire.TiledPayload(
@@ -1038,6 +1301,9 @@ class TiledLander:
                             xw, span, startc, t_lo, t_hi, tile_cap),
                         vw[a: a + (t_hi - t_lo)],
                     ))
+                # miss-path landings track the shadow too (applications
+                # commute with the phase-1 ones — wrap-adds)
+                self._ov_apply(results[i][1])
 
         self._update_spec(scalars, K, n_tiles, tile_cap, has_bits,
                           volatile=volatile)
@@ -1197,9 +1463,12 @@ class TiledLander:
             (int(ph), np.asarray(ch), it[1], it[2], it[3])
             for (ph, ch), it in zip(heads, items)
         ])
-        return [
+        out = [
             (int(ph), res) for (ph, _), res in zip(heads, landed)
         ]
+        for _, res in out:          # keep the overlay shadow in sync
+            self._ov_apply(res)
+        return out
 
 
 class StreamExecutor:
@@ -1230,6 +1499,14 @@ class StreamExecutor:
         """Initialize device state; returns the base frame bytes to ship."""
         base = np.asarray(base_frame, dtype=np.uint8).ravel()
         self._state = self.pipe.init_state(base)
+        # host-authored overlay landings (OverlayShadow): sound only
+        # when device prev == base + shipped entries — i.e. negative
+        # feedback on a device pipeline (the HOST backend keeps its own
+        # prev shadow and lands through a different path entirely)
+        if (self.cfg.tiled_payload and self.cfg.negative_feedback
+                and self.cfg.compaction.value == "pallas"):
+            self._lander.set_overlay(OverlayShadow(self.pipe, base))
+        self._last_text = None
         return base
 
     def process(
@@ -1260,10 +1537,19 @@ class StreamExecutor:
         # text changes — and the host knows exactly when that is. The
         # flag reaches the lander as the frame's "volatile" bit so the
         # speculative window neither learns velocity from the overlay's
-        # span jump nor re-centers on it (the overlay frame itself just
-        # misses and re-fetches exactly — ~1/s, shared batched get).
-        self._text_changed = text != getattr(self, "_last_text", None)
+        # span jump nor re-centers on it. When the host can AUTHOR the
+        # overlay entries itself (OverlayShadow), the flag carries the
+        # new text + entry budget and the frame lands through the normal
+        # speculative window; otherwise it just misses and re-fetches
+        # exactly (~1/s, shared batched get).
+        last = getattr(self, "_last_text", None)
+        changed = text != last
         self._last_text = text
+        ov = self._lander._ov
+        if changed and ov is not None:
+            self._text_changed = OverlayHint(text, ov.budget(last, text))
+        else:
+            self._text_changed = changed
         try:
             out = self.pipe.step(self._state, frame, text=text)
         except PayloadOverflowError as e:
@@ -1286,7 +1572,13 @@ class StreamExecutor:
         """
         if self._state is None:
             raise RuntimeError("no state to resync from")
-        return np.asarray(self._state, dtype=np.uint8).ravel()
+        arr = np.asarray(self._state, dtype=np.uint8).ravel()
+        if self._lander._ov is not None:
+            # the raw frame replaces the client state wholesale; any
+            # entries the shadow missed (e.g. a PayloadOverflowError
+            # dropped a landing) are subsumed — resync it too
+            self._lander._ov.reinit(arr)
+        return arr
 
     def _use_flat_fetch(self, pos: int, t_hi: int, tile_cap: int) -> bool:
         """The lander's density-adaptive decision (kept as a method for
@@ -1376,6 +1668,9 @@ class StreamExecutor:
                 f"config {self.cfg.negative_feedback})"
             )
         self._state = self.pipe.init_state(data["prev"])
+        if self._lander._ov is not None:
+            self._lander._ov.reinit(data["prev"])
+        self._last_text = None
 
 
 class PipelinedExecutor(StreamExecutor):

@@ -583,6 +583,143 @@ class TestDriftAwareSpec:
         assert ex._lander.spec_counts["hit"] >= K
 
 
+class TestHostAuthoredOverlay:
+    """Text-change frames land through the normal speculative window,
+    with the overlay's payload entries AUTHORED BY THE HOST from its
+    strip shadow (executor.OverlayShadow) — no full-union-span miss
+    fetch, no extra link round trip per text change."""
+
+    def _run(self, ex, frames_texts):
+        recon = None
+        for f, text in frames_texts:
+            out = ex.process(f, text=text)
+            for (pos, xs, vals, _aux) in (out or []):
+                if hasattr(xs, "to_flat"):
+                    xs, vals = xs.to_flat()
+                if recon is None:
+                    recon = self._base.copy()
+                recon[np.asarray(xs, np.int64)] += np.asarray(vals)
+        for (pos, xs, vals, _aux) in (ex.flush() or []):
+            if hasattr(xs, "to_flat"):
+                xs, vals = xs.to_flat()
+            recon[np.asarray(xs, np.int64)] += np.asarray(vals)
+        return recon
+
+    def test_text_changes_land_without_miss(self, rng):
+        """Steady scene + 1-per-10-frames text changes: ZERO speculative
+        misses after the cold probe batch (the old path missed on every
+        text change — a full-union bits fetch + one extra ~30 ms RTT,
+        benchmarks/sustained_tpu_tunnel r4 block), byte-exact, and the
+        strip shadow stays identical to the device prev strip."""
+        cfg = StreamConfig(height=384, width=512, overlay_scale=4,
+                           tiled_payload=True, fetch_mode="mask",
+                           emit_bitmask=True)
+        K = 8
+        ex = BatchedLandExecutor(cfg, depth=K)
+        n = cfg.frame_bytes
+        self._base = base = rng.integers(0, 255, n, endpoint=True,
+                                         dtype=np.uint8)
+        ex.start(base)
+        band, step, lo = int(0.02 * n), 4096, n // 2
+        frames_texts = []
+        for t in range(8 * K):
+            f = _band_frame(base, lo + (t * step) % (n // 2 - band),
+                            band, 77 if t % 2 == 0 else 154)
+            frames_texts.append((f, f"FPS {t // 10:04d}"))
+        recon = self._run(ex, frames_texts)
+        np.testing.assert_array_equal(recon, ex.resync())
+        lander = ex._lander
+        ov = lander._ov
+        assert ov is not None and ov.enabled
+        # every text change landed through the speculative window
+        assert lander.spec_counts["miss"] == 0
+        assert lander.spec_counts["hit"] >= 7 * K
+        # shadow invariant: shadow == device prev over the strip rows
+        np.testing.assert_array_equal(
+            ov.shadow.reshape(-1), ex.resync()[: ov.strip_bytes])
+
+    def test_text_shrink_falls_back_exact(self, rng):
+        """A shrinking text reveals scene bytes the host cannot author;
+        those frames fall back to the exact miss path — byte-exactness
+        is never at stake, and the shadow re-syncs from the landed
+        payload."""
+        cfg = StreamConfig(height=384, width=512, overlay_scale=4,
+                           tiled_payload=True, fetch_mode="mask",
+                           emit_bitmask=True)
+        K = 4
+        ex = BatchedLandExecutor(cfg, depth=K)
+        n = cfg.frame_bytes
+        self._base = base = rng.integers(0, 255, n, endpoint=True,
+                                         dtype=np.uint8)
+        ex.start(base)
+        band, step, lo = int(0.02 * n), 4096, n // 2
+        texts = ["FPS 1234567", "FPS 1234567", "SHORT", "SHORT",
+                 "FPS 7654321", "FPS 7654321"] * 4
+        frames_texts = [
+            (_band_frame(base, lo + (t * step) % (n // 2 - band),
+                         band, 77 if t % 2 == 0 else 154), texts[t])
+            for t in range(len(texts))
+        ]
+        recon = self._run(ex, frames_texts)
+        np.testing.assert_array_equal(recon, ex.resync())
+        ov = ex._lander._ov
+        np.testing.assert_array_equal(
+            ov.shadow.reshape(-1), ex.resync()[: ov.strip_bytes])
+
+    def test_scene_through_strip_rows_stays_exact(self, rng):
+        """A scene band that sweeps THROUGH the overlay strip rows: the
+        clamped scene window can't cover it, the coverage gate fails,
+        and the frames land via the exact miss path — while the shadow
+        keeps tracking the strip through payload application (scene
+        entries land in the strip region here)."""
+        cfg = StreamConfig(height=384, width=512, overlay_scale=4,
+                           tiled_payload=True, fetch_mode="mask",
+                           emit_bitmask=True)
+        K = 4
+        ex = BatchedLandExecutor(cfg, depth=K)
+        n = cfg.frame_bytes
+        self._base = base = rng.integers(0, 255, n, endpoint=True,
+                                         dtype=np.uint8)
+        ex.start(base)
+        band = int(0.05 * n)
+        frames_texts = []
+        for t in range(6 * K):
+            # band drifts from the very top (inside the strip rows)
+            f = _band_frame(base, (t * 2048) % (n - band), band,
+                            77 if t % 2 == 0 else 154)
+            frames_texts.append((f, f"FPS {t // 6:04d}"))
+        recon = self._run(ex, frames_texts)
+        np.testing.assert_array_equal(recon, ex.resync())
+        ov = ex._lander._ov
+        np.testing.assert_array_equal(
+            ov.shadow.reshape(-1), ex.resync()[: ov.strip_bytes])
+
+    def test_solo_executor_hint_path(self, rng):
+        """The depth-1 solo executor rides the same machinery: text
+        changes land speculatively with host-authored overlay entries."""
+        cfg = StreamConfig(height=384, width=512, overlay_scale=4,
+                           tiled_payload=True, fetch_mode="mask",
+                           emit_bitmask=True)
+        ex = StreamExecutor(cfg)
+        n = cfg.frame_bytes
+        self._base = base = rng.integers(0, 255, n, endpoint=True,
+                                         dtype=np.uint8)
+        ex.start(base)
+        band, step, lo = int(0.02 * n), 4096, n // 2
+        recon = base.copy()
+        for t in range(24):
+            f = _band_frame(base, lo + (t * step) % (n // 2 - band),
+                            band, 77 if t % 2 == 0 else 154)
+            pos, xs, vals, _aux = ex.process(f, text=f"FPS {t // 6:04d}")
+            if hasattr(xs, "to_flat"):
+                xs, vals = xs.to_flat()
+            recon[np.asarray(xs, np.int64)] += np.asarray(vals)
+        np.testing.assert_array_equal(recon, ex.resync())
+        # text changed at t=6,12,18 (t=0 is the cold probe): at most
+        # the probe misses
+        assert ex._lander.spec_counts["miss"] <= 1
+
+
 class TestServerLandBatch:
     @pytest.mark.parametrize("wire_format", ["v1", "v3"])
     def test_loopback_byte_exact(self, wire_format):
