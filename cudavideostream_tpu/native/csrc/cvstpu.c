@@ -466,7 +466,17 @@ int64_t wire_encode_v3(const int32_t *counts, int64_t n_tiles,
                        int apply, uint8_t *out, int64_t out_cap) {
     int64_t pos = 0;
     for (int64_t t = 0; t < n_tiles; ++t) pos += counts[t];
+    /* ALL capacity refusals happen before the apply pass touches the
+     * shadow: a -1 return after mutating it would make the caller's
+     * numpy fallback apply the payload twice, silently corrupting the
+     * v3 client-state shadow (and every later raw frame).  Which mode
+     * wins needs n_exc, so check the worst case of every selectable
+     * mode up front: delta16 <= 9+7*pos; if delta16 loses, the winner
+     * is bitmask when size_b <= size_r else raw. */
+    int64_t size_b = 1 + 4 + (n + 7) / 8 + pos;
+    int64_t size_r = 1 + n;
     if (out_cap < 10 + 7 * pos) return -1;
+    if (size_b <= size_r ? out_cap < size_b : out_cap < size_r) return -1;
 
     /* pass 1: shadow apply + delta16 gaps, each section written at its
      * FINAL offset (the exception array starts exactly at 9 + 2*pos) */
@@ -495,8 +505,6 @@ int64_t wire_encode_v3(const int32_t *counts, int64_t n_tiles,
     }
 
     int64_t size_d = 1 + 8 + 3 * pos + 4 * n_exc;
-    int64_t size_b = 1 + 4 + (n + 7) / 8 + pos;
-    int64_t size_r = 1 + n;
     uint32_t pos32 = (uint32_t)pos;
 
     if (size_d <= size_b && size_d <= size_r) {
@@ -512,7 +520,6 @@ int64_t wire_encode_v3(const int32_t *counts, int64_t n_tiles,
         return size_d;
     }
     if (size_b <= size_r) {
-        if (out_cap < size_b) return -1;
         out[0] = 1; /* MODE_BITMASK */
         memcpy(out + 1, &pos32, 4);
         uint8_t *mask = out + 5;
@@ -529,7 +536,6 @@ int64_t wire_encode_v3(const int32_t *counts, int64_t n_tiles,
         }
         return size_b;
     }
-    if (out_cap < size_r) return -1;
     out[0] = 2; /* MODE_RAW */
     memcpy(out + 1, shadow, (size_t)n);
     return size_r;

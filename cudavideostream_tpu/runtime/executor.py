@@ -609,15 +609,22 @@ class TiledLander:
             self._range_slicers[key] = fn
         return fn
 
-    def _mask_slicer(self, L: int, tile_cap: int, P: int):
+    def _mask_slicer(self, L: int, tile_cap: int, P: int,
+                     strip_U: int = 0):
         """Jitted speculative fused fetch for the "mask" flavor:
         ``(pos, t_lo, t_hi, bits_window, vals_prefix)`` in one dispatch.
         The bits window is the packed change-bitmask for units
         ``[start, start+L)`` (``tile_cap/8`` bytes per unit); the vals
         prefix is the ``[:P]`` head of the merged flat stream. No xs
         stream moves at all — the host rebuilds indices from the bits
-        (~1 B per changed byte total on locally dense scenes)."""
-        key = ("mask", L, tile_cap, P)
+        (~1 B per changed byte total on locally dense scenes).
+
+        ``strip_U > 0`` (overlay-hint frames only) appends the
+        ``counts[:strip_U]`` overlay-strip window as a 6th output so the
+        coverage gate can verify the host-authored entries' per-unit
+        INDEX histogram against the device, not just their values (see
+        ``_try_overlay_hit``); a few hundred bytes per hint frame."""
+        key = ("mask", L, tile_cap, P, strip_U)
         fn = self._range_slicers.get(key)
         if fn is None:
             import jax
@@ -634,7 +641,10 @@ class TiledLander:
                     any_nz, counts_d.shape[0] - jnp.argmax(nz[::-1]), 0
                 ).astype(jnp.int32)
                 bw = lax.dynamic_slice_in_dim(bits, start * ub8, L * ub8, 0)
-                return pos_d, t_lo, t_hi, bw, vals_m[:P]
+                out = (pos_d, t_lo, t_hi, bw, vals_m[:P])
+                if strip_U:
+                    out = out + (counts_d[:strip_U],)
+                return out
 
             fn = jax.jit(f)
             self._range_slicers[key] = fn
@@ -764,10 +774,14 @@ class TiledLander:
         window is clamped past the strip at fetch time), so
         ``len(overlay) + popcount(bits) == pos`` proves every changed
         byte is covered exactly once; the overlay's host-computed values
-        must additionally equal the device vals-prefix head (device vals
-        are authoritative — any mismatch means the shadow lost sync, and
-        the frame falls back to the always-exact miss path). Returns
-        ascending flat ``(xs, vals)`` or None."""
+        must equal the device vals-prefix head, AND the overlay entries'
+        per-unit index histogram must equal the device's fetched
+        ``counts[:u_strip]`` window (device vals/counts are
+        authoritative — any mismatch means the shadow lost sync, and the
+        frame falls back to the always-exact miss path; the histogram
+        check makes the gate sound against a desynced shadow whose
+        entry count and value sequence coincide but whose indices
+        moved). Returns ascending flat ``(xs, vals)`` or None."""
         ov = self._ov
         if st * tile_cap < ov.strip_bytes or pos > P:
             return None
@@ -782,6 +796,13 @@ class TiledLander:
         vw = np.asarray(h[4])
         if not np.array_equal(vw[: oxs.size], ovals):
             return None
+        if len(h) > 5:
+            dc = np.asarray(h[5], dtype=np.int64)
+            hc = np.bincount(
+                np.asarray(oxs, dtype=np.int64) // tile_cap,
+                minlength=dc.size)
+            if hc.size > dc.size or not np.array_equal(hc, dc):
+                return None
         xs_b = self._rebuild_mask_xs(bw, pop_b, st, tile_cap)
         return (np.concatenate([oxs, xs_b]), vw[:pos].copy())
 
@@ -1168,12 +1189,14 @@ class TiledLander:
                 dev = []
                 for i, (it, m) in enumerate(zip(items, merged)):
                     P = P0
+                    strip_U = 0
                     if hints[i] is not None and u_strip is not None:
                         P = self._flat_len(P0 + hints[i].budget, cap)
                         starts[i] = max(
                             starts[i], min(u_strip, n_tiles - L0))
+                        strip_U = u_strip
                     mask_P[i] = P
-                    dev.append(self._mask_slicer(L0, tile_cap, P)(
+                    dev.append(self._mask_slicer(L0, tile_cap, P, strip_U)(
                         it[0], it[1], it[4], m[1], np.int32(starts[i])))
             else:
                 sl = self._spec_slicer(L0, tile_cap)
@@ -1382,12 +1405,14 @@ class TiledLander:
         for (p0, a0, b0), (p1, a1, b1) in pairs:
             vels.append(0.5 * ((a1 - a0) + (b1 - b0)))
             d_pos = max(d_pos, abs(p1 - p0))
+        cross = None
         if self._last_scalar is not None and idxs:
             ln, lp, la, lb = self._last_scalar
             steps = base_no + anchor - ln
             if steps > 0:
                 vels.append(0.5 * ((t_lo - la) + (t_hi - lb)) / steps)
                 d_pos = max(d_pos, (abs(pos - lp) + steps - 1) // steps)
+                cross = (steps, la, lb)
         if idxs:
             self._last_scalar = (base_no + anchor, pos, t_lo, t_hi)
         blind = max(64, span // 4) * K
@@ -1403,15 +1428,31 @@ class TiledLander:
             vel = int(round(self._vel_pf))
             # prediction error: worst endpoint deviation from the
             # velocity model across this batch's adjacent clean pairs
-            err = 0.0
+            # AND the cross-batch jump (per-frame-normalized).  At
+            # landing depth 1 `pairs` is always empty — the cross-batch
+            # sample is the ONLY error evidence there; without it every
+            # K=1 batch fed err=0.0, the EMA decayed to ~0 and the
+            # margin pinned at 64 units, so a jittery scene paid a
+            # ~30 ms speculative-miss round trip per frame.  Batches
+            # with no evidence at all skip the EMA update entirely.
+            errs = []
             for (p0, a0, b0), (p1, a1, b1) in pairs:
-                err = max(err, abs((a1 - a0) - self._vel_pf),
-                          abs((b1 - b0) - self._vel_pf))
+                errs.append(max(abs((a1 - a0) - self._vel_pf),
+                                abs((b1 - b0) - self._vel_pf)))
+            if cross is not None:
+                steps, la, lb = cross
+                errs.append(max(abs((t_lo - la) / steps - self._vel_pf),
+                                abs((t_hi - lb) / steps - self._vel_pf)))
+            if errs:
+                err = max(errs)
+                if self._err_pf is None:
+                    self._err_pf = err
+                else:
+                    self._err_pf = 0.5 * self._err_pf + 0.5 * err
             if self._err_pf is None:
-                self._err_pf = err
+                margin = blind
             else:
-                self._err_pf = 0.5 * self._err_pf + 0.5 * err
-            margin = min(blind, max(64, int(4 * K * self._err_pf)))
+                margin = min(blind, max(64, int(4 * K * self._err_pf)))
         L = self._range_len(span + 2 * margin, n_tiles)
         # frame 0 of the next batch is (K - anchor) frames past the
         # anchor: project the window center forward by that much

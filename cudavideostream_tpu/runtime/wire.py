@@ -209,6 +209,12 @@ class V3Encoder:
         Falls back to the numpy path when the lib is unbuilt."""
         from cudavideostream_tpu import native
 
+        if isinstance(xs, MaskPayload):
+            # v3 has no winmask mode: rebuild the index stream once
+            # (config.py promises v1/v2/v3 senders fall back through
+            # MaskPayload.to_flat(); only v4 forwards bits untranslated)
+            pos = xs.pos
+            xs, vals = xs.to_flat()
         if isinstance(xs, TiledPayload):
             buf = native.encode_v3_np(
                 xs.counts, xs.xs, xs.vals, self.frame, apply=True

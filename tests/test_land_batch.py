@@ -465,6 +465,35 @@ class TestDriftAwareSpec:
         assert lander._spec[2] <= span_units + 512
         assert lander._spec[4] == step // 128
 
+    def test_depth1_jitter_feeds_error_ema(self, rng):
+        """At landing depth 1 there are no within-batch adjacent pairs,
+        so the prediction-error EMA used to see only err=0.0 samples and
+        the margin pinned at the 64-unit floor — a jittery scene then
+        speculative-missed persistently (r4 advisor finding). The
+        cross-batch endpoint deviation must feed the EMA: after a
+        zero-mean jittery walk, ``_err_pf`` reflects the jitter
+        amplitude and the landings stay byte-exact."""
+        cfg = StreamConfig(height=384, width=512, overlay_scale=4,
+                           tiled_payload=True, fetch_mode="tiles")
+        ex = StreamExecutor(cfg)
+        base = rng.integers(0, 255, cfg.frame_bytes, endpoint=True,
+                            dtype=np.uint8)
+        ex.start(base)
+        prev = base.copy()
+        band = 40000                       # ~312 units of 128
+        s = 20000                          # noisy walk: the diff window
+        for k in range(12):                # endpoints jitter ~32 units
+            s += 0 if k % 2 else 8192      # steps alternate 0 / 64 units
+            f = _band_frame(base, s, band, 50 + k)
+            out = ex.process(f)
+            prev = _check([out], [f], prev)
+        np.testing.assert_array_equal(ex.resync(), prev)
+        lander = ex._lander
+        # the cross-batch deviation is the ONLY evidence at K=1: the
+        # EMA must have learned the ~32-unit deviation from the mean
+        # velocity (old behavior: _err_pf == 0.0 exactly)
+        assert lander._err_pf is not None and lander._err_pf > 8
+
     def test_volatile_overlay_frames_do_not_widen_window(self, rng):
         """The 1 Hz status overlay ships glyph bytes when the text
         changes; those frames' device spans cover overlay+scene as one
@@ -693,6 +722,67 @@ class TestHostAuthoredOverlay:
         ov = ex._lander._ov
         np.testing.assert_array_equal(
             ov.shadow.reshape(-1), ex.resync()[: ov.strip_bytes])
+
+    def test_desynced_shadow_rejected_by_index_gate(self, rng):
+        """The coverage gate must be sound on its own, not only via the
+        shadow-maintenance invariants (r4 advisor finding): a desynced
+        shadow that predicts the right entry COUNT and the right VALUE
+        sequence but the wrong INDICES must be rejected by the per-unit
+        histogram check against the fetched ``counts[:u_strip]`` window
+        — the frame then lands via the always-exact miss path."""
+        from cudavideostream_tpu.runtime import executor as exmod
+
+        cfg = StreamConfig(height=384, width=512, overlay_scale=4,
+                           tiled_payload=True, fetch_mode="mask",
+                           emit_bitmask=True)
+        ex = StreamExecutor(cfg)
+        n = cfg.frame_bytes
+        self._base = base = rng.integers(0, 255, n, endpoint=True,
+                                         dtype=np.uint8)
+        ex.start(base)
+        lander = ex._lander
+        ov = lander._ov
+        assert ov is not None and ov.enabled
+
+        # warm the speculative window with clean scene frames
+        band, lo = int(0.02 * n), n // 2
+        recon = base.copy()
+        for t in range(4):
+            f = _band_frame(base, lo + t * 2048, band, 60 + t)
+            pos, xs, vals, _aux = ex.process(f, text="FPS 0000")
+            if hasattr(xs, "to_flat"):
+                xs, vals = xs.to_flat()
+            recon[np.asarray(xs, np.int64)] += np.asarray(vals)
+
+        # sabotage the shadow: translate it so delta() authors the same
+        # VALUES at SHIFTED indices (an opaque glyph blit over a rolled
+        # shadow diffs with identical per-cell value sequences whenever
+        # the roll is a whole glyph cell — the worst case for a
+        # value-only gate); per-unit counts then disagree
+        real = exmod.OverlayShadow.delta
+
+        forged = {}
+
+        def fake_delta(self_ov, text):
+            out = real(self_ov, text)
+            if out is None or out[0].size == 0:
+                return out
+            oxs, ovals = out
+            forged["hit"] = True
+            return oxs + np.int32(ov.cw3), ovals  # one cell to the right
+
+        ov.delta = fake_delta.__get__(ov, exmod.OverlayShadow)
+        miss0 = lander.spec_counts["miss"]
+        f = _band_frame(base, lo + 5 * 2048, band, 90)
+        pos, xs, vals, _aux = ex.process(f, text="FPS 1111")
+        if hasattr(xs, "to_flat"):
+            xs, vals = xs.to_flat()
+        recon2 = recon.copy()
+        recon2[np.asarray(xs, np.int64)] += np.asarray(vals)
+        assert forged.get("hit"), "forged delta never consulted"
+        # the forged indices were rejected -> miss path -> still exact
+        assert lander.spec_counts["miss"] > miss0
+        np.testing.assert_array_equal(recon2, ex.resync())
 
     def test_solo_executor_hint_path(self, rng):
         """The depth-1 solo executor rides the same machinery: text

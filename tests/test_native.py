@@ -292,6 +292,43 @@ class TestNativeV3Encode:
         assert buf_n == buf_ref
         np.testing.assert_array_equal(enc_native.frame, shadow)
 
+    def test_capacity_refusal_leaves_shadow_untouched(self, lib, rng):
+        """A -1 capacity refusal must happen BEFORE the apply pass: the
+        Python wrapper's numpy fallback re-applies the payload, so a
+        post-apply -1 would fold it into the shadow twice (r4 advisor
+        finding). Sweep out_cap from 0 past every mode's size and assert
+        the shadow is bit-identical whenever the call refuses."""
+        import ctypes as c
+
+        n = 4096
+        shadow0 = rng.integers(0, 255, n, endpoint=True, dtype=np.uint8)
+        # dense enough that bitmask/raw are in play
+        xs = np.arange(0, n, 2, dtype=np.int32)
+        vals = np.full(xs.size, 7, np.uint8)
+        counts = np.array([xs.size], np.int32)
+        after = shadow0.copy()
+        after[xs] = after[xs] + vals
+        expected = wire.encode_frame_v3_numpy(xs.size, xs, vals, after)
+        for cap in [0, 4, 100, len(expected) - 1, len(expected),
+                    10 + 7 * xs.size, 1 + n]:
+            sh = shadow0.copy()
+            out = np.empty(max(cap, 1), np.uint8)
+            rc = lib.wire_encode_v3(
+                counts.ctypes.data_as(c.POINTER(c.c_int32)),
+                1, xs.size,
+                xs.ctypes.data_as(c.POINTER(c.c_int32)),
+                vals.ctypes.data_as(c.POINTER(c.c_uint8)),
+                sh.ctypes.data_as(c.POINTER(c.c_uint8)),
+                n, 1,
+                out.ctypes.data_as(c.POINTER(c.c_uint8)),
+                cap,
+            )
+            if rc < 0:
+                np.testing.assert_array_equal(sh, shadow0), cap
+            else:
+                assert out[:rc].tobytes() == expected, cap
+                np.testing.assert_array_equal(sh, after)
+
     def test_mode_crossovers(self, lib, rng):
         """The C encoder picks the same mode as the SPEC at both
         boundaries (delta16 <-> bitmask <-> raw)."""

@@ -209,6 +209,40 @@ class TestWireV3:
         tiled = wire.V3Encoder(base).encode(k, tp, None)
         assert flat == tiled
 
+    def test_mask_payload_accepted(self, rng):
+        """config.py promises v1/v2/v3 senders fall back through
+        MaskPayload.to_flat(): a v3 encoder fed the mask-landing result
+        must emit the same bytes (and advance the same shadow) as the
+        flat path — it used to TypeError instead (r4 advisor finding)."""
+        n = 200_000
+        base = rng.integers(0, 255, n, endpoint=True, dtype=np.uint8)
+        cases = [
+            np.arange(1000, 3000, 2),                       # dense cluster
+            np.sort(rng.choice(n, 200, replace=False)),     # sparse
+            np.empty(0, np.int64),                          # static frame
+        ]
+        for xs in cases:
+            xs = np.asarray(xs, np.int64)
+            vals = rng.integers(1, 255, xs.size,
+                                endpoint=True, dtype=np.uint8)
+            if xs.size:
+                start = (int(xs[0]) // 8) * 8
+                end = (int(xs[-1]) // 8 + 1) * 8
+                window = np.zeros(end - start, np.uint8)
+                window[xs - start] = 1
+                mp = wire.MaskPayload(
+                    xs.size, start,
+                    np.packbits(window, bitorder="little"), vals)
+            else:
+                mp = wire.MaskPayload(0, 0, np.zeros(8, np.uint8),
+                                      np.empty(0, np.uint8))
+            e_ref = wire.V3Encoder(base.copy())
+            e_mask = wire.V3Encoder(base.copy())
+            ref_buf = e_ref.encode(xs.size, xs, vals)
+            got = e_mask.encode(xs.size, mp, None)
+            assert got == ref_buf
+            np.testing.assert_array_equal(e_mask.frame, e_ref.frame)
+
     def test_short_buffer_raises(self):
         n = 1024
         enc = wire.V3Encoder(np.zeros(n, np.uint8))
