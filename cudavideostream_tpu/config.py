@@ -160,6 +160,17 @@ class StreamConfig:
     # v1/v2/v3 senders fall back through MaskPayload.to_flat()).
     # Requires emit_bitmask.
     mask_payload: bool = False
+    # BITMASK-ONLY kernel emission (logcompact emit="mask"): the kernel
+    # never materializes the int32 index blocks — they were HALF of all
+    # kernel HBM writes (24.9 MB/frame at 1080p, the committed HBM model
+    # benchmarks/trace_flagship_tpu_v5e) and mask-flavor serving never
+    # fetches them — and packs the change-bitmask in-kernel instead of
+    # via a separate 2n-byte XLA pass. The device merge shrinks to a
+    # vals-only compaction (logcompact.merge_vals). Byte indices are
+    # rebuilt exactly from the bits host-side, so every wire format
+    # still works. Requires emit_bitmask + fetch_mode="mask" (the
+    # tiles/flat fetch flavors need the index blocks this mode deletes).
+    maskonly_payload: bool = False
 
     # Text overlay (kernel2_char, kernels.cu:351-375): glyph cell scale,
     # and font style — "stroke" is a thin vector font in the visual
@@ -229,6 +240,15 @@ class StreamConfig:
             raise ValueError("emit_bitmask requires tiled_payload")
         if self.mask_payload and not self.emit_bitmask:
             raise ValueError("mask_payload requires emit_bitmask")
+        if self.maskonly_payload:
+            if not self.emit_bitmask:
+                raise ValueError("maskonly_payload requires emit_bitmask")
+            if self.fetch_mode != "mask":
+                raise ValueError(
+                    "maskonly_payload requires fetch_mode='mask' (the "
+                    "tiles/flat fetch flavors need the index blocks "
+                    "this emission deletes)"
+                )
         if self.subtile_rows < 0 or (
             self.subtile_rows & (self.subtile_rows - 1)
         ):

@@ -168,7 +168,27 @@ class DeltaStreamPipeline:
             cfg.threshold > 0 if self._thr_map is None else self._thr_map_min > 0
         )
         if cfg.compaction.value == "pallas":
-            if cfg.tiled_payload:
+            if cfg.maskonly_payload:
+                # BITMASK-ONLY emission: no int32 index blocks at all,
+                # change-bits packed in-kernel (see config.maskonly_payload
+                # / logcompact emit="mask"). Payload order: (pos, counts,
+                # vals_t, bits) — the mask landing's exact inputs.
+                pos, counts, vals_t, bits, new_prev = (
+                    logcompact.fused_diff_compact(
+                        cur,
+                        prev,
+                        threshold=cfg.threshold,
+                        negative_feedback=cfg.negative_feedback,
+                        interpret=self._interpret,
+                        emit="mask",
+                        overlay_region=overlay_region,
+                        threshold_map=self._thr_map,
+                        sub_rows=cfg.subtile_rows,
+                        pair=cfg.pair_lanes,
+                    )
+                )
+                payload = (pos, counts, vals_t, bits)
+            elif cfg.tiled_payload:
                 # sub-tiled compaction rides the tiled emit only: the
                 # flat emit's device merge is unit-serial and would pay
                 # tile_rows/subtile_rows more steps (benchmarks/subtile_ab)
@@ -290,7 +310,9 @@ class DeltaStreamPipeline:
           aux)`` with per-tile device blocks (see
           ``logcompact.fused_diff_compact(emit="tiled")``); with
           ``emit_bitmask`` the packed change-bits ride between vals_t
-          and aux: ``(new_prev, pos, counts, xs_t, vals_t, bits, aux)``.
+          and aux: ``(new_prev, pos, counts, xs_t, vals_t, bits, aux)``;
+        * bitmask-only payload (``maskonly_payload``): no index blocks —
+          ``(new_prev, pos, counts, vals_t, bits, aux)``.
         """
         cfg = self.config
         ids = fonts.encode_text(text, MAX_OVERLAY_CHARS)
@@ -359,8 +381,12 @@ class DeltaStreamPipeline:
             return new_prev, pos, xs, vals, aux
 
         if cfg.tiled_payload:
-            # (new_prev, pos, counts, xs_t, vals_t[, bits][, aux])
-            want = 6 + (1 if cfg.emit_bitmask else 0)
+            # (new_prev, pos, counts, xs_t, vals_t[, bits][, aux]) — or
+            # (new_prev, pos, counts, vals_t, bits[, aux]) bitmask-only
+            if cfg.maskonly_payload:
+                want = 6
+            else:
+                want = 6 + (1 if cfg.emit_bitmask else 0)
             if len(out) == want - 1:
                 return (*out, None)
             return out

@@ -223,12 +223,54 @@ def _mxu_incl_prefix(mi, R: int, sub_rows: int = 0):
     return incl + (rowpre - rowtot)
 
 
+def _pack_bits_block(mi, sub, lane, R: int):
+    """Pack a tile's ``(R, LANES)`` 0/1 mask into the canonical LSB-first
+    change-bitmask as an ``(R/8, LANES)`` uint8 block — the in-kernel
+    half of the bitmask-only emission (``emit="mask"``).
+
+    Layout proof: the canonical flat bitmask has bit ``f % 8`` of byte
+    ``f // 8`` = mask of flat index ``f`` (``ops.diff.pack_bitmask``).
+    Within a tile, flat ``f = r*128 + l`` so byte ``j = f // 8`` maps to
+    row ``r = j // 16`` and lane chunk ``c = j % 16`` (lanes
+    ``8c..8c+7``). An ``(R/8, 128)`` uint8 block read row-major gives
+    byte ``j = g*128 + l``, i.e. ``out[g, l]`` must hold the packed byte
+    of input row ``8g + l//16``, chunk ``l % 16`` — then the blocks'
+    row-major concatenation across the grid IS the flat ``n_pad/8``-byte
+    bitmask, no host reshuffle at all.
+
+    Both steps ride the MXU (exact at DEFAULT precision: every input is
+    an integer <= 255, bf16-representable; f32 accumulation of <= 8
+    power-of-two terms is exact):
+
+    * ``spread = mi @ P2`` with ``P2[l', l] = (l'//8 == l%16) *
+      2^(l'%8)`` — each row's 16 packed bytes, replicated 8x along
+      lanes so the regroup matmul can select per-chunk;
+    * zero all but chunk ``r % 8`` of each row, then ``A @ z`` with
+      ``A[g, r] = (r//8 == g)`` — sublane regrouping as a matmul (a
+      (R,16)->(R/8,128) minor-dim reshape does not lower in Mosaic; a
+      stride-8 sublane slice is equally unsupported).
+    """
+    lp = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+    lc = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+    p2 = jnp.where(
+        lp // 8 == lc % 16, jnp.left_shift(1, lp % 8), 0
+    ).astype(jnp.float32)
+    spread = jnp.dot(mi.astype(jnp.float32), p2,
+                     preferred_element_type=jnp.float32)
+    z = jnp.where(lane // 16 == sub % 8, spread, 0.0)
+    gi = jax.lax.broadcasted_iota(jnp.int32, (R // 8, R), 0)
+    gr = jax.lax.broadcasted_iota(jnp.int32, (R // 8, R), 1)
+    a = (gr // 8 == gi).astype(jnp.float32)
+    return jnp.dot(a, z, preferred_element_type=jnp.float32).astype(jnp.uint8)
+
+
 def _kernel_v2(cur_ref, prev_ref, thr_ref, *rest,
                tile_rows: int, negfeed: bool, region_tiles: int = 0,
                thr_is_map: bool = False, skip_static: bool = True,
                stream_tiles: int = 0, sub_rows: int = 0,
                pack16: bool = False, pair: bool = False,
-               has_offset: bool = False):
+               has_offset: bool = False, emit_xs: bool = True,
+               emit_bits: bool = False):
     """Per-element LSB-first shift compaction — ~16 dense passes.
 
     Each masked element must move left by its hole count
@@ -279,7 +321,10 @@ def _kernel_v2(cur_ref, prev_ref, thr_ref, *rest,
     # kernel launch (the shard base sidx*Ln is a traced value, so it
     # rides as an operand, exactly like the scalar threshold)
     off_ref = rest.pop(0) if has_offset else None
-    new_prev_ref, xs_ref, vals_ref, cnt_ref = rest
+    new_prev_ref = rest.pop(0)
+    xs_ref = rest.pop(0) if emit_xs else None
+    vals_ref, cnt_ref = rest.pop(0), rest.pop(0)
+    bits_ref = rest.pop(0) if emit_bits else None
     i = pl.program_id(0)
     # batched (super-frame) mode: B streams concatenated along the tile
     # axis, `stream_tiles` tiles each. Emitted byte indices are rebased
@@ -430,9 +475,12 @@ def _kernel_v2(cur_ref, prev_ref, thr_ref, *rest,
         # orig = final + holes holds at any granularity: movement stays
         # inside the unit, and holes are unit-local.
         xi = x.astype(jnp.int32) if pack16 else x
-        base = i_s * n_flat + (off_ref[0] if has_offset else 0)
-        xs_ref[:] = jnp.where(xi != 0, flat + (xi >> 8) + base, 0)
+        if emit_xs:
+            base = i_s * n_flat + (off_ref[0] if has_offset else 0)
+            xs_ref[:] = jnp.where(xi != 0, flat + (xi >> 8) + base, 0)
         vals_ref[:] = jnp.bitwise_and(xi, 255).astype(jnp.uint8)
+        if emit_bits:
+            bits_ref[:] = _pack_bits_block(mi, sub, lane, R)
         # counts ride a (R, 1) VMEM column — one vector store per tile
         # instead of tile_rows/sub_rows scalar SMEM extract+writes (the
         # measured cost that made fine sub-tilings regress,
@@ -448,9 +496,12 @@ def _kernel_v2(cur_ref, prev_ref, thr_ref, *rest,
 
         @pl.when(jnp.logical_not(any_change))
         def _static():
-            xs_ref[:] = jnp.zeros((R, LANES), jnp.int32)
+            if emit_xs:
+                xs_ref[:] = jnp.zeros((R, LANES), jnp.int32)
             vals_ref[:] = jnp.zeros((R, LANES), jnp.uint8)
             cnt_ref[:] = jnp.zeros((R, 1), jnp.int32)
+            if emit_bits:
+                bits_ref[:] = jnp.zeros((R // 8, LANES), jnp.uint8)
 
 
 def _kernel(cur_ref, prev_ref, thr_ref, *rest,
@@ -553,9 +604,10 @@ def _kernel(cur_ref, prev_ref, thr_ref, *rest,
 def _run_kernel(cur2, prev2, thr, *, scheme, tile_rows, grid,
                 negfeed, interpret, region2=None, thr_is_map=False,
                 skip_static=True, stream_tiles=0, sub_rows=0,
-                pack16=False, pair=False, index_off=None):
+                pack16=False, pair=False, index_off=None,
+                emit_xs=True, emit_bits=False):
     """Dispatch one pallas_call; returns ``(new_prev, xs_t, vals_t,
-    counts)`` with the tile blocks in ``(rows, LANES)`` layout and
+    counts, bits)`` with the tile blocks in ``(rows, LANES)`` layout and
     ``counts`` normalized to one int32 per compaction unit
     (``grid * tile_rows/sub_rows`` entries when sub-tiled, ``grid``
     otherwise). ``region2`` is an optional overlay-region prefix (a
@@ -564,8 +616,19 @@ def _run_kernel(cur2, prev2, thr, *, scheme, tile_rows, grid,
     uint8 map when ``thr_is_map``. ``stream_tiles`` > 0 marks a batched
     super-frame: every ``stream_tiles`` tiles are one independent
     stream — indices rebase per stream and the region (stacked
-    per-stream blocks) applies to each stream's leading tiles."""
+    per-stream blocks) applies to each stream's leading tiles.
+
+    ``emit_xs=False`` (element scheme only) drops the int32 index blocks
+    entirely — the single largest kernel HBM write (4n bytes, half of
+    all kernel traffic at 1080p); ``xs_t`` comes back None.
+    ``emit_bits=True`` adds the packed LSB-first change-bitmask as a
+    ``(rows/8, LANES)`` uint8 output (``bits``; None otherwise) — the
+    bitmask-only emission for mask/v4 serving, where the wire format
+    and the kernel output finally share one representation
+    (the TPU-native endgame of ``kernels.cu:289-334``)."""
     rows = cur2.shape[0]
+    if (not emit_xs or emit_bits) and scheme != "element":
+        raise ValueError("emit_xs=False / emit_bits: element scheme only")
     if scheme == "register":
         from cudavideostream_tpu.ops import pallas_compact
 
@@ -577,7 +640,7 @@ def _run_kernel(cur2, prev2, thr, *, scheme, tile_rows, grid,
         return pallas_compact.run_register(
             cur2, prev2, thr, tile_rows=tile_rows, grid=grid,
             negfeed=negfeed, interpret=interpret,
-        )
+        ) + (None,)
     if region2 is not None and stream_tiles:
         # a per-stream region input needs the non-monotone index map
         # (i // st) * rt + min(i % st, rt - 1), which defeats Mosaic's
@@ -603,6 +666,7 @@ def _run_kernel(cur2, prev2, thr, *, scheme, tile_rows, grid,
             skip_static=skip_static, stream_tiles=stream_tiles,
             sub_rows=sub_rows, pack16=pack16, pair=pair,
             has_offset=index_off is not None,
+            emit_xs=emit_xs, emit_bits=emit_bits,
         )
     else:
         kernel = functools.partial(
@@ -649,33 +713,46 @@ def _run_kernel(cur2, prev2, thr, *, scheme, tile_rows, grid,
         cnt_spec = pl.BlockSpec((grid, 1), lambda i: (0, 0),
                                 memory_space=pltpu.SMEM)
         cnt_shape = jax.ShapeDtypeStruct((grid, 1), jnp.int32)
-    new_prev, xs_t, vals_t, counts = pl.pallas_call(
+    tile_spec = pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    tile_u8 = jax.ShapeDtypeStruct((rows, LANES), jnp.uint8)
+    out_specs = [tile_spec]
+    out_shape = [tile_u8]                       # new_prev
+    if emit_xs:
+        out_specs.append(tile_spec)
+        out_shape.append(jax.ShapeDtypeStruct((rows, LANES), jnp.int32))
+    out_specs += [tile_spec, cnt_spec]
+    out_shape += [tile_u8, cnt_shape]           # vals, counts
+    if emit_bits:
+        out_specs.append(
+            pl.BlockSpec((tile_rows // 8, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct((rows // 8, LANES), jnp.uint8)
+        )
+    outs = pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            cnt_spec,
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((rows, LANES), jnp.uint8),
-            jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((rows, LANES), jnp.uint8),
-            cnt_shape,
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
     )(*inputs)
+    outs = list(outs)
+    new_prev = outs.pop(0)
+    xs_t = outs.pop(0) if emit_xs else None
+    vals_t, counts = outs.pop(0), outs.pop(0)
+    bits = outs.pop(0) if emit_bits else None
     if scheme == "element":
         unit_rows = sub_rows if sub_rows else tile_rows
         counts = counts.reshape(rows // unit_rows, unit_rows)[:, -1]
     else:
         counts = counts.reshape(grid)
-    return new_prev, xs_t, vals_t, counts
+    return new_prev, xs_t, vals_t, counts, bits
 
 
 @functools.partial(
@@ -722,6 +799,18 @@ def fused_diff_compact(
     holds ``counts[t]`` valid entries, skipping the merge epilogue; the
     host's scatter-gather sender assembles the identical wire bytes for
     free (``wire.tiled_to_flat`` / ``native wire_send_segments``).
+
+    ``emit="mask"`` returns ``(pos, counts, vals_t, bits, new_prev)`` —
+    the BITMASK-ONLY emission for mask-flavor serving: no int32 index
+    blocks are materialized at all (they were half of the kernel's HBM
+    writes — 24.9 MB/frame at 1080p, ``benchmarks/trace_flagship_tpu_v5e``),
+    and the packed LSB-first change-bitmask (``bits``, flat ``n_pad/8``
+    uint8, the exact ``diff.pack_bitmask`` layout) is produced inside
+    the kernel from the mask it already holds in VMEM instead of by a
+    separate 2n-byte XLA re-read of (new_prev, prev). Byte indices are
+    recoverable exactly from ``bits`` (LSB-first unpack order IS
+    ascending byte order — ``TiledLander._rebuild_mask_xs``), so mask
+    landings and wire v4 lose nothing. Element scheme only.
 
     ``overlay_region`` (element/segment schemes): a prefix of the frame
     with the text strip already blended (tiny — the strip's image rows).
@@ -812,13 +901,14 @@ def fused_diff_compact(
     if index_offset is not None:
         index_off = jnp.asarray(index_offset, jnp.int32).reshape(1)
 
-    new_prev, xs_t, vals_t, counts = _run_kernel(
+    new_prev, xs_t, vals_t, counts, bits = _run_kernel(
         cur2, prev2, thr, scheme=scheme, tile_rows=tile_rows, grid=grid,
         negfeed=negative_feedback, interpret=interpret, region2=region2,
         thr_is_map=thr_is_map, skip_static=skip_static, sub_rows=sub_rows,
         pack16=pack16 and sub_rows == 1,
         pair=pair and sub_rows == 1 and tile_rows % 16 == 0 and not pack16,
         index_off=index_off,
+        emit_xs=emit != "mask", emit_bits=emit == "mask",
     )
 
     # emission granularity: sub-tiles when sub_rows ran, else tiles
@@ -831,6 +921,11 @@ def fused_diff_compact(
     )
     pos = offsets[n_units]
     new_prev = new_prev.reshape(n_pad)[:n]
+
+    if emit == "mask":
+        return (pos, _narrow_counts(counts, unit_bytes),
+                vals_t.reshape(n_units, unit_bytes),
+                bits.reshape(n_pad // 8), new_prev)
 
     if emit == "tiled":
         return (pos, _narrow_counts(counts, unit_bytes),
@@ -955,7 +1050,7 @@ def fused_diff_compact_batched(
 
     cur2 = current.reshape(B * rows, LANES)
     prev2 = previous.reshape(B * rows, LANES)
-    new_prev, xs_t, vals_t, counts = _run_kernel(
+    new_prev, xs_t, vals_t, counts, _ = _run_kernel(
         cur2, prev2, thr, scheme=scheme, tile_rows=tile_rows, grid=grid,
         negfeed=negative_feedback, interpret=interpret,
         thr_is_map=thr_is_map, skip_static=skip_static, stream_tiles=tps,
@@ -1160,4 +1255,119 @@ def merge_tiles(counts, xs_t, vals_t):
         return _merge_tiles_serial(counts, xs_t, vals_t)
     return _merge_tiles_two_stage(
         counts, xs_t, vals_t, interpret=jax.default_backend() == "cpu"
+    )
+
+
+def _kernel_vals(vals_ref, out_vals_ref, cnt_ref, *, tile_rows: int):
+    """Vals-only compaction: compact a uint8 stream by ``vals != 0`` —
+    the device half of :func:`merge_vals`. Exactly the pair kernel
+    (``_kernel_pair``) minus the riding xs array: the packed
+    ``holes*256 + val`` drives the LSB-first shift passes alone, so the
+    merge for bitmask-only payloads never touches an int32 index stream
+    (2n HBM bytes instead of the pair kernel's ~10n)."""
+    i = pl.program_id(0)
+    R = tile_rows
+
+    v = vals_ref[:].astype(jnp.int32)
+    m = v != 0
+    mi = m.astype(jnp.int32)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
+    flat = sub * LANES + lane
+
+    incl = _mxu_incl_prefix(mi, R)
+    holes = jnp.where(m, flat - (incl - 1), 0)
+    x = jnp.where(m, holes * 256 + v, 0)
+    n_flat = R * LANES
+    b = 1
+    while b < n_flat:
+        rx = _flat_roll_left(x, b, R)
+        src_ok = flat + b < n_flat
+        take = src_ok & (jnp.bitwise_and(rx, b * 256) != 0)
+        x = jnp.where(
+            take, rx,
+            jnp.where(jnp.bitwise_and(x, b * 256) == 0, x, 0),
+        )
+        b *= 2
+
+    out_vals_ref[:] = jnp.bitwise_and(x, 255).astype(jnp.uint8)
+    cnt_ref[i, 0] = incl[R - 1, LANES - 1]
+
+
+def _vals_compact(vals_flat: Array, interpret: bool = False):
+    """Compact a flat uint8 stream by ``vals != 0`` into per-tile blocks
+    ``(grid, tile_bytes)`` + counts, at the whole-tile grid geometry."""
+    n = vals_flat.shape[0]
+    rows, tile_rows = _tile_geometry(-(-n // LANES))
+    n_pad = rows * LANES
+    if n_pad != n:
+        vals_flat = jnp.pad(vals_flat, (0, n_pad - n))
+    grid = rows // tile_rows
+    vals_t, counts = pl.pallas_call(
+        functools.partial(_kernel_vals, tile_rows=tile_rows),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((grid, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, LANES), jnp.uint8),
+            jax.ShapeDtypeStruct((grid, 1), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(vals_flat.reshape(rows, LANES))
+    tile_bytes = tile_rows * LANES
+    return counts.reshape(grid), vals_t.reshape(grid, tile_bytes)
+
+
+def _merge_vals_impl(counts: Array, vals_t: Array):
+    """Serial DUS-chain concatenation of per-tile vals prefixes (the
+    vals half of :func:`_merge_tiles_impl`)."""
+    grid, tile_bytes = vals_t.shape
+    n_pad = grid * tile_bytes
+    offsets = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)]
+    )
+    vals_flat = vals_t.reshape(n_pad)
+
+    def body(i, av):
+        bv = jax.lax.dynamic_slice(vals_flat, (i * tile_bytes,),
+                                   (tile_bytes,))
+        return jax.lax.dynamic_update_slice(av, bv, (offsets[i],))
+
+    return jax.lax.fori_loop(0, grid, body, jnp.zeros(n_pad, jnp.uint8))
+
+
+_merge_vals_serial = jax.jit(_merge_vals_impl)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _merge_vals_two_stage(counts, vals_t, interpret=False):
+    U, ub = vals_t.shape
+    c2, vals2 = _vals_compact(vals_t.reshape(U * ub), interpret=interpret)
+    return _merge_vals_impl(c2, vals2)
+
+
+def merge_vals(counts, vals_t):
+    """Device-side VALS-ONLY tile merge for bitmask-only payloads
+    (``emit="mask"``): the mask landing fetches the merged vals prefix +
+    the bits window and rebuilds indices host-side, so merging (or even
+    materializing) the xs stream is pure waste — ``merge_tiles`` on the
+    product sub_rows=1 geometry pays the two-stage PAIR kernel, which
+    reads + writes the 4n-byte int32 stream nothing consumes. Same
+    output contract as ``merge_tiles``'s vals half: zero past ``pos``,
+    padded length may exceed ``U * ub`` — slice ``[:pos]`` prefixes."""
+    if vals_t.shape[0] <= MERGE_SERIAL_MAX_UNITS:
+        return _merge_vals_serial(counts, vals_t)
+    return _merge_vals_two_stage(
+        counts, vals_t, interpret=jax.default_backend() == "cpu"
     )

@@ -409,6 +409,41 @@ class TiledLander:
         """Enable host-authored overlay landings (see OverlayShadow)."""
         self._ov = ov
 
+    # -- warm start (cross-session learning persistence) ---------------
+    # The reference ships its FIRST frame at full speed because its ring
+    # of six pinned buffers is preallocated (threads.cpp:84-106); here
+    # the drift EMAs and the speculative window start blind instead, and
+    # the measured cold-start transient was a third of a 300-frame
+    # session (first-30 47.3 ms/frame vs last-30 8.6,
+    # benchmarks/sustained_tpu_tunnel r4). export/seed move that learned
+    # state across sessions (server --link-cache).
+    def export_state(self) -> dict:
+        """Learned speculation state as a JSON-safe dict."""
+        return {
+            "vel_pf": self._vel_pf,
+            "err_pf": self._err_pf,
+            "dpos_pf": self._dpos_pf,
+            "spec": list(self._spec) if self._spec is not None else None,
+        }
+
+    def seed_state(self, st: dict) -> None:
+        """Seed the drift EMAs (+ the speculative window when its flavor
+        is valid for this lander's mode) from :meth:`export_state`
+        output. Every seeded value is an ESTIMATE the landing already
+        treats as fallible — a wrong seed costs at most one extra miss
+        round trip per batch until the fast EMAs re-learn, never a byte.
+        """
+        for k in ("vel_pf", "err_pf", "dpos_pf"):
+            v = st.get(k)
+            if isinstance(v, (int, float)):
+                setattr(self, f"_{k}", float(v))
+        spec = st.get("spec")
+        if (isinstance(spec, (list, tuple)) and len(spec) == 5
+                and spec[0] in ("tiles", "flat", "mask")
+                and (self.mode == "auto" or spec[0] == self.mode)):
+            self._spec = (spec[0], int(spec[1]), int(spec[2]),
+                          int(spec[3]), int(spec[4]))
+
     def _ov_units(self, tile_cap: int):
         """First unit index past the overlay strip, or None when the
         host-authored path is unavailable."""
@@ -1119,12 +1154,21 @@ class TiledLander:
         from cudavideostream_tpu.ops import logcompact
 
         K = len(items)
-        n_tiles, tile_cap = items[0][2].shape
+        n_tiles, tile_cap = items[0][3].shape
         self._ensure_fetchers(n_tiles, tile_cap)
+        # bitmask-only payloads (config.maskonly_payload) carry no index
+        # blocks: it[2] is None, and only the "mask" flavor can land them
+        maskonly = any(it[2] is None for it in items)
         single = all(
-            self._single_device(it[2]) and self._single_device(it[3])
+            (it[2] is None or self._single_device(it[2]))
+            and self._single_device(it[3])
             for it in items
         )
+        if maskonly and (not single or self.mode != "mask"):
+            raise ValueError(
+                "bitmask-only payloads land through fetch_mode 'mask' "
+                "on a single device (no index blocks exist to fetch)"
+            )
         if not single or self.mode not in ("tiles", "auto", "flat", "mask"):
             return self._land_generic_many(items)
         has_bits = all(len(it) > 4 and it[4] is not None for it in items)
@@ -1178,8 +1222,14 @@ class TiledLander:
                     for it, m, s in zip(items, merged, starts)
                 ]
             elif smode == "mask":
+                # vals-only merge for bitmask-only payloads: the mask
+                # fetch never moves xs, so merging them is pure waste
                 for i, it in enumerate(items):
-                    merged[i] = logcompact.merge_tiles(it[1], it[2], it[3])
+                    merged[i] = (
+                        (None, logcompact.merge_vals(it[1], it[3]))
+                        if it[2] is None
+                        else logcompact.merge_tiles(it[1], it[2], it[3])
+                    )
                 # text-change frames ride the SAME speculative round
                 # trip: vals budget widened by the host-known overlay
                 # bound, scene window clamped past the strip (the
@@ -1276,8 +1326,12 @@ class TiledLander:
                 startc = max(0, min(t_lo, n_tiles - Lc))
                 if want == "mask":
                     if merged[i] is None:
-                        merged[i] = logcompact.merge_tiles(
-                            counts_d, xs_t_d, vals_t_d)
+                        merged[i] = (
+                            (None, logcompact.merge_vals(counts_d, vals_t_d))
+                            if xs_t_d is None
+                            else logcompact.merge_tiles(
+                                counts_d, xs_t_d, vals_t_d)
+                        )
                     P = self._flat_len(pos, self._fetch_xs.capacity)
                     bw_s, vw_s = self._mask_win(Lc, tile_cap, P)(
                         items[i][4], merged[i][1], np.int32(startc))
@@ -1630,9 +1684,14 @@ class StreamExecutor:
               ) -> Tuple[int, np.ndarray, np.ndarray, Optional[np.ndarray]]:
         if self.cfg.tiled_payload:
             # (pos, counts, xs_t, vals_t[, bits], aux) — bits rides when
-            # the pipeline emits the packed change-bitmask
-            pos_d, counts_d, xs_t_d, vals_t_d = rest[:4]
-            bits_d = rest[4] if len(rest) == 6 else None
+            # the pipeline emits the packed change-bitmask; bitmask-only
+            # payloads carry (pos, counts, vals_t, bits, aux), no xs
+            if self.cfg.maskonly_payload:
+                pos_d, counts_d, vals_t_d, bits_d = rest[:4]
+                xs_t_d = None
+            else:
+                pos_d, counts_d, xs_t_d, vals_t_d = rest[:4]
+                bits_d = rest[4] if len(rest) == 6 else None
             aux_d = rest[-1]
             # single fused (often speculative) landing: pos + counts +
             # payload window in as few link round trips as possible —
@@ -1713,6 +1772,81 @@ class StreamExecutor:
             self._lander._ov.reinit(data["prev"])
         self._last_text = None
 
+    # -- lander warm start (server --link-cache / --calibrate) ----------
+    # The r4 sustained run spent a third of a 300-frame session in the
+    # cold-start learning transient (LinkStats unknown, spec window
+    # blind-wide: first-30 47.3 ms/frame vs last-30 8.6,
+    # benchmarks/sustained_tpu_tunnel). The stream state already
+    # checkpoints (save_state); this persists the LEARNED link +
+    # speculation state alongside. Every cached value is advisory — a
+    # stale cache costs at most extra miss round trips, never a byte.
+    LINK_CACHE_VERSION = 1
+
+    def _link_fingerprint(self) -> list:
+        # everything the cached window geometry is only valid under: a
+        # spec (start, L, P) proven in-range last session stays in-range
+        # exactly when tile count and fetch capacity are unchanged
+        return [self.cfg.frame_bytes, self.cfg.capacity,
+                self.cfg.fetch_mode, self.cfg.subtile_rows,
+                self.cfg.tiled_payload]
+
+    def save_link_cache(self, path: str) -> None:
+        import json
+
+        data = {
+            "version": self.LINK_CACHE_VERSION,
+            "fingerprint": self._link_fingerprint(),
+            "bps": self.link.bps,
+            "merge_s": self.link.merge_s,
+            "lander": self._lander.export_state(),
+        }
+        with open(path, "w") as f:
+            json.dump(data, f)
+
+    def load_link_cache(self, path: str) -> bool:
+        """Seed link/speculation state from a prior session's cache.
+        Returns False (and changes nothing) on a missing, unreadable, or
+        mismatched cache — warm start is an optimization, never a
+        requirement."""
+        import json
+        import os
+
+        if not os.path.exists(path):
+            return False
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            return False
+        if (data.get("version") != self.LINK_CACHE_VERSION
+                or data.get("fingerprint") != self._link_fingerprint()):
+            return False
+        if isinstance(data.get("bps"), (int, float)) and data["bps"] > 0:
+            self.link.bps = float(data["bps"])
+        if isinstance(data.get("merge_s"), (int, float)) \
+                and data["merge_s"] > 0:
+            self.link.merge_s = float(data["merge_s"])
+        if isinstance(data.get("lander"), dict):
+            self._lander.seed_state(data["lander"])
+        return True
+
+    def calibrate_link(self, rounds: int = 2,
+                       nbytes: int = 1 << 19) -> None:
+        """Seed ``LinkStats.bps`` with real device round trips BEFORE the
+        first frame — the no-cache half of warm start. Two 512 KiB gets
+        cost ~70 ms once on the tunnel-class link; the blind-bps
+        transient they replace was worth seconds (the lander's fetch
+        decisions assume a fast link until proven otherwise)."""
+        import jax
+        import jax.numpy as jnp
+
+        buf = jax.device_put(jnp.zeros(nbytes, jnp.uint8))
+        jax.device_get(buf)          # materialize + warm the path
+        for _ in range(max(0, rounds)):
+            t1 = time.perf_counter()
+            jax.device_get(buf)
+            self.link.record_fetch(nbytes, time.perf_counter() - t1)
+
 
 class PipelinedExecutor(StreamExecutor):
     """One-frame-deep software pipeline: dispatch frame N, then land frame
@@ -1788,12 +1922,15 @@ class BatchedLandExecutor(StreamExecutor):
 
     def _land_queue(self):
         q, self._queue = self._queue, []
-        landed = self._lander.land_fused_many(
-            [
+        if self.cfg.maskonly_payload:
+            items = [(r[0], r[1], None, r[2], r[3]) for _, r, _ch in q]
+        else:
+            items = [
                 (r[0], r[1], r[2], r[3], r[4] if len(r) == 6 else None)
                 for _, r, _ch in q
-            ],
-            volatile=[ch for _, _, ch in q],
+            ]
+        landed = self._lander.land_fused_many(
+            items, volatile=[ch for _, _, ch in q],
         )
         out = []
         for (t0, rest, _ch), (pos, res) in zip(q, landed):

@@ -44,7 +44,8 @@ class DeltaStreamServer:
     def __init__(self, config: StreamConfig, source: FrameSource,
                  executor: StreamExecutor | None = None, verbose: bool = True,
                  overlay_status: bool = True, aux_dir: str | None = None,
-                 aux_every: int = 30, resume: bool = False):
+                 aux_every: int = 30, resume: bool = False,
+                 aux_sink=None):
         self.cfg = config
         self.source = source
         self.executor = executor or StreamExecutor(config)
@@ -64,6 +65,11 @@ class DeltaStreamServer:
         # threads.cpp:149-164); headless equivalent: periodic PPM dumps
         self.aux_dir = aux_dir
         self.aux_every = aux_every
+        # LIVE aux relay (th_noise_hdl parity, threads.cpp:149-164): an
+        # AuxStreamSink serving the visualizer frame on a side socket in
+        # real time — viewers attach/detach freely, a slow viewer never
+        # backpressures the delta stream (auxstream module docstring)
+        self.aux_sink = aux_sink
         self._sock: socket.socket | None = None
 
     def listen(self) -> socket.socket:
@@ -288,6 +294,13 @@ def main(argv=None) -> int:
                         "landing can use the 'mask' fetch flavor — on "
                         "by default under --fetch mask; offered to "
                         "--fetch auto as a third option")
+    p.add_argument("--maskonly", action="store_true",
+                   help="bitmask-ONLY kernel emission (requires --fetch "
+                        "mask): the kernel never materializes the int32 "
+                        "index blocks (half of its HBM writes at 1080p) "
+                        "and packs the change-bits in-kernel; indices "
+                        "are rebuilt exactly from the bits, so every "
+                        "wire format still works")
     p.add_argument("--subtile", type=int, default=None,
                    help="sub-tiled compaction granularity in rows "
                         "(tiled payloads; 0 = whole-tile units; default "
@@ -345,6 +358,20 @@ def main(argv=None) -> int:
     p.add_argument("--save-state", default=None, metavar="CKPT",
                    help="write the executor state checkpoint here after "
                         "serving (pair with --resume on the next run)")
+    p.add_argument("--link-cache", default=None, metavar="JSON",
+                   help="persist the LEARNED link + speculation state "
+                        "across sessions: load it (if present and its "
+                        "geometry fingerprint matches) before serving, "
+                        "rewrite it after — kills the cold-start "
+                        "learning transient (a third of a 300-frame "
+                        "session, benchmarks/sustained_tpu_tunnel r4). "
+                        "Advisory only: a stale cache costs extra miss "
+                        "round trips, never a byte")
+    p.add_argument("--calibrate", type=int, default=2, metavar="N",
+                   help="seed the link-bandwidth estimate with N real "
+                        "device round trips before the first frame "
+                        "(~35 ms each on the tunnel; 0 disables; "
+                        "default 2; no-op for --backend oracle/--mesh)")
     args = p.parse_args(argv)
     # genuinely impossible combos only: --tiled is the single-chip emit
     # mode (the sharded layout IS the mesh analogue) and the oracle is
@@ -361,6 +388,9 @@ def main(argv=None) -> int:
         p.error("--fetch tiles/flat/mask applies to --tiled payloads")
     if args.bitmask and not args.tiled:
         p.error("--bitmask applies to --tiled payloads")
+    if args.maskonly and args.fetch != "mask":
+        p.error("--maskonly requires --fetch mask (no index blocks "
+                "exist for the tiles/flat landings)")
     if args.capacity is not None and (args.mesh or args.tiled):
         # sharded/tiled payload layouts are always worst-case capacity
         # (config.py validates tiled; sharded.py pins capacity itself)
@@ -390,6 +420,7 @@ def main(argv=None) -> int:
             args.wire == "v4"
             and (args.bitmask or args.fetch == "mask")
         ),
+        maskonly_payload=args.maskonly,
         wire_format=args.wire,
         host=args.host,
         port=args.port,
@@ -468,12 +499,27 @@ def main(argv=None) -> int:
                     "(not available under --mesh or --backend oracle)")
     if args.resume:
         executor.load_state(args.resume)
+    if args.link_cache or args.calibrate:
+        if executor is None:
+            executor = StreamExecutor(cfg)
+        warmable = hasattr(executor, "load_link_cache")
+        if args.link_cache and not warmable:
+            p.error("--link-cache needs a device StreamExecutor "
+                    "(not available under --mesh or --backend oracle)")
+        if args.link_cache and executor.load_link_cache(args.link_cache):
+            print(f"link cache loaded from {args.link_cache}",
+                  file=sys.stderr)
+        if args.calibrate and warmable:
+            executor.calibrate_link(rounds=args.calibrate)
     server = DeltaStreamServer(cfg, source, executor=executor,
                                aux_dir=args.aux_dir, resume=bool(args.resume))
     served = server.serve(max_frames=args.frames)
     if args.save_state:
         executor.save_state(args.save_state)
         print(f"state saved to {args.save_state}", file=sys.stderr)
+    if args.link_cache:
+        executor.save_link_cache(args.link_cache)
+        print(f"link cache saved to {args.link_cache}", file=sys.stderr)
     print(f"served {served} frames", file=sys.stderr)
     return 0
 
