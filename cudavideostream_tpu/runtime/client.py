@@ -105,7 +105,8 @@ class DeltaStreamClient:
 
 
 def make_http_relay(listen_port: int, server_host: str, server_port: int,
-                    height: int, width: int, verbose: bool = False):
+                    height: int, width: int, verbose: bool = False,
+                    aux_port: int | None = None):
     """Live browser bridge — parity with the reference client's display
     loop (``client/opencv.cpp:68-69``), sans GUI dependency.
 
@@ -116,7 +117,12 @@ def make_http_relay(listen_port: int, server_host: str, server_port: int,
     * ``/stream`` — connects to the delta-stream server and pipes the
       raw wire bytes through as an HTTP/1.0 close-delimited response;
       the browser decodes the stream incrementally (all three wire
-      formats — the magic prefix self-describes).
+      formats — the magic prefix self-describes);
+    * ``/aux`` — (when ``aux_port`` is given) same pipe-through for the
+      server's live visualizer side stream (``server --aux-port``); the
+      viewer page shows it on a second canvas — the browser equivalent
+      of the reference's dedicated noise-display thread
+      (``threads.cpp:149-164``).
 
     Each ``/stream`` request opens its own upstream connection, so the
     solo server (sequential clients) and the broadcast server (parallel
@@ -149,13 +155,39 @@ def make_http_relay(listen_port: int, server_host: str, server_port: int,
                 ).replace(
                     b'id="h" value="270"', f'id="h" value="{height}"'.encode()
                 )
+                if aux_port is not None:
+                    html = html.replace(b"AUX_ENABLED = false",
+                                        b"AUX_ENABLED = true")
                 self.send_response(200)
                 self.send_header("Content-Type", "text/html; charset=utf-8")
                 self.send_header("Content-Length", str(len(html)))
                 self.end_headers()
                 self.wfile.write(html)
                 return
-            if self.path.split("?")[0] == "/stream":
+            path = self.path.split("?")[0]
+            if path == "/aux" and aux_port is not None:
+                try:
+                    up = socket.create_connection((server_host, aux_port))
+                except OSError as e:
+                    self.send_error(502, f"aux stream unreachable: {e}")
+                    return
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "application/octet-stream")
+                self.send_header("Cache-Control", "no-store")
+                self.end_headers()
+                try:
+                    while True:
+                        data = up.recv(1 << 16)
+                        if not data:
+                            break
+                        self.wfile.write(data)
+                except (BrokenPipeError, ConnectionResetError, OSError):
+                    pass
+                finally:
+                    up.close()
+                return
+            if path == "/stream":
                 try:
                     up = socket.create_connection(upstream)
                 except OSError as e:
@@ -214,11 +246,20 @@ def main(argv=None) -> int:
                         "/stream relays the raw wire bytes from the "
                         "server at --host/--port (open http://localhost:"
                         "PORT/ and press 'live')")
+    p.add_argument("--aux", action="store_true",
+                   help="attach to the server's AUX (visualizer) side "
+                        "stream at --port instead of the delta stream "
+                        "(server --aux-port; th_noise_hdl parity)")
+    p.add_argument("--aux-port", type=int, default=None, metavar="PORT",
+                   help="with --http: also relay the server's aux "
+                        "stream from this port as /aux, and show the "
+                        "visualizer panel in the browser viewer")
     args = p.parse_args(argv)
 
     if args.http is not None:
         srv = make_http_relay(args.http, args.host, args.port,
-                              args.height, args.width, verbose=args.check)
+                              args.height, args.width, verbose=args.check,
+                              aux_port=args.aux_port)
         print(f"live viewer at http://localhost:{args.http}/ "
               f"(relaying {args.host}:{args.port})", flush=True)
         try:
@@ -227,6 +268,34 @@ def main(argv=None) -> int:
             pass
         finally:
             srv.server_close()
+        return 0
+
+    if args.aux:
+        from cudavideostream_tpu.runtime.auxstream import AuxStreamClient
+
+        aux = AuxStreamClient(args.host, args.port)
+        aux.connect()
+        print(f"aux stream: {aux.height}x{aux.width}", flush=True)
+        n = 0
+        t0 = time.perf_counter()
+        last = t0
+        try:
+            while args.frames is None or n < args.frames:
+                idx, frame = aux.read_frame()
+                n += 1
+                if args.ppm and (n - 1) % args.ppm_every == 0:
+                    write_ppm(f"{args.ppm}_{idx:06d}.ppm", frame,
+                              aux.height, aux.width)
+                now = time.perf_counter()
+                if args.check and now - last >= 1.0:
+                    print(f"aux frame {idx}: fps={n/(now-t0):.1f} "
+                          f"digest={int(frame.sum())}", flush=True)
+                    last = now
+        except (ConnectionError, KeyboardInterrupt):
+            pass
+        finally:
+            aux.close()
+        print(f"received {n} aux frames", flush=True)
         return 0
 
     cli = DeltaStreamClient(args.host, args.port, args.height, args.width,

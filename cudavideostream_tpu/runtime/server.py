@@ -189,6 +189,8 @@ class DeltaStreamServer:
         if sent is not None:  # v2/v3: correct the wire-bytes stat
             self.executor.metrics.wire_bytes += sent - (4 + 5 * res[0])
         aux = res[3]
+        if self.aux_sink is not None and aux is not None:
+            self.aux_sink.push(idx, aux)
         if self.aux_dir and aux is not None and idx % self.aux_every == 0:
             from cudavideostream_tpu.runtime.client import write_ppm
 
@@ -350,6 +352,12 @@ def main(argv=None) -> int:
     p.add_argument("--aux-dir", default=None,
                    help="dump visualizer aux frames as PPMs here "
                         "(the headless SERVER_IMSHOW)")
+    p.add_argument("--aux-port", type=int, default=None, metavar="PORT",
+                   help="ALSO serve the live visualizer frame on this "
+                        "side socket (th_noise_hdl parity) — attach "
+                        "with client --aux or the --http viewer's aux "
+                        "panel; slow viewers drop frames, never stall "
+                        "the delta stream (requires --visualizer)")
     p.add_argument("--resume", default=None, metavar="CKPT",
                    help="resume serving from a checkpoint (.npz written "
                         "by --save-state): the shipped base frame is the "
@@ -511,9 +519,21 @@ def main(argv=None) -> int:
                   file=sys.stderr)
         if args.calibrate and warmable:
             executor.calibrate_link(rounds=args.calibrate)
+    aux_sink = None
+    if args.aux_port is not None:
+        if not args.visualizer:
+            p.error("--aux-port needs --visualizer (no aux frame exists)")
+        from cudavideostream_tpu.runtime.auxstream import AuxStreamSink
+
+        aux_sink = AuxStreamSink(cfg.height, cfg.width,
+                                 host=cfg.host, port=args.aux_port)
+        print(f"aux stream on {cfg.host}:{aux_sink.port}", file=sys.stderr)
     server = DeltaStreamServer(cfg, source, executor=executor,
-                               aux_dir=args.aux_dir, resume=bool(args.resume))
+                               aux_dir=args.aux_dir, resume=bool(args.resume),
+                               aux_sink=aux_sink)
     served = server.serve(max_frames=args.frames)
+    if aux_sink is not None:
+        aux_sink.close()
     if args.save_state:
         executor.save_state(args.save_state)
         print(f"state saved to {args.save_state}", file=sys.stderr)
