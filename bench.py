@@ -57,6 +57,7 @@ def _bench_config(cfg, atlas_text, frames, iters, skip_check, label="",
     n_chars = jnp.int32(len(atlas_text))
     T = frames
     tiled = cfg.tiled_payload
+    maskonly = cfg.maskonly_payload
     has_aux = cfg.visualizer.value != 0
 
     def scan_step(carry, t):
@@ -65,7 +66,11 @@ def _bench_config(cfg, atlas_text, frames, iters, skip_check, label="",
         frame = next_frame(sub, t)
         out = pipe._step_impl(prev, frame, ids, n_chars)
         prev = out[0]
-        if tiled:
+        if maskonly:
+            # bitmask-only payload: (pos, counts, vals_t, bits) — no
+            # int32 index blocks exist (config.maskonly_payload)
+            pos, _counts, vals, xs = out[1:5]   # xs := bits for digest
+        elif tiled:
             pos, counts, xs, vals = out[1:5]
         else:
             pos, xs, vals = out[1:4]
@@ -100,7 +105,20 @@ def _bench_config(cfg, atlas_text, frames, iters, skip_check, label="",
             jnp.asarray(np.asarray(init_frame)).copy(), frame1, ids, n_chars
         )
         new_prev = out[0]
-        if tiled:
+        if maskonly:
+            pos_d, counts, vals_t, bits = out[1:5]
+            counts = np.asarray(counts)
+            vals = np.concatenate(
+                [np.asarray(vals_t)[t, : counts[t]] for t in range(len(counts))]
+            )
+            # indices rebuild exactly from the packed change-bits
+            # (LSB-first unpack order IS ascending byte order)
+            xs = np.flatnonzero(
+                np.unpackbits(np.asarray(bits), bitorder="little")
+            ).astype(np.int32)
+            pos = int(pos_d)
+            assert xs.size == pos, (xs.size, pos)
+        elif tiled:
             pos, counts, xs_t, vals_t = out[1:5]
             counts = np.asarray(counts)
             xs = np.concatenate(
@@ -287,9 +305,12 @@ def _one_variant(args) -> int:
     from cudavideostream_tpu.models import variants as variants_mod
 
     on_tpu = jax.default_backend() not in ("cpu",)
-    vcfg = variants_mod.get_config(
-        args.one_variant, tiled_payload=(args.emit == "tiled")
-    )
+    vcfg = variants_mod.get_config(args.one_variant)
+    if not vcfg.maskonly_payload:
+        # maskonly REQUIRES the tiled layout; every other variant A/Bs
+        # under the requested emit
+        vcfg = dataclasses.replace(
+            vcfg, tiled_payload=(args.emit == "tiled"))
     if not on_tpu:
         vcfg = dataclasses.replace(vcfg, height=48, width=64)
     text = "FPS: 240 BW: 14000 kbps"

@@ -46,6 +46,15 @@ def _denoised():
     return StreamConfig(noise_filter=True, conv_k=3)
 
 
+@register("delta-maskonly")
+def _maskonly():
+    """Bitmask-only emission for mask/v4 serving: no int32 index blocks
+    (they were half of the kernel's HBM writes at 1080p), change-bits
+    packed in-kernel — the serving config of the r5 headline."""
+    return StreamConfig(tiled_payload=True, fetch_mode="mask",
+                        emit_bitmask=True, maskonly_payload=True)
+
+
 @register("heatmap")
 def _heatmap():
     """NOISE_VISUALIZER=1: motion heatmap aux stream."""

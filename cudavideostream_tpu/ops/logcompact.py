@@ -128,6 +128,33 @@ def _tile_geometry(rows: int) -> Tuple[int, int]:
     return pr, t
 
 
+def _tile_geometry_mask(rows: int) -> Tuple[int, int]:
+    """``_tile_geometry`` for the bitmask-only emit (``emit="mask"``):
+    ``tile_rows`` must be a multiple of 64 so the packed-bits output
+    block ``(tile_rows // 8, LANES)`` meets Mosaic's 8-sublane block
+    divisibility (the generic 1080p geometry is 48608 rows x 496-row
+    tiles — a (62, 128) bits block that fails to lower on hardware;
+    this one is 48640 x 512, i.e. 40 extra padded rows = 5 KB of
+    cur==prev padding, still inside the swept 400-512 tile optimum).
+    Terminates: every multiple of 448 rows has the divisor 448."""
+    pr = -(-rows // 64) * 64
+    if pr <= 512:
+        return pr, pr
+    while True:
+        best = None
+        for d in range(64, 513, 64):
+            if pr % d == 0:
+                best = d
+        if best is not None and best >= 384:
+            break
+        pr += 64
+    if pr // best > MAX_GRID:
+        t = (-(-rows // MAX_GRID) + 63) // 64 * 64
+        pr = -(-rows // t) * t
+        return pr, t
+    return pr, best
+
+
 def _flat_roll_left(x, s: int, rows: int):
     """out[f] = x[f + s] on the row-major flattened (rows, 128) array,
     circular (callers mask wrapped reads via span guards)."""
@@ -261,7 +288,10 @@ def _pack_bits_block(mi, sub, lane, R: int):
     gi = jax.lax.broadcasted_iota(jnp.int32, (R // 8, R), 0)
     gr = jax.lax.broadcasted_iota(jnp.int32, (R // 8, R), 1)
     a = (gr // 8 == gi).astype(jnp.float32)
-    return jnp.dot(a, z, preferred_element_type=jnp.float32).astype(jnp.uint8)
+    packed = jnp.dot(a, z, preferred_element_type=jnp.float32)
+    # Mosaic has no f32->u8 cast; hop through int32 (values are exact
+    # integers <= 255 by construction)
+    return packed.astype(jnp.int32).astype(jnp.uint8)
 
 
 def _kernel_v2(cur_ref, prev_ref, thr_ref, *rest,
@@ -629,6 +659,12 @@ def _run_kernel(cur2, prev2, thr, *, scheme, tile_rows, grid,
     rows = cur2.shape[0]
     if (not emit_xs or emit_bits) and scheme != "element":
         raise ValueError("emit_xs=False / emit_bits: element scheme only")
+    if emit_bits and tile_rows % 64:
+        # the packed-bits block (tile_rows//8, LANES) needs 8-sublane
+        # divisibility on hardware (Mosaic block constraint) — callers
+        # must size via _tile_geometry_mask
+        raise ValueError(
+            f"emit_bits needs tile_rows % 64 == 0, got {tile_rows}")
     if scheme == "register":
         from cudavideostream_tpu.ops import pallas_compact
 
@@ -853,7 +889,8 @@ def fused_diff_compact(
     the int32 index buffer.
     """
     n = current.shape[0]
-    rows, tile_rows = _tile_geometry(-(-n // LANES))
+    geometry = _tile_geometry_mask if emit == "mask" else _tile_geometry
+    rows, tile_rows = geometry(-(-n // LANES))
     if sub_rows and (tile_rows % sub_rows or tile_rows > 512
                      or scheme != "element" or emit == "flat"):
         # flat emit: the merge epilogue is unit-serial, so sub-tiling
