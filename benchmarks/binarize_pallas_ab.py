@@ -75,13 +75,43 @@ def run(out_path=None):
 
         return chain
 
+    import functools
+
     for name, fn in [
-        ("xla_compare_reduce", filters.value_histogram),
+        ("xla_compare_reduce", filters._value_histogram_xla),
         ("pallas_tile_hist", pallas_histogram),
+        ("pallas_hist_unroll",
+         functools.partial(pallas_histogram, unroll=True)),
         ("vpu_probe", vpu_probe),
+        ("vpu_probe_unroll", functools.partial(vpu_probe, unroll=True)),
     ]:
         ms = bench_scan_chain(
             hist_chain(fn), (g2, jnp.int32(0)), k=K, iters=ITERS)
+        add(name, ms)
+
+    # the FULL fused binarize chain (gray -> hist -> threshold -> 255/0,
+    # models/pipeline's aux path) under each histogram: the standalone
+    # rows above feed a pre-materialized gray grid, but in the chain the
+    # XLA form FUSES the compare-reduce into the gray extract while the
+    # Pallas form must materialize gv to HBM first — the end-to-end
+    # number is what the binarize variant actually pays
+    def full_chain(hist_fn):
+        def chain(c):
+            f, acc = c
+            gv = filters.gray_pixels(f)
+            t = filters.binarize_threshold(hist_fn(gv))
+            out = filters.binarize_pixels(gv, t)
+            return (f + jnp.uint8(1), acc + out[0].astype(jnp.int32))
+
+        return chain
+
+    for name, fn in [
+        ("chain_xla", filters._value_histogram_xla),
+        ("chain_pallas_unroll",
+         functools.partial(pallas_histogram, unroll=True)),
+    ]:
+        ms = bench_scan_chain(
+            full_chain(fn), (frame, jnp.int32(0)), k=K, iters=ITERS)
         add(name, ms)
 
     # in-window calibration: the flagship diff kernel's known 0.16-0.19

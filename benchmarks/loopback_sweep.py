@@ -270,6 +270,7 @@ def main():
     # compile each); executors are fresh per row (lander EMAs reset)
     pipe_tiled = DeltaStreamPipeline(base_cfg)
     pipe_mask = None     # built lazily: only mask rows pay its compile
+    pipe_maskonly = None  # likewise for bitmask-only emission rows
     host_cfg = StreamConfig(compaction=CompactionBackend("host"), **geo)
 
     rows = []
@@ -312,6 +313,18 @@ def main():
         # v4 from the index stream (winmask vs delta16 min-of-four,
         # no mask fetch): isolates the encoder gain from the fetch gain
         ("dev_d3_flat_v4_batch8", "device", 0.03, "flat", "v4", "pallas", 8),
+        # bitmask-ONLY kernel emission (config.maskonly_payload): the
+        # int32 index blocks — half of all kernel HBM writes — are never
+        # materialized; the kernel packs the change-bits itself and the
+        # device merge is vals-only (logcompact.merge_vals)
+        ("dev_d1_maskonly_v4_batch8",
+         "device", 0.01, "maskonly", "v4", "pallas", 8),
+        ("dev_d1_maskonly_v4_batch16",
+         "device", 0.01, "maskonly", "v4", "pallas", 16),
+        ("dev_d1_maskonly_v3_batch8",
+         "device", 0.01, "maskonly", "v3", "pallas", 8),
+        ("dev_d3_maskonly_v4_batch8",
+         "device", 0.03, "maskonly", "v4", "pallas", 8),
     ]
     if not args.quick:
         matrix += [
@@ -353,12 +366,23 @@ def main():
             cfg = dataclasses.replace(host_cfg, wire_format=wirefmt)
             executor = StreamExecutor(cfg)
         else:
+            maskish = fetch in ("mask", "maskonly")
             cfg = dataclasses.replace(
-                base_cfg, fetch_mode=fetch, wire_format=wirefmt,
-                emit_bitmask=(fetch == "mask"),
-                mask_payload=(fetch == "mask" and wirefmt == "v4"),
+                base_cfg,
+                fetch_mode=("mask" if maskish else fetch),
+                wire_format=wirefmt,
+                emit_bitmask=maskish,
+                mask_payload=(maskish and wirefmt == "v4"),
+                maskonly_payload=(fetch == "maskonly"),
             )
-            if fetch == "mask":
+            if fetch == "maskonly":
+                if pipe_maskonly is None:
+                    pipe_maskonly = DeltaStreamPipeline(
+                        dataclasses.replace(
+                            base_cfg, fetch_mode="mask",
+                            emit_bitmask=True, maskonly_payload=True))
+                pipe = pipe_maskonly
+            elif fetch == "mask":
                 if pipe_mask is None:
                     pipe_mask = DeltaStreamPipeline(
                         dataclasses.replace(base_cfg, emit_bitmask=True))

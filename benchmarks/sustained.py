@@ -38,8 +38,19 @@ def main():
                         "SyntheticSource")
     p.add_argument("--density", type=float, default=0.01,
                    help="clustered changed fraction for --capture device")
+    p.add_argument("--maskonly", action="store_true",
+                   help="bitmask-only kernel emission (requires "
+                        "--fetch mask; config.maskonly_payload)")
+    p.add_argument("--calibrate", type=int, default=0, metavar="N",
+                   help="N link round trips before the first frame "
+                        "(executor.calibrate_link)")
+    p.add_argument("--link-cache", default=None, metavar="JSON",
+                   help="load/save learned link + speculation state "
+                        "(executor load/save_link_cache)")
     p.add_argument("--out", default=None)
     args = p.parse_args()
+    if args.maskonly and args.fetch != "mask":
+        p.error("--maskonly requires --fetch mask")
 
     from cudavideostream_tpu.config import StreamConfig
     from cudavideostream_tpu.runtime.client import DeltaStreamClient
@@ -52,7 +63,8 @@ def main():
                        wire_format=args.wire,
                        emit_bitmask=(args.fetch == "mask"),
                        mask_payload=(args.fetch == "mask"
-                                     and args.wire == "v4"))
+                                     and args.wire == "v4"),
+                       maskonly_payload=args.maskonly)
     if args.capture == "device":
         from benchmarks.loopback_sweep import DeviceClusteredSource
 
@@ -64,6 +76,13 @@ def main():
     server = DeltaStreamServer(
         cfg, source, executor=executor, verbose=False, overlay_status=True
     )
+    cache_loaded = bool(
+        args.link_cache
+        and server.executor.load_link_cache(args.link_cache))
+    if cache_loaded:
+        print(f"link cache loaded from {args.link_cache}", file=sys.stderr)
+    if args.calibrate:
+        server.executor.calibrate_link(args.calibrate)
     server.listen()
     t = threading.Thread(
         target=server.serve, kwargs={"max_frames": args.frames + 2},
@@ -102,7 +121,13 @@ def main():
         f"fetched_KBpf    \t{lander.fetched_bytes / max(1, len(ts)) / 1024:.1f}",
         f"link_bps_est    \t{0 if bps is None else int(bps)}",
         f"merge_s_est     \t{lander.link.merge_s:.4f}",
+        "warm_start      \t" + ("+".join(
+            (["cache"] if cache_loaded else [])
+            + ([f"calibrate{args.calibrate}"] if args.calibrate else [])
+        ) or "cold"),
     ]
+    if args.link_cache:
+        server.executor.save_link_cache(args.link_cache)
     for ln in lines:
         print(ln)
     if args.out:

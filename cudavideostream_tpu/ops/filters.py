@@ -147,7 +147,33 @@ def value_histogram(g: Array) -> Array:
     without scatter-adds; the comparison broadcast fuses into the
     reduction. ~256 VPU compare+add per value, compute-bound but
     entirely in registers (the closed-lead analysis of cheaper units
-    lives in :func:`gray_histogram`'s docstring)."""
+    lives in :func:`gray_histogram`'s docstring).
+
+    On hardware, (M, 128) grids route to the Pallas per-tile histogram
+    with statically-unrolled bins: the tile pinned in VMEM, bin counts
+    accumulated in SMEM across the sequential grid — measured 0.325 ms
+    vs this compare-reduce's 0.468 standalone at 1080p, and 0.436 vs
+    0.486 through the full fused binarize chain (XLA had fused part of
+    the compare-reduce into the gray extract; the Pallas form instead
+    pays one (M, 128) int32 HBM round trip for the gray grid — the
+    ~10% chain win is the honest number; benchmarks/binarize_pallas_ab,
+    byte-exact both ways, and the dynamic-bin fori variant is 4x
+    SLOWER, so the unroll is the whole win). CPU keeps the XLA form
+    (interpret mode would crawl through 256 unrolled reduces per tile;
+    tests pin exactness on a small grid); the chip gate covers the
+    Pallas path (bench.py --all-variants, binarize variant)."""
+    if (g.ndim == 2 and g.shape[1] == 128 and g.shape[0] % 8 == 0
+            and jax.default_backend() not in ("cpu",)):
+        from cudavideostream_tpu.ops.hist_pallas import pallas_histogram
+
+        return pallas_histogram(g.astype(jnp.int32), unroll=True)
+    return _value_histogram_xla(g)
+
+
+def _value_histogram_xla(g: Array) -> Array:
+    """The XLA compare-reduce form of :func:`value_histogram` — the CPU
+    path, and the explicit A/B target now that ``value_histogram``
+    routes to Pallas on hardware (benchmarks/binarize_pallas_ab)."""
     g = g.astype(jnp.int32)
     chunk = 64
     parts = []

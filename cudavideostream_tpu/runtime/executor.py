@@ -1785,10 +1785,15 @@ class StreamExecutor:
     def _link_fingerprint(self) -> list:
         # everything the cached window geometry is only valid under: a
         # spec (start, L, P) proven in-range last session stays in-range
-        # exactly when tile count and fetch capacity are unchanged
+        # exactly when tile count and fetch capacity are unchanged.
+        # emit flavor matters too: maskonly runs a different tile
+        # geometry than generic mask at the same frame size (1080p
+        # 512- vs 496-lane tiles, logcompact._tile_geometry_mask), so a
+        # cross-flavor seed would shift every window by ~3%
         return [self.cfg.frame_bytes, self.cfg.capacity,
                 self.cfg.fetch_mode, self.cfg.subtile_rows,
-                self.cfg.tiled_payload]
+                self.cfg.tiled_payload, self.cfg.emit_bitmask,
+                self.cfg.maskonly_payload]
 
     def save_link_cache(self, path: str) -> None:
         import json

@@ -98,6 +98,25 @@ class TestFilters:
             np.asarray(filters.gray_histogram(jnp.asarray(g), mxu=False)),
         )
 
+    @pytest.mark.parametrize("unroll", [False, True])
+    def test_pallas_histogram_interpret(self, unroll):
+        # The on-chip binarize default (filters.gray_histogram routes
+        # (M,128) grids here off-CPU); interpret mode pins byte-
+        # exactness vs the XLA compare-reduce on the CPU suite. Small
+        # grid: interpret mode walks 256 reduces per tile.
+        from cudavideostream_tpu.ops import filters
+        from cudavideostream_tpu.ops.hist_pallas import pallas_histogram
+
+        rng = np.random.default_rng(7)
+        g = rng.integers(0, 256, size=(64, 128), dtype=np.int64)
+        g[0, 0] = 0
+        g[-1, -1] = 255
+        g = jnp.asarray(g, jnp.int32)
+        np.testing.assert_array_equal(
+            np.asarray(pallas_histogram(g, interpret=True, unroll=unroll)),
+            np.asarray(filters.value_histogram(g)),
+        )
+
     @pytest.mark.parametrize(
         "hist_fn",
         [

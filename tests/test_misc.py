@@ -15,8 +15,8 @@ class TestVariants:
     def test_registry_complete(self):
         # one variant per shipped reference build combination
         assert set(available()) == {
-            "delta-stream", "delta-denoised", "heatmap", "red-black",
-            "red-overlap", "grayscale", "binarize",
+            "delta-stream", "delta-denoised", "delta-maskonly", "heatmap",
+            "red-black", "red-overlap", "grayscale", "binarize",
         }
 
     def test_configs_resolve(self):
