@@ -83,6 +83,14 @@ def main():
         print(f"link cache loaded from {args.link_cache}", file=sys.stderr)
     if args.calibrate:
         server.executor.calibrate_link(args.calibrate)
+    n_prewarm = 0
+    if cache_loaded or args.calibrate:
+        # compile the pipeline + the cached fetch-rung set before the
+        # first frame (each rung's first mid-serve use is otherwise a
+        # ~0.5-1 s compile stall on the tunnel backend)
+        server.executor.start(source.base_frame())
+        n_prewarm = server.executor.prewarm_fetch()
+        print(f"prewarmed {n_prewarm} fetch jits", file=sys.stderr)
     server.listen()
     t = threading.Thread(
         target=server.serve, kwargs={"max_frames": args.frames + 2},
@@ -103,6 +111,9 @@ def main():
     t.join(timeout=30)
 
     ts = np.asarray(times) * 1e3
+    worst = np.argsort(ts)[-10:][::-1]
+    print("worst frames (idx: ms): "
+          + ", ".join(f"{i}: {ts[i]:.0f}" for i in worst), file=sys.stderr)
     k = max(1, len(ts) // 10)
     lander = server.executor._lander
     bps = lander.link.bps
@@ -124,6 +135,7 @@ def main():
         "warm_start      \t" + ("+".join(
             (["cache"] if cache_loaded else [])
             + ([f"calibrate{args.calibrate}"] if args.calibrate else [])
+            + ([f"prewarm{n_prewarm}"] if n_prewarm else [])
         ) or "cold"),
     ]
     if args.link_cache:

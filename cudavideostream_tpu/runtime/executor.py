@@ -140,6 +140,46 @@ class TieredFetcher:
         return self._get(arr[: self.tier_checked(pos)])[:pos]
 
 
+class _RungMemo:
+    """Rung hysteresis for the fetch ladders (see TiledLander._range_len).
+
+    The learned span/pos estimates jitter between adjacent ladder rungs
+    batch after batch, and every rung is a distinct static-length
+    dynamic-slice jit — a fresh ~0.55 s XLA compile on the tunnel
+    backend at the batch boundary that first uses it (the every-16th-
+    frame 1.3-2.1 s stalls in benchmarks/sustained_tpu_tunnel). The memo
+    RATCHETS: it holds the last rung while the fresh pick sits no more
+    than ``max(2 steps, 25%)`` below it (absorbing oscillation around a
+    working point), grows immediately, and decays to the fresh rung
+    after 4 consecutive holds more than one step above it — so a
+    steady scene converges back to <= 2 ladder steps (~1/8) of slack
+    within ~4 batches (the bound `tests/test_land_batch.py::
+    TestDriftAwareSpec::test_converged_fetch_slack_bounded` pins),
+    while a genuinely oscillating one keeps its peak rung and never
+    re-compiles."""
+
+    __slots__ = ("rung", "excess")
+
+    def __init__(self):
+        self.rung = 0
+        self.excess = 0
+
+    def pick(self, fresh: int, step: int, cap: int) -> int:
+        band = max(2 * step, fresh // 4)
+        if self.rung and fresh <= self.rung <= min(fresh + band, cap):
+            if self.rung > fresh + step:
+                self.excess += 1
+                if self.excess >= 4:
+                    self.excess = 0
+                    self.rung = fresh
+            else:
+                self.excess = 0
+        else:
+            self.excess = 0
+            self.rung = fresh
+        return self.rung
+
+
 class OverlayHint:
     """Per-frame landing hint for a text-change ("volatile") frame:
     carries the new overlay text plus an upper bound on the overlay's
@@ -383,6 +423,14 @@ class TiledLander:
         self._fetch_tiles = None
         self._shard_tier = None   # tier math for the "shards" mode
         self._range_slicers = {}  # key -> jitted dynamic-slice fn
+        self._prewarm_keys = []   # rung keys from a loaded link cache
+        # rung-hysteresis memos (see _RungMemo), one per churny call
+        # site so distinct working points never thrash each other
+        self._m_spec_L = _RungMemo()   # speculative window length
+        self._m_spec_P = _RungMemo()   # speculative vals budget
+        self._m_hint_P = _RungMemo()   # overlay-hint-widened budget
+        self._m_miss_L = _RungMemo()   # miss-path exact-span window
+        self._m_miss_P = _RungMemo()   # miss-path vals prefix
         # land_fused speculation: ("tiles"|"flat"|"mask", window_start,
         # window_len_units, merged_prefix_len_entries, units_per_frame
         # velocity)
@@ -424,6 +472,14 @@ class TiledLander:
             "err_pf": self._err_pf,
             "dpos_pf": self._dpos_pf,
             "spec": list(self._spec) if self._spec is not None else None,
+            # the session's compiled fetch-rung set: every jitted
+            # dynamic-slice signature the landing actually used. A new
+            # process starts with an empty jit cache, so each rung's
+            # FIRST mid-serve use pays a full XLA compile (~0.5-1 s on
+            # the tunnel backend — measured as the stall frames in
+            # benchmarks/sustained_tpu_tunnel); persisting the set lets
+            # prewarm() compile them all before the first frame.
+            "slicers": [list(k) for k in self._range_slicers],
         }
 
     def seed_state(self, st: dict) -> None:
@@ -443,6 +499,109 @@ class TiledLander:
                 and (self.mode == "auto" or spec[0] == self.mode)):
             self._spec = (spec[0], int(spec[1]), int(spec[2]),
                           int(spec[3]), int(spec[4]))
+            # the seeded window's rungs become the hysteresis working
+            # points, so the first _update_spec holds them (and their
+            # prewarmed jits) instead of minting adjacent rungs
+            self._m_spec_L.rung = int(spec[2])
+            self._m_spec_P.rung = int(spec[3])
+        sl = st.get("slicers")
+        if isinstance(sl, list):
+            self._prewarm_keys = [
+                tuple(k) for k in sl
+                if isinstance(k, list) and 1 <= len(k) <= 5
+            ]
+
+    def prewarm(self, pos_d, counts_d, xs_t_d, vals_t_d,
+                bits_d=None) -> int:
+        """Compile the saved rung set against this pipeline's device
+        arrays BEFORE the first frame lands.
+
+        Without a persistent XLA compilation cache (none in this env),
+        every fetch rung's first mid-serve use pays a full compile —
+        ~0.5-1 s each over the tunnel backend, and a 300-frame sustained
+        session touches ~15-20 distinct rungs as its windows evolve
+        (the >p95 stall frames in ``benchmarks/sustained_tpu_tunnel``;
+        fps_overall 17-19 against a 9 ms steady state). Compiling the
+        previous session's exact rung set up front moves that cost out
+        of the serving loop. Args are one pipeline step's device outputs
+        (any step — only shapes/dtypes matter); a key that no longer
+        builds (stale cache) is skipped, never fatal. Returns the number
+        of jits compiled."""
+        from cudavideostream_tpu.ops import logcompact
+
+        keys = [tuple(k) for k in self._prewarm_keys]
+        if ("probe",) not in keys:
+            keys.append(("probe",))
+        n_tiles, tile_cap = vals_t_d.shape
+        self._ensure_fetchers(n_tiles, tile_cap)
+        z = np.int32(0)
+        merged = None
+
+        def get_merged():
+            # also prewarms the merge jits themselves (first-batch cost)
+            nonlocal merged
+            if merged is None:
+                merged = (
+                    (None, logcompact.merge_vals(counts_d, vals_t_d))
+                    if xs_t_d is None
+                    else logcompact.merge_tiles(counts_d, xs_t_d, vals_t_d)
+                )
+            return merged
+
+        n = 0
+        for k in keys:
+            try:
+                kind = k[0]
+                if kind == "probe":
+                    self._probe_slicer()(pos_d, counts_d)
+                elif kind == "spec":
+                    _, L, tc, P = k
+                    if P:
+                        xm, vm = get_merged()
+                        if xm is None:
+                            continue
+                        self._spec_slicer(L, tc, flat_P=P)(
+                            pos_d, counts_d, xm, vm, z)
+                    else:
+                        if xs_t_d is None:
+                            continue
+                        self._spec_slicer(L, tc)(
+                            pos_d, counts_d, xs_t_d, vals_t_d, z)
+                elif kind == "mask":
+                    _, L, tc, P, sU = k
+                    if bits_d is None:
+                        continue
+                    self._mask_slicer(L, tc, P, sU)(
+                        pos_d, counts_d, bits_d, get_merged()[1], z)
+                elif kind == "maskw":
+                    _, L, tc, P = k
+                    if bits_d is None:
+                        continue
+                    self._mask_win(L, tc, P)(bits_d, get_merged()[1], z)
+                elif kind == "counts":
+                    _, L = k
+                    self._counts_win(L)(counts_d, z)
+                elif kind == "flatn":
+                    _, P, tc = k
+                    xm, vm = get_merged()
+                    if xm is None:
+                        continue
+                    self._flat_narrow(P, tc)(xm, vm)
+                elif isinstance(kind, int):
+                    L, fused, tc = k
+                    if xs_t_d is None:
+                        continue
+                    if fused:
+                        self._slicer(L, True, tc)(
+                            pos_d, counts_d, xs_t_d, vals_t_d, z)
+                    else:
+                        self._slicer(L, False, tc)(xs_t_d, vals_t_d, z)
+                else:
+                    continue
+            except Exception:
+                continue
+            n += 1
+        return n
 
     def _ov_units(self, tile_cap: int):
         """First unit index past the overlay strip, or None when the
@@ -525,19 +684,27 @@ class TiledLander:
         return best
 
     # ---- range-fetch machinery ------------------------------------------
-    def _range_len(self, span: int, n_tiles: int) -> int:
+    def _range_len(self, span: int, n_tiles: int, memo=None) -> int:
         """Slice length for a ``span``-unit range: ``span`` rounded up to
         a multiple of ``max(256, 2^(bits(span)-5))`` — a 5-bit-mantissa
         float. Over-fetch is bounded ~1/16 (the old 1.5x-geometric ladder
         overshot 30%+ right at the committed 4K serving spans), at most
         16 live rungs per octave, each rung one small lazily-compiled
-        dynamic-slice jit."""
+        dynamic-slice jit.
+
+        ``memo`` (a :class:`_RungMemo`) adds rung HYSTERESIS: each
+        churny call site holds its last rung while the fresh pick
+        oscillates below it, because every distinct rung is a fresh
+        static-length jit compile mid-serve (see _RungMemo)."""
         span = max(int(span), 1)
         step = max(256, 1 << max(span.bit_length() - 5, 0))
         L = max(self.RANGE_MIN, -(-span // step) * step)
-        return min(L, n_tiles)
+        L = min(L, n_tiles)
+        if memo is not None:
+            return memo.pick(L, step, n_tiles)
+        return L
 
-    def _flat_len(self, want: int, cap: int) -> int:
+    def _flat_len(self, want: int, cap: int, memo=None) -> int:
         """Slice length for a ``want``-entry merged prefix: ``want``
         rounded up to a multiple of ``max(q/8, 2^(bits(want)-5))`` (a
         5-bit-mantissa float, over-fetch <= ~1/16). Finer than the
@@ -547,12 +714,16 @@ class TiledLander:
         to 98304; the flat prefix IS the payload bytes, so every slack
         entry is link time). Small frames scale the floor quantum down
         (cap/8, >=256): an 8192-entry floor would exceed a tiny frame's
-        whole capacity and lock ``auto`` out of the flat path."""
+        whole capacity and lock ``auto`` out of the flat path.
+        ``memo`` = rung hysteresis, exactly as in :meth:`_range_len`."""
         q = min(self.FLAT_MIN, max(256, cap // 8))
         want = max(int(want), 1)
         step = max(q // 8, 1 << max(want.bit_length() - 5, 0))
         L = max(q, -(-want // step) * step)
-        return min(L, cap)
+        L = min(L, cap)
+        if memo is not None:
+            return memo.pick(L, step, cap)
+        return L
 
     @staticmethod
     def _compact_dtype(tile_cap: int):
@@ -1036,7 +1207,7 @@ class TiledLander:
                     f"frame changed {pos} bytes > payload capacity {cap}"
                 )
             tile_cap = xs_t_d.shape[1]
-            P = self._flat_len(pos, cap)
+            P = self._flat_len(pos, cap, memo=self._m_miss_P)
             lo_s, vw_s = self._flat_narrow(P, tile_cap)(xs_d, vals_d)
             return ("flat",), (lo_s, vw_s)
         if t_hi == 0:
@@ -1050,7 +1221,7 @@ class TiledLander:
             t = self._fetch_tiles[0].tier(t_hi)
             return ("range", 0), (xs_t_d[:t], vals_t_d[:t])
         n_tiles, tile_cap = xs_t_d.shape
-        L = self._range_len(t_hi - t_lo, n_tiles)
+        L = self._range_len(t_hi - t_lo, n_tiles, memo=self._m_miss_L)
         start = min(t_lo, n_tiles - L)
         xs_s, vals_s = self._slicer(L, False, tile_cap)(
             xs_t_d, vals_t_d, np.int32(start)
@@ -1241,7 +1412,8 @@ class TiledLander:
                     P = P0
                     strip_U = 0
                     if hints[i] is not None and u_strip is not None:
-                        P = self._flat_len(P0 + hints[i].budget, cap)
+                        P = self._flat_len(P0 + hints[i].budget, cap,
+                                           memo=self._m_hint_P)
                         starts[i] = max(
                             starts[i], min(u_strip, n_tiles - L0))
                         strip_U = u_strip
@@ -1322,7 +1494,8 @@ class TiledLander:
                     continue
                 counts_d, xs_t_d, vals_t_d = items[i][1:4]
                 want = self._pick_kind(pos, t_lo, t_hi, tile_cap, has_bits)
-                Lc = self._range_len(t_hi - t_lo, n_tiles)
+                Lc = self._range_len(t_hi - t_lo, n_tiles,
+                                     memo=self._m_miss_L)
                 startc = max(0, min(t_lo, n_tiles - Lc))
                 if want == "mask":
                     if merged[i] is None:
@@ -1332,7 +1505,8 @@ class TiledLander:
                             else logcompact.merge_tiles(
                                 counts_d, xs_t_d, vals_t_d)
                         )
-                    P = self._flat_len(pos, self._fetch_xs.capacity)
+                    P = self._flat_len(pos, self._fetch_xs.capacity,
+                                       memo=self._m_miss_P)
                     bw_s, vw_s = self._mask_win(Lc, tile_cap, P)(
                         items[i][4], merged[i][1], np.int32(startc))
                     reqs.append((i, ("mask2", startc), (bw_s, vw_s)))
@@ -1342,7 +1516,8 @@ class TiledLander:
                     if merged[i] is None:
                         merged[i] = logcompact.merge_tiles(
                             counts_d, xs_t_d, vals_t_d)
-                    P = self._flat_len(pos, self._fetch_xs.capacity)
+                    P = self._flat_len(pos, self._fetch_xs.capacity,
+                                       memo=self._m_miss_P)
                     lo_s, vw_s = self._flat_narrow(P, tile_cap)(
                         merged[i][0], merged[i][1])
                     reqs.append((i, ("flat2", startc), (cw_s, lo_s, vw_s)))
@@ -1507,7 +1682,8 @@ class TiledLander:
                 margin = blind
             else:
                 margin = min(blind, max(64, int(4 * K * self._err_pf)))
-        L = self._range_len(span + 2 * margin, n_tiles)
+        L = self._range_len(span + 2 * margin, n_tiles,
+                            memo=self._m_spec_L)
         # frame 0 of the next batch is (K - anchor) frames past the
         # anchor: project the window center forward by that much
         start = max(0, min(t_lo + (K - anchor) * vel - margin,
@@ -1530,7 +1706,8 @@ class TiledLander:
                 self._dpos_pf = 0.5 * self._dpos_pf + 0.5 * d_pos
             grow = min(max(pos // 4, 2048 * K),
                        max(floor, int(6 * K * self._dpos_pf)))
-            P = self._flat_len(pos + grow, self._fetch_xs.capacity)
+            P = self._flat_len(pos + grow, self._fetch_xs.capacity,
+                               memo=self._m_spec_P)
             self._spec = (want, start, L, P, vel)
         else:
             self._spec = ("tiles", start, L, 0, vel)
@@ -1593,6 +1770,7 @@ class StreamExecutor:
     def start(self, base_frame: np.ndarray) -> np.ndarray:
         """Initialize device state; returns the base frame bytes to ship."""
         base = np.asarray(base_frame, dtype=np.uint8).ravel()
+        self._base_np = base  # kept for prewarm_fetch's no-op dispatch
         self._state = self.pipe.init_state(base)
         # host-authored overlay landings (OverlayShadow): sound only
         # when device prev == base + shipped entries — i.e. negative
@@ -1768,6 +1946,7 @@ class StreamExecutor:
                 f"config {self.cfg.negative_feedback})"
             )
         self._state = self.pipe.init_state(data["prev"])
+        self._base_np = np.asarray(data["prev"], dtype=np.uint8).ravel()
         if self._lander._ov is not None:
             self._lander._ov.reinit(data["prev"])
         self._last_text = None
@@ -1834,6 +2013,37 @@ class StreamExecutor:
         if isinstance(data.get("lander"), dict):
             self._lander.seed_state(data["lander"])
         return True
+
+    def prewarm_fetch(self) -> int:
+        """Compile the landing's fetch jits (the link cache's saved rung
+        set, :meth:`TiledLander.prewarm`) before the first frame.
+
+        Runs ONE no-op pipeline step on the base frame (cur == prev →
+        pos = 0, new state byte-identical; the step is donated, so the
+        returned state replaces ours) purely to obtain device arrays of
+        the serving shapes, then compiles each saved rung against them.
+        Pre-serving only: after frames have landed, the base frame no
+        longer matches the device state and the no-op step would emit a
+        real (unshipped) delta, desyncing clients. Returns the number of
+        jits compiled (0 when the config has no fused landing)."""
+        if self._state is None:
+            raise RuntimeError("call start(base_frame) first")
+        if self._lander._frame_no:
+            raise RuntimeError("prewarm_fetch is a pre-serving warmup")
+        if not (self.cfg.tiled_payload
+                and self.cfg.compaction.value == "pallas"):
+            return 0
+        out = self.pipe.step(self._state, self._base_np, text="")
+        self._state = out[0]
+        rest = out[1:]
+        if self.cfg.maskonly_payload:
+            pos_d, counts_d, vals_t_d, bits_d = rest[:4]
+            xs_t_d = None
+        else:
+            pos_d, counts_d, xs_t_d, vals_t_d = rest[:4]
+            bits_d = rest[4] if len(rest) == 6 else None
+        return self._lander.prewarm(pos_d, counts_d, xs_t_d, vals_t_d,
+                                    bits_d)
 
     def calibrate_link(self, rounds: int = 2,
                        nbytes: int = 1 << 19) -> None:

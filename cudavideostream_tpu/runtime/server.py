@@ -519,6 +519,15 @@ def main(argv=None) -> int:
                   file=sys.stderr)
         if args.calibrate and warmable:
             executor.calibrate_link(rounds=args.calibrate)
+        if warmable:
+            # compile the pipeline step + the cached fetch-rung set
+            # BEFORE accepting clients: without a persistent XLA cache
+            # each rung's first mid-serve use is a ~0.5-1 s stall on
+            # the tunnel backend (benchmarks/sustained_tpu_tunnel)
+            if not args.resume:
+                executor.start(source.base_frame())
+            n = executor.prewarm_fetch()
+            print(f"prewarmed {n} fetch jits", file=sys.stderr)
     aux_sink = None
     if args.aux_port is not None:
         if not args.visualizer:

@@ -165,6 +165,113 @@ class TestExportSeed:
         assert ex.link.bps is not None and ex.link.bps > 0
 
 
+class TestPrewarm:
+    """prewarm_fetch: compile the previous session's fetch-rung jits
+    before the first frame. Without a persistent XLA cache every rung's
+    first mid-serve use is a full compile (~0.5-1 s stall per rung on
+    the tunnel backend — the >p95 frames in
+    benchmarks/sustained_tpu_tunnel); the cache persists the rung SET so
+    a warm session compiles them all up front."""
+
+    @pytest.mark.parametrize("maskonly", [False, True])
+    def test_saved_rungs_compiled_and_serving_exact(self, tmp_path,
+                                                    maskonly):
+        cfg = _cfg(maskonly_payload=True) if maskonly else _cfg()
+        rng = np.random.default_rng(11)
+        base = rng.integers(0, 255, cfg.frame_bytes, endpoint=True,
+                            dtype=np.uint8)
+        ex, _ = _drift_session(cfg, base, depth=2, n=10)
+        path = str(tmp_path / "link.json")
+        ex.save_link_cache(path)
+        with open(path) as f:
+            saved = {tuple(k) for k in json.load(f)["lander"]["slicers"]}
+        assert saved, "session recorded no fetch rungs"
+
+        ex2 = BatchedLandExecutor(cfg, depth=2)
+        assert ex2.load_link_cache(path)
+        ex2.start(base)
+        n = ex2.prewarm_fetch()
+        assert n >= len(saved)
+        assert saved <= set(ex2._lander._range_slicers)
+        # the no-op dispatch left the device state byte-identical
+        np.testing.assert_array_equal(ex2.resync(), base)
+        # and a subsequent session serves byte-exactly (resync cleared
+        # nothing here — state is still base)
+        prev = base.copy()
+        frames = [_band_frame(base, t * 512, 4000, 60 + t) for t in
+                  range(4)]
+        pending, outs = [], []
+        for f in frames:
+            pending.append(f)
+            out = ex2.process(f)
+            if out:
+                outs.extend(out)
+        tail = ex2.flush()
+        if tail:
+            outs.extend(tail)
+        _check(outs, frames, prev)
+
+    def test_rung_hysteresis_bounds_key_churn(self):
+        """A jittery scene must NOT mint a new fetch jit per batch: the
+        learned span/pos estimates hop between adjacent ladder rungs,
+        and without hysteresis every hop is a fresh ~0.55 s XLA compile
+        at the batch boundary (the every-16th-frame stalls in
+        benchmarks/sustained_tpu_tunnel). With the prev-rung hysteresis
+        the live key set stays small and byte-exactness is untouched."""
+        cfg = _cfg()
+        rng = np.random.default_rng(13)
+        base = rng.integers(0, 255, cfg.frame_bytes, endpoint=True,
+                            dtype=np.uint8)
+        ex = BatchedLandExecutor(cfg, depth=4)
+        ex.start(base)
+        prev = base.copy()
+        pending, outs, frames = [], [], []
+        for t in range(48):
+            # width jitters +/-20% around 4000, band drifts 512/frame
+            w = 4000 + int(800 * np.sin(t * 1.7))
+            f = _band_frame(base, t * 512, w, 60 + t % 100)
+            frames.append(f)
+            pending.append(f)
+            out = ex.process(f)
+            if out:
+                outs.extend(out)
+        tail = ex.flush()
+        if tail:
+            outs.extend(tail)
+        prev = _check(outs, frames, prev)
+        keys = set(ex._lander._range_slicers)
+        # 12 batches; without hysteresis this session minted a new
+        # spec/mask key nearly every batch (one compile each). Allow a
+        # handful for genuine regime changes, not one per batch.
+        churny = [k for k in keys if k[0] in ("spec", "mask", "maskw")]
+        assert len(churny) <= 6, sorted(keys)
+
+    def test_refused_mid_session(self):
+        cfg = _cfg()
+        base = np.zeros(cfg.frame_bytes, np.uint8)
+        ex = StreamExecutor(cfg)
+        ex.start(base)
+        ex.process(_band_frame(base, 0, 512, 50))
+        with pytest.raises(RuntimeError):
+            ex.prewarm_fetch()
+
+    def test_stale_keys_skipped_not_fatal(self):
+        cfg = _cfg()
+        base = np.zeros(cfg.frame_bytes, np.uint8)
+        ex = StreamExecutor(cfg)
+        ex._lander.seed_state(
+            {"slicers": [["bogus", 1, 2], [999999, False, 64],
+                         ["spec", 8, 64, 0]]}
+        )
+        ex.start(base)
+        # bogus kinds / out-of-range lengths are skipped; probe still
+        # compiles and serving proceeds
+        n = ex.prewarm_fetch()
+        assert n >= 1
+        pos, xs, vals, _ = ex.process(_band_frame(base, 0, 512, 50))
+        assert pos == 512
+
+
 class TestServerCLI:
     def test_link_cache_written_and_reloaded(self, tmp_path):
         """server --link-cache over a real socket: the first run writes
