@@ -431,6 +431,7 @@ class TiledLander:
         self._m_hint_P = _RungMemo()   # overlay-hint-widened budget
         self._m_miss_L = _RungMemo()   # miss-path exact-span window
         self._m_miss_P = _RungMemo()   # miss-path vals prefix
+        self._hint_budget = 0          # last overlay-hint entry budget
         # land_fused speculation: ("tiles"|"flat"|"mask", window_start,
         # window_len_units, merged_prefix_len_entries, units_per_frame
         # velocity)
@@ -480,6 +481,7 @@ class TiledLander:
             # benchmarks/sustained_tpu_tunnel); persisting the set lets
             # prewarm() compile them all before the first frame.
             "slicers": [list(k) for k in self._range_slicers],
+            "hint_budget": self._hint_budget,
         }
 
     def seed_state(self, st: dict) -> None:
@@ -510,6 +512,9 @@ class TiledLander:
                 tuple(k) for k in sl
                 if isinstance(k, list) and 1 <= len(k) <= 5
             ]
+        hb = st.get("hint_budget")
+        if isinstance(hb, int) and hb > 0:
+            self._hint_budget = hb
 
     def prewarm(self, pos_d, counts_d, xs_t_d, vals_t_d,
                 bits_d=None) -> int:
@@ -534,6 +539,23 @@ class TiledLander:
             keys.append(("probe",))
         n_tiles, tile_cap = vals_t_d.shape
         self._ensure_fetchers(n_tiles, tile_cap)
+        # also synthesize the keys the SEEDED spec window implies for its
+        # very first batch (the saved set is what the previous session
+        # USED; the spec it saved at exit may never have run a batch —
+        # measured: the warm session's first boundary stalled exactly on
+        # ('mask', L0, tc, P0, 0) and its overlay-hint variant)
+        if (self._spec is not None and self._spec[0] == "mask"
+                and bits_d is not None):
+            L0, P0 = int(self._spec[2]), int(self._spec[3])
+            cap = self._fetch_xs.capacity
+            u_strip = self._ov_units(tile_cap) or 0
+            for P in sorted({P0, self._flat_len(P0 + 1, cap)}):
+                keys.append(("mask", L0, tile_cap, P, 0))
+                if self._hint_budget and u_strip:
+                    keys.append(("mask", L0, tile_cap,
+                                 self._flat_len(P + self._hint_budget,
+                                                cap), u_strip))
+        keys = list(dict.fromkeys(keys))
         z = np.int32(0)
         merged = None
 
@@ -1412,6 +1434,7 @@ class TiledLander:
                     P = P0
                     strip_U = 0
                     if hints[i] is not None and u_strip is not None:
+                        self._hint_budget = hints[i].budget
                         P = self._flat_len(P0 + hints[i].budget, cap,
                                            memo=self._m_hint_P)
                         starts[i] = max(
