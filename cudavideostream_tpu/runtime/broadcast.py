@@ -399,6 +399,13 @@ def main(argv=None) -> int:
                    help="payload capacity bound in bytes (see server "
                         "--help): overflow is fatal under v1/v2, one raw "
                         "resync frame to every client under --wire v3")
+    p.add_argument("--link-cache", default=None, metavar="JSON",
+                   help="persist the learned link/speculation state and "
+                        "the compiled fetch-rung set across sessions "
+                        "(see server --link-cache)")
+    p.add_argument("--calibrate", type=int, default=2, metavar="N",
+                   help="pre-serve link round trips (0 disables; see "
+                        "server --calibrate)")
     args = p.parse_args(argv)
     if args.fetch != "auto" and not args.tiled:
         p.error("--fetch tiles/flat/mask applies to --tiled payloads")
@@ -419,9 +426,28 @@ def main(argv=None) -> int:
         from cudavideostream_tpu.runtime.executor import BatchedLandExecutor
 
         executor = BatchedLandExecutor(cfg, depth=args.land_batch)
-    server = BroadcastServer(cfg, make_source(args.source, cfg, path=args.path),
+    source = make_source(args.source, cfg, path=args.path)
+    if args.link_cache or args.calibrate:
+        # lander warm start + fetch-jit prewarm, exactly as in
+        # server.main (the fan-out path lands through the same
+        # TiledLander; a cold broadcast session pays the same mid-serve
+        # rung compiles)
+        if executor is None:
+            executor = StreamExecutor(cfg)
+        if args.link_cache and executor.load_link_cache(args.link_cache):
+            print(f"link cache loaded from {args.link_cache}",
+                  file=sys.stderr)
+        if args.calibrate:
+            executor.calibrate_link(rounds=args.calibrate)
+        executor.start(source.base_frame())
+        n = executor.prewarm_fetch()
+        print(f"prewarmed {n} fetch jits", file=sys.stderr)
+    server = BroadcastServer(cfg, source,
                              executor=executor, sndbuf=args.sndbuf)
     n = server.serve(max_frames=args.frames)
+    if args.link_cache:
+        executor.save_link_cache(args.link_cache)
+        print(f"link cache saved to {args.link_cache}", file=sys.stderr)
     print(f"served {n} frames", file=sys.stderr)
     return 0
 
