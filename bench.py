@@ -196,6 +196,10 @@ def main(argv=None) -> int:
                         "writes benchmarks/variants_tpu_v5e.json")
     p.add_argument("--one-variant", default=None, help=argparse.SUPPRESS)
     args = p.parse_args(argv)
+    from cudavideostream_tpu.utils.xla_cache import \
+        maybe_enable_compilation_cache
+
+    maybe_enable_compilation_cache()
 
     if args.one_variant:
         return _one_variant(args)

@@ -248,6 +248,10 @@ def main():
                         "tunnel windows last minutes, so spacing the reps "
                         "samples distinct windows")
     args = p.parse_args()
+    from cudavideostream_tpu.utils.xla_cache import \
+        maybe_enable_compilation_cache
+
+    maybe_enable_compilation_cache()
 
     import jax
 

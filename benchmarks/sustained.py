@@ -49,6 +49,10 @@ def main():
                         "(executor load/save_link_cache)")
     p.add_argument("--out", default=None)
     args = p.parse_args()
+    from cudavideostream_tpu.utils.xla_cache import \
+        maybe_enable_compilation_cache
+
+    maybe_enable_compilation_cache()
     if args.maskonly and args.fetch != "mask":
         p.error("--maskonly requires --fetch mask")
 

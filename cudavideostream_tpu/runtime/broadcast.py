@@ -407,6 +407,10 @@ def main(argv=None) -> int:
                    help="pre-serve link round trips (0 disables; see "
                         "server --calibrate)")
     args = p.parse_args(argv)
+    from cudavideostream_tpu.utils.xla_cache import \
+        maybe_enable_compilation_cache
+
+    maybe_enable_compilation_cache()
     if args.fetch != "auto" and not args.tiled:
         p.error("--fetch tiles/flat/mask applies to --tiled payloads")
     if args.land_batch and not args.tiled:

@@ -407,6 +407,10 @@ def main(argv=None) -> int:
                         "worst-case); overflow is fatal under v1/v2, a "
                         "per-stream raw resync under --wire v3")
     args = p.parse_args(argv)
+    from cudavideostream_tpu.utils.xla_cache import \
+        maybe_enable_compilation_cache
+
+    maybe_enable_compilation_cache()
     if args.capacity is not None and args.mesh:
         p.error("--capacity applies to the single-chip batched path only")
     # tiled payload = the product wire path AND the batched fast path

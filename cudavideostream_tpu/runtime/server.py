@@ -381,6 +381,10 @@ def main(argv=None) -> int:
                         "(~35 ms each on the tunnel; 0 disables; "
                         "default 2; no-op for --backend oracle/--mesh)")
     args = p.parse_args(argv)
+    from cudavideostream_tpu.utils.xla_cache import \
+        maybe_enable_compilation_cache
+
+    maybe_enable_compilation_cache()
     # genuinely impossible combos only: --tiled is the single-chip emit
     # mode (the sharded layout IS the mesh analogue) and the oracle is
     # the single-host CPU reference. --threshold-map and --pipelined
