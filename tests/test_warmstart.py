@@ -272,6 +272,46 @@ class TestPrewarm:
         assert pos == 512
 
 
+class TestXlaCache:
+    """utils/xla_cache: the persistent XLA compilation cache every
+    serving/bench entry point enables (the JAX-native analogue of the
+    reference's AOT nvcc kernels — nothing compiles at serve time
+    twice; hit measured on the tunnel backend: 375.8 s -> 15.7 s)."""
+
+    def test_enable_creates_dir_and_sets_config(self, tmp_path,
+                                                monkeypatch):
+        import jax
+
+        from cudavideostream_tpu.utils.xla_cache import (
+            maybe_enable_compilation_cache,
+        )
+
+        old = jax.config.jax_compilation_cache_dir
+        try:
+            d = str(tmp_path / "xc")
+            assert maybe_enable_compilation_cache(d) == d
+            assert jax.config.jax_compilation_cache_dir == d
+            import os
+            assert os.path.isdir(d)
+        finally:
+            jax.config.update("jax_compilation_cache_dir", old)
+
+    def test_off_disables(self, monkeypatch):
+        import jax
+
+        from cudavideostream_tpu.utils.xla_cache import (
+            maybe_enable_compilation_cache,
+        )
+
+        old = jax.config.jax_compilation_cache_dir
+        monkeypatch.setenv("CVSTPU_XLA_CACHE", "off")
+        try:
+            assert maybe_enable_compilation_cache() is None
+            assert jax.config.jax_compilation_cache_dir == old
+        finally:
+            jax.config.update("jax_compilation_cache_dir", old)
+
+
 class TestServerCLI:
     def test_link_cache_written_and_reloaded(self, tmp_path):
         """server --link-cache over a real socket: the first run writes
