@@ -156,13 +156,37 @@ class _RungMemo:
     within ~4 batches (the bound `tests/test_land_batch.py::
     TestDriftAwareSpec::test_converged_fetch_slack_bounded` pins),
     while a genuinely oscillating one keeps its peak rung and never
-    re-compiles."""
+    re-compiles.
 
-    __slots__ = ("rung", "excess")
+    PINNING (cross-session convergence): hysteresis bounds churn within
+    a session, but every session's EMA trajectory differs slightly, so
+    successive warm sessions each minted ~5-8 FRESH rungs — a 0.6-1.7 s
+    compile stall apiece, forever (measured across four accumulating
+    sessions, benchmarks/sustained_tpu_tunnel r5). A loaded link cache
+    therefore PINS each memo to its persisted rung family: a fresh pick
+    snaps UP to the smallest cached rung that covers it (over-fetch
+    bounded at max(2x, 8 steps) — a few ms of link time vs the compile
+    stall), and mints a new rung only when the need genuinely exceeds
+    the family (a regime change worth a compile). Pinned scalars make
+    the jit-key space finite, so cache accumulation reaches a fixed
+    point instead of chasing drifting EMAs."""
+
+    __slots__ = ("rung", "excess", "pinned", "seen")
 
     def __init__(self):
         self.rung = 0
         self.excess = 0
+        self.pinned = ()   # sorted rung family from a loaded link cache
+        self.seen = set()  # rungs this session actually returned
+
+    def _snap(self, fresh: int, step: int, cap: int) -> int:
+        """Smallest pinned rung covering ``fresh`` within the over-fetch
+        bound, or 0 when the family has none (mint)."""
+        bound = min(cap, max(2 * fresh, fresh + 8 * step))
+        for p in self.pinned:
+            if p >= fresh:
+                return p if p <= bound else 0
+        return 0
 
     def pick(self, fresh: int, step: int, cap: int) -> int:
         band = max(2 * step, fresh // 4)
@@ -171,12 +195,13 @@ class _RungMemo:
                 self.excess += 1
                 if self.excess >= 4:
                     self.excess = 0
-                    self.rung = fresh
+                    self.rung = self._snap(fresh, step, cap) or fresh
             else:
                 self.excess = 0
         else:
             self.excess = 0
-            self.rung = fresh
+            self.rung = self._snap(fresh, step, cap) or fresh
+        self.seen.add(self.rung)
         return self.rung
 
 
@@ -482,6 +507,22 @@ class TiledLander:
             # prewarm() compile them all before the first frame.
             "slicers": [list(k) for k in self._range_slicers],
             "hint_budget": self._hint_budget,
+            # per-family rung sets (this session's picks UNION the
+            # loaded family): the next session pins its memos to these,
+            # so the jit-key space is finite and the accumulated cache
+            # converges (see _RungMemo pinning)
+            "rungs": {
+                name: sorted(m.seen | set(m.pinned))
+                for name, m in self._memos().items()
+            },
+        }
+
+    def _memos(self) -> dict:
+        """The rung-hysteresis memos by persisted family name."""
+        return {
+            "spec_L": self._m_spec_L, "spec_P": self._m_spec_P,
+            "hint_P": self._m_hint_P, "miss_L": self._m_miss_L,
+            "miss_P": self._m_miss_P,
         }
 
     def seed_state(self, st: dict) -> None:
@@ -515,6 +556,14 @@ class TiledLander:
         hb = st.get("hint_budget")
         if isinstance(hb, int) and hb > 0:
             self._hint_budget = hb
+        rungs = st.get("rungs")
+        if isinstance(rungs, dict):
+            for name, memo in self._memos().items():
+                vals = rungs.get(name)
+                if isinstance(vals, list):
+                    memo.pinned = tuple(sorted(
+                        int(v) for v in vals
+                        if isinstance(v, (int, float)) and v > 0))
 
     def prewarm(self, pos_d, counts_d, xs_t_d, vals_t_d,
                 bits_d=None) -> int:
@@ -555,6 +604,36 @@ class TiledLander:
                     keys.append(("mask", L0, tile_cap,
                                  self._flat_len(P + self._hint_budget,
                                                 cap), u_strip))
+        # synthesize the PINNED families' cross product: with pinned
+        # memos (see _RungMemo), mid-serve keys can only combine family
+        # values, so compiling the combos here moves even a combo's
+        # FIRST use out of the serving loop. Bounded (families are a
+        # handful of rungs; the newest few win) and dedup'd below; a
+        # combo that fails to build is skipped by the loop, never fatal.
+        if self._m_spec_L.pinned and self._fetch_xs is not None:
+            cap = self._fetch_xs.capacity
+            u_strip = self._ov_units(tile_cap) or 0
+            Ls = [L for L in self._m_spec_L.pinned if L <= n_tiles][-6:]
+            Ps = [P for P in self._m_spec_P.pinned if P <= cap][-6:]
+            hPs = [P for P in self._m_hint_P.pinned if P <= cap][-4:]
+            for L in Ls:
+                for P in Ps:
+                    if bits_d is not None:
+                        keys.append(("mask", L, tile_cap, P, 0))
+                    else:
+                        keys.append(("spec", L, tile_cap, P))
+                if u_strip and bits_d is not None:
+                    for P in hPs:
+                        keys.append(("mask", L, tile_cap, P, u_strip))
+            mLs = [L for L in self._m_miss_L.pinned if L <= n_tiles][-4:]
+            mPs = [P for P in self._m_miss_P.pinned if P <= cap][-4:]
+            for L in mLs:
+                keys.append(("counts", L))
+                if bits_d is not None:
+                    for P in mPs:
+                        keys.append(("maskw", L, tile_cap, P))
+            for P in mPs:
+                keys.append(("flatn", P, tile_cap))
         keys = list(dict.fromkeys(keys))
         z = np.int32(0)
         merged = None

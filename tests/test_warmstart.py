@@ -354,3 +354,76 @@ class TestServerCLI:
 
         with pytest.raises(SystemExit):
             main(["--mesh", "1,2", "--link-cache", "/tmp/x.json"])
+
+
+class TestRungPinning:
+    """Cross-session rung convergence (see _RungMemo pinning): without
+    it, four accumulating hardware sessions EACH minted ~5-8 fresh
+    fetch-jit keys mid-serve — a 0.6-1.7 s compile stall apiece,
+    forever, because every session's EMA trajectory differs slightly
+    (benchmarks/sustained_tpu_tunnel r5). A loaded link cache pins each
+    ladder memo to its persisted rung family; picks snap up into the
+    family (bounded over-fetch) instead of minting."""
+
+    def test_memo_snap_semantics(self):
+        from cudavideostream_tpu.runtime.executor import _RungMemo
+
+        m = _RungMemo()
+        m.pinned = (1000, 2000)
+        assert m.pick(900, 100, 10_000) == 1000   # snapped up
+        assert m.pick(1500, 100, 10_000) == 2000  # next family rung
+        # need exceeds the family -> genuine mint
+        assert m.pick(2500, 100, 10_000) == 2500
+        # family rung beyond the over-fetch bound -> mint, not snap
+        m2 = _RungMemo()
+        m2.pinned = (10_000,)
+        assert m2.pick(1000, 100, 50_000) == 1000
+
+    def test_export_carries_rung_families(self):
+        cfg = _cfg()
+        rng = np.random.default_rng(21)
+        base = rng.integers(0, 255, cfg.frame_bytes, endpoint=True,
+                            dtype=np.uint8)
+        ex, _ = _drift_session(cfg, base, depth=4, n=16)
+        rungs = ex._lander.export_state()["rungs"]
+        assert set(rungs) == {"spec_L", "spec_P", "hint_P", "miss_L",
+                              "miss_P"}
+        assert rungs["spec_L"], rungs
+
+    def test_pinned_session_stays_inside_families(self, tmp_path):
+        """A seeded session running the same scene CLASS (but a
+        different jitter phase) must not mint scalar rungs outside the
+        loaded families — the property that makes the accumulated jit
+        cache converge. Byte-exactness is asserted every frame."""
+        cfg = _cfg()
+        rng = np.random.default_rng(22)
+        base = rng.integers(0, 255, cfg.frame_bytes, endpoint=True,
+                            dtype=np.uint8)
+        ex, _ = _drift_session(cfg, base, depth=4, n=24)
+        path = str(tmp_path / "link.json")
+        ex.save_link_cache(path)
+        saved = ex._lander.export_state()["rungs"]
+
+        ex2, _ = _drift_session(cfg, base, depth=4, n=24,
+                                seed_from=path, start=7 * 512)
+        for name, memo in ex2._lander._memos().items():
+            fam = set(saved[name])
+            new = memo.seen - fam
+            # a mint is legitimate only past the family's top rung
+            assert all(v > max(fam, default=0) for v in new), (
+                name, sorted(fam), sorted(memo.seen))
+
+    def test_families_accumulate_across_sessions(self, tmp_path):
+        cfg = _cfg()
+        rng = np.random.default_rng(23)
+        base = rng.integers(0, 255, cfg.frame_bytes, endpoint=True,
+                            dtype=np.uint8)
+        ex, _ = _drift_session(cfg, base, depth=3, n=12)
+        path = str(tmp_path / "link.json")
+        ex.save_link_cache(path)
+        first = ex._lander.export_state()["rungs"]
+        ex2, _ = _drift_session(cfg, base, depth=3, n=12,
+                                seed_from=path, start=5 * 512)
+        second = ex2._lander.export_state()["rungs"]
+        for name in first:
+            assert set(first[name]) <= set(second[name])
